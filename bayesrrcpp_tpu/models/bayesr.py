@@ -1,0 +1,409 @@
+"""BayesR spike-and-slab Gibbs samplers (TPU-native engine for C1/C2/C3).
+
+One engine covers the reference's three mixture samplers:
+
+- ``variant="bayesr"``  -- BayesRSamplerV2 (reference: src/BayesRv2.cpp:60):
+  single group, sigmaG scale uses the FULL ``|beta|^2`` (src/BayesRv2.cpp:248),
+  priorPi derived from cva (the intent of the uninitialised-read at
+  src/BayesRv2.cpp:150; see SURVEY.md section 2.3).
+- ``variant="groups"`` -- BayesRSamplerV2Groups (src/BayesRv2Groups.cpp:75):
+  per-group cva/pi/sigmaG rows gathered by gAssign, Gaussian fixed-effect
+  sweep (src/BayesRv2Groups.cpp:216-225), per-group hyper updates
+  (src/BayesRv2Groups.cpp:307-312).
+- warm restart -- BRV2Grstart (src/BRv2Grstart.cpp:77): :meth:`init_from`
+  rebuilds pi from the supplied component labels (src/BRv2Grstart.cpp:157-165)
+  and the chain continues from the given state.  Unlike the reference, resume
+  from a framework checkpoint is bitwise exact because the PRNG key is part of
+  the state pytree.
+
+Per-iteration skeleton (reference: src/BayesRv2.cpp:171-272):
+intercept update -> [fixed-effect sweep] -> shuffled marker sweep ->
+sigmaF/sigmaE/sigmaG(G)/pi hyper draws -> optional thinned emission.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .. import distributions as dist
+from ..config import BayesRConfig, ChainConfig, GroupsConfig
+from ..ops import block_sweep as bs
+from ..ops.sweep import bayesr_sweep_scan
+from .state import SpikeSlabState
+
+
+class MarkerData(NamedTuple):
+    """Static per-chain device data (closed over by nothing; always an argument
+    so jit never constant-folds a multi-GB genotype matrix into the program)."""
+
+    XT: jax.Array        # (Mpad, N) standardized genotypes, marker-major
+    xsq: jax.Array       # (Mpad,) per-marker squared norms (src/BayesRv2.cpp:170)
+    gram: jax.Array      # (nb, B, B) block Gram matrices ((0,0,0) if scan-only)
+    g_assign: jax.Array  # (Mpad,) int32 marker -> group map
+    valid: jax.Array     # (Mpad,) bool, False on padding markers
+    cva: jax.Array       # (G, K-1) slab variances
+    prior_pi: jax.Array  # (G, K) initial mixture probabilities
+    fixedT: jax.Array    # (F, N) fixed-effect covariates, column-major
+    fsq: jax.Array       # (F,) squared norms of fixed columns
+
+
+def _as_2d_cva(cva) -> np.ndarray:
+    cva = np.asarray(cva, np.float64)
+    if cva.ndim == 0:
+        cva = cva[None]
+    if cva.ndim == 1:
+        cva = cva[None, :]
+    return cva
+
+
+class SpikeSlabSampler:
+    """BayesR sampler over a fixed dataset (X, Y[, groups, fixed]).
+
+    Parameters
+    ----------
+    X : (N, M) array -- standardized genotype/covariate matrix (the reference
+        expects centered+scaled columns, vignettes/BayesRR.Rmd:81,92).
+    Y : (N,) response.
+    cva : (K-1,) or (G, K-1) slab variances (spike prepended internally,
+        reference: src/BayesRv2.cpp:152-153).
+    config : BayesRConfig or GroupsConfig.
+    g_assign : (M,) int group assignment (groups variant).
+    fixed : (N, F) fixed-effect covariates (groups variant).
+    backend : "blocked" (Gram fast path) or "scan" (reference-exact sequential).
+    permutation : "blocked" or "full"; defaults to match the backend.  The
+        blocked backend requires block-restricted permutations.
+    """
+
+    def __init__(self, X, Y, cva, config, *, g_assign=None, fixed=None,
+                 dtype=jnp.float32, backend: str = "blocked",
+                 permutation: Optional[str] = None,
+                 variant: Optional[str] = None):
+        if backend not in ("blocked", "scan"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if permutation is None:
+            permutation = "blocked" if backend == "blocked" else "full"
+        if backend == "blocked" and permutation != "blocked":
+            raise ValueError("blocked backend requires blocked permutation")
+        if variant is None:
+            variant = "groups" if isinstance(config, GroupsConfig) else "bayesr"
+
+        X = np.asarray(X)
+        Y = np.asarray(Y)
+        N, M = X.shape
+        if Y.shape != (N,):
+            raise ValueError("Y must have the same number of rows as X")
+        cva2 = _as_2d_cva(cva)
+        G, Km1 = cva2.shape
+        K = Km1 + 1
+        if np.any(cva2 <= 0):
+            # the reference only warns here (src/BayesRv2.cpp:86-95); we fail.
+            raise ValueError("slab variances must be strictly positive")
+
+        if g_assign is None:
+            g_assign = np.zeros((M,), np.int32)
+        else:
+            g_assign = np.asarray(g_assign, np.int32)
+            if g_assign.shape != (M,) or g_assign.min() < 0 or g_assign.max() >= G:
+                raise ValueError("gAssign must be (M,) ints in [0, groups)")
+        if fixed is None:
+            fixed = np.zeros((N, 0))
+        fixed = np.asarray(fixed)
+        F = fixed.shape[1]
+
+        B = min(config.block_size, 1 << max(1, (M - 1).bit_length()))
+        B = max(8, min(B, config.block_size))
+        Mpad = -(-M // B) * B
+        self.N, self.M, self.Mpad, self.K, self.G, self.F, self.B = N, M, Mpad, K, G, F, B
+        self.nb = Mpad // B
+        self.config = config
+        self.variant = variant
+        self.backend = backend
+        self.permutation = permutation
+        self.dtype = jnp.dtype(dtype)
+
+        XT = jnp.asarray(np.ascontiguousarray(X.T), self.dtype)
+        xsq = jnp.sum(XT * XT, axis=1)
+        XT, xsq, _ = bs.pad_markers(XT, xsq, B)
+        gram = (bs.gram_blocks(XT, B) if backend == "blocked"
+                else jnp.zeros((0, 0, 0), self.dtype))
+
+        prior_pi = self._prior_pi(cva2)
+        self.data = MarkerData(
+            XT=XT,
+            xsq=xsq,
+            gram=gram,
+            g_assign=jnp.asarray(np.pad(g_assign, (0, Mpad - M))),
+            valid=jnp.asarray(np.arange(Mpad) < M),
+            cva=jnp.asarray(cva2, self.dtype),
+            prior_pi=jnp.asarray(prior_pi, self.dtype),
+            fixedT=jnp.asarray(np.ascontiguousarray(fixed.T), self.dtype),
+            fsq=jnp.asarray(np.sum(fixed * fixed, axis=0), self.dtype),
+        )
+        self.Y = jnp.asarray(Y, self.dtype)
+
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+        self._run_steps = jax.jit(self._run_steps_impl, static_argnums=(2,),
+                                  donate_argnums=(0,))
+        self._emit_chunk = jax.jit(self._emit_chunk_impl, static_argnums=(2, 3),
+                                   donate_argnums=(0,))
+
+    # ------------------------------------------------------------------ init
+
+    def _prior_pi(self, cva2: np.ndarray) -> np.ndarray:
+        G, Km1 = cva2.shape
+        K = Km1 + 1
+        pi = np.empty((G, K))
+        pi[:, 0] = 0.5
+        if self.variant == "bayesr":
+            # intended semantics of src/BayesRv2.cpp:150 (the reference reads
+            # uninitialised memory there; see SURVEY.md section 2.3).
+            pi[:, 1:] = 0.5 * cva2 / cva2.sum(axis=1, keepdims=True)
+        else:
+            # src/BayesRv2Groups.cpp:170-175: 0.5/K per slab component (does
+            # not sum to 1); optionally normalised.
+            pi[:, 1:] = 0.5 / K
+            if not getattr(self.config, "reference_prior_pi", True):
+                pi /= pi.sum(axis=1, keepdims=True)
+        return pi
+
+    def init(self, key) -> SpikeSlabState:
+        """Fresh-chain init (reference: src/BayesRv2.cpp:146-170,
+        src/BayesRv2Groups.cpp:185-205)."""
+        key, kG, kF = jax.random.split(key, 3)
+        dt = self.dtype
+        sigmaGG = jax.vmap(lambda k: dist.beta_rng(k, 1.0, 1.0, dtype=dt))(
+            jax.random.split(kG, self.G))
+        sigmaF = (jax.random.uniform(kF, (), dtype=dt) if self.F > 0
+                  else jnp.ones((), dt))
+        mu = jnp.zeros((), dt)
+        eps = self.Y - mu
+        sigmaE = jnp.sum(eps * eps) / self.N * 0.5
+        return SpikeSlabState(
+            key=key,
+            iteration=jnp.zeros((), jnp.int32),
+            mu=mu,
+            beta=jnp.zeros((self.Mpad,), dt),
+            labels=jnp.zeros((self.Mpad,), jnp.int32),
+            eps=eps,
+            sigmaE=sigmaE,
+            sigmaGG=sigmaGG,
+            pi=self.data.prior_pi,
+            alpha=jnp.zeros((self.F,), dt),
+            sigmaF=sigmaF,
+        )
+
+    def init_from(self, key, mu, beta, sigmaE, sigmaGG, epsilon, components,
+                  alpha=None, sigmaF=None) -> SpikeSlabState:
+        """Warm restart from a previous chain's last sample.
+
+        Reproduces BRV2Grstart's resume contract (src/BRv2Grstart.cpp:77,
+        157-165): everything is taken as given except pi, which is re-drawn
+        from Dirichlet(v + 1) with v the per-group component-label counts.
+        """
+        key, kpi = jax.random.split(key)
+        dt = self.dtype
+        beta = np.asarray(beta, np.float64).reshape(-1)
+        components = np.asarray(components).reshape(-1).astype(np.int32)
+        if beta.shape[0] != self.M or components.shape[0] != self.M:
+            raise ValueError("beta/components must have length M")
+        pad = self.Mpad - self.M
+        g_assign = np.asarray(self.data.g_assign)[: self.M]
+        v = np.zeros((self.G, self.K))
+        np.add.at(v, (g_assign, components), 1.0)
+        pi = jax.vmap(dist.dirichlet_rng)(
+            jax.random.split(kpi, self.G), jnp.asarray(v + 1.0, dt))
+        return SpikeSlabState(
+            key=key,
+            iteration=jnp.zeros((), jnp.int32),
+            mu=jnp.asarray(mu, dt),
+            beta=jnp.asarray(np.pad(beta, (0, pad)), dt),
+            labels=jnp.asarray(np.pad(components, (0, pad))),
+            eps=jnp.asarray(epsilon, dt),
+            sigmaE=jnp.asarray(sigmaE, dt),
+            sigmaGG=jnp.asarray(sigmaGG, dt).reshape(self.G),
+            pi=pi.astype(dt),
+            alpha=(jnp.zeros((self.F,), dt) if alpha is None
+                   else jnp.asarray(alpha, dt)),
+            sigmaF=(jnp.ones((), dt) if sigmaF is None
+                    else jnp.asarray(sigmaF, dt)),
+        )
+
+    # ------------------------------------------------------------------ step
+
+    def _step_impl(self, state: SpikeSlabState, data: MarkerData) -> SpikeSlabState:
+        cfg = self.config
+        N, F, G = self.N, self.F, self.G
+        dt = self.dtype
+        (key, kmu, kforder, kfz, korder, kp, kz,
+         ksE, ksF, ksG, kpi) = jax.random.split(state.key, 11)
+
+        # ---- intercept (src/BayesRv2.cpp:177-179); sigma0 is accepted but
+        # unused, exactly like the reference (vignettes/BayesRR.Rmd:93).
+        eps = state.eps + state.mu
+        mu = dist.norm_rng(kmu, jnp.sum(eps) / N, state.sigmaE / N)
+        eps = eps - mu
+
+        # ---- fixed-effect sweep (src/BayesRv2Groups.cpp:216-225)
+        alpha, sigmaF = state.alpha, state.sigmaF
+        if F > 0:
+            forder = jax.random.permutation(kforder, F)
+            zf = jax.random.normal(kfz, (F,), dt)
+
+            def fbody(carry, xs):
+                eps, alpha = carry
+                c, z = xs
+                fc = data.fixedT[c]
+                denom_f = (N - 1) + state.sigmaE / sigmaF
+                num_f = jnp.dot(fc, eps) + alpha[c] * data.fsq[c]
+                a_new = num_f / denom_f + jnp.sqrt(state.sigmaE / denom_f) * z
+                eps = eps - fc * (a_new - alpha[c])
+                alpha = alpha.at[c].set(a_new)
+                return (eps, alpha), None
+
+            (eps, alpha), _ = lax.scan(fbody, (eps, alpha), (forder, zf))
+
+        # ---- marker sweep (the hot loop, src/BayesRv2.cpp:186-245)
+        Mpad, B, nb = self.Mpad, self.B, self.nb
+        p_arr = jax.random.uniform(kp, (Mpad,), dtype=dt)
+        z_arr = jax.random.normal(kz, (Mpad,), dtype=dt)
+        if self.permutation == "blocked":
+            border, inner = bs.block_orders(korder, nb, B)
+            if self.backend == "blocked":
+                res = bs.bayesr_block_sweep(
+                    data.XT, data.gram, data.xsq, eps, state.beta, state.labels,
+                    border, inner, p_arr, z_arr, state.pi, data.cva,
+                    state.sigmaE, state.sigmaGG, data.g_assign, data.valid)
+            else:
+                order = bs.flat_order(border, inner, B)
+                res = bayesr_sweep_scan(
+                    data.XT, data.xsq, eps, state.beta, state.labels, order,
+                    p_arr, z_arr, state.pi, data.cva, state.sigmaE,
+                    state.sigmaGG, data.g_assign, data.valid)
+        else:
+            order = jax.random.permutation(korder, Mpad)
+            res = bayesr_sweep_scan(
+                data.XT, data.xsq, eps, state.beta, state.labels, order,
+                p_arr, z_arr, state.pi, data.cva, state.sigmaE,
+                state.sigmaGG, data.g_assign, data.valid)
+        eps, beta, labels, v, bacc = res
+
+        # ---- hyperparameters
+        if F > 0:
+            # note the reference reuses the residual prior (v0E, s02E) for
+            # sigmaF (src/BayesRv2Groups.cpp:301)
+            sigmaF = dist.inv_scaled_chisq_rng(
+                ksF, cfg.v0E + F,
+                (jnp.sum(alpha * alpha) + cfg.v0E * cfg.s02E) / (cfg.v0E + F)
+            ).astype(dt)
+        sigmaE = dist.inv_scaled_chisq_rng(
+            ksE, cfg.v0E + N,
+            (jnp.sum(eps * eps) + cfg.v0E * cfg.s02E) / (cfg.v0E + N)
+        ).astype(dt)
+
+        m0 = jnp.sum(v, axis=1) - v[:, 0]                       # (G,)
+        if self.variant == "bayesr":
+            # C1 uses the full |beta|^2, not the per-sweep accumulator
+            # (src/BayesRv2.cpp:248); padding betas are identically 0.
+            ss = jnp.broadcast_to(jnp.sum(beta * beta), (G,))
+        else:
+            ss = bacc                                            # (G,)
+        if cfg.reference_sigma_g_scaling:
+            scale_g = (ss * m0 + cfg.v0G * cfg.s02G) / (cfg.v0G + m0)
+        else:
+            scale_g = (ss + cfg.v0G * cfg.s02G) / (cfg.v0G + m0)
+        sigmaGG = jax.vmap(dist.inv_scaled_chisq_rng)(
+            jax.random.split(ksG, G), cfg.v0G + m0, scale_g)
+        pi = jax.vmap(dist.dirichlet_rng)(
+            jax.random.split(kpi, G), v + 1.0)
+
+        return SpikeSlabState(
+            key=key, iteration=state.iteration + 1, mu=mu, beta=beta,
+            labels=labels, eps=eps, sigmaE=sigmaE,
+            sigmaGG=sigmaGG.astype(dt), pi=pi.astype(dt),
+            alpha=alpha, sigmaF=sigmaF)
+
+    def step(self, state: SpikeSlabState) -> SpikeSlabState:
+        return self._step(state, self.data)
+
+    # ------------------------------------------------------------------ run
+
+    def _run_steps_impl(self, state, data, n):
+        return lax.fori_loop(0, n, lambda i, s: self._step_impl(s, data), state)
+
+    def _emit_one(self, state: SpikeSlabState):
+        M = self.M
+        return {
+            "iteration": state.iteration - 1,
+            "mu": state.mu,
+            "beta": state.beta[:M],
+            "sigmaE": state.sigmaE,
+            "sigmaG": state.sigmaGG,
+            "comp": state.labels[:M],
+            "epsilon": (state.eps if self.config.emit_epsilon
+                        else jnp.zeros((0,), self.dtype)),
+            "alpha": state.alpha,
+            "sigmaF": state.sigmaF,
+        }
+
+    def _emit_chunk_impl(self, state, data, n_emits, thinning):
+        def body(state, _):
+            state = lax.fori_loop(
+                0, thinning, lambda i, s: self._step_impl(s, data), state)
+            return state, self._emit_one(state)
+
+        return lax.scan(body, state, None, length=n_emits)
+
+    def run(self, key_or_state, chain: ChainConfig, *, sink=None,
+            collect: bool = True, emit_chunk: int = 32):
+        """Run a full chain, emitting thinned post-burn-in samples.
+
+        Replaces the reference's producer/consumer OpenMP split
+        (src/BayesRv2.cpp:102-108, 281-290): the device runs jit-compiled
+        emission chunks while the host streams previous chunks to the sink
+        (JAX async dispatch gives the overlap; no lock-free queue needed, and
+        no tail-sample drop -- the reference's consumer exits on a flag and
+        can lose enqueued rows, src/BayesRv2.cpp:279-289).
+        """
+        if isinstance(key_or_state, SpikeSlabState):
+            state = key_or_state
+        else:
+            state = self.init(key_or_state)
+
+        emits = list(chain.emit_iterations())
+        collected = []
+        if not emits:
+            state = self._run_steps(state, self.data, chain.max_iterations)
+        else:
+            state = self._run_steps(state, self.data, emits[0] + 1 - int(state.iteration))
+            state, first = self._emit_chunk(state, self.data, 1, 0)
+            self._deliver(first, sink, collected if collect else None)
+            remaining = len(emits) - 1
+            done = 0
+            while done < remaining:
+                n = min(emit_chunk, remaining - done)
+                state, rows = self._emit_chunk(state, self.data, n, chain.thinning)
+                self._deliver(rows, sink, collected if collect else None)
+                done += n
+            tail = chain.max_iterations - (emits[-1] + 1)
+            if tail > 0:
+                state = self._run_steps(state, self.data, tail)
+        if sink is not None:
+            sink.flush()
+        out = None
+        if collect:
+            out = {k: np.concatenate([c[k] for c in collected], axis=0)
+                   for k in collected[0]} if collected else {}
+        return state, out
+
+    @staticmethod
+    def _deliver(rows, sink, collected):
+        rows = jax.tree.map(np.asarray, rows)  # leading axis = n_emits (scan-stacked)
+        if collected is not None:
+            collected.append(rows)
+        if sink is not None:
+            sink.write(rows)
