@@ -82,7 +82,7 @@ class SpikeSlabSampler:
     def __init__(self, X, Y, cva, config, *, g_assign=None, fixed=None,
                  dtype=jnp.float32, backend: str = "blocked",
                  permutation: Optional[str] = None,
-                 variant: Optional[str] = None):
+                 variant: Optional[str] = None, transposed: bool = False):
         if backend not in ("blocked", "scan"):
             raise ValueError(f"unknown backend {backend!r}")
         if permutation is None:
@@ -92,9 +92,16 @@ class SpikeSlabSampler:
         if variant is None:
             variant = "groups" if isinstance(config, GroupsConfig) else "bayesr"
 
-        X = np.asarray(X)
-        Y = np.asarray(Y)
-        N, M = X.shape
+        # Device arrays are used as-is (no host round-trip -- at biobank scale
+        # X never fits in host memory as f64); ``transposed=True`` means X is
+        # already marker-major (M, N).
+        x_on_device = isinstance(X, jax.Array)
+        if not x_on_device:
+            X = np.asarray(X)
+        if transposed:
+            M, N = X.shape
+        else:
+            N, M = X.shape
         if Y.shape != (N,):
             raise ValueError("Y must have the same number of rows as X")
         cva2 = _as_2d_cva(cva)
@@ -126,7 +133,11 @@ class SpikeSlabSampler:
         self.permutation = permutation
         self.dtype = jnp.dtype(dtype)
 
-        XT = jnp.asarray(np.ascontiguousarray(X.T), self.dtype)
+        if x_on_device:
+            XT = (X if transposed else X.T).astype(self.dtype)
+        else:
+            XT = jnp.asarray(
+                np.ascontiguousarray(X if transposed else X.T), self.dtype)
         xsq = jnp.sum(XT * XT, axis=1)
         XT, xsq, _ = bs.pad_markers(XT, xsq, B)
         gram = (bs.gram_blocks(XT, B) if backend == "blocked"

@@ -128,7 +128,8 @@ class HorseshoeSampler:
         eta = dist.inv_gamma_rate_rng(
             keta, 0.5 + 0.5 * cfg.vT,
             1.0 / (state.sigmaE * cfg.A * cfg.A) + cfg.vT / state.tau)
-        gv = jax.random.gamma(kv, jnp.full((Mpad,), 0.5 + 0.5 * cfg.vL, dt))
+        gv = jax.random.gamma(kv, jnp.full((Mpad,), 0.5 + 0.5 * cfg.vL, dt),
+                              dtype=dt)
         v = (cfg.vL / state.lam + 1.0) / gv
 
         # ---- dense marker sweep
@@ -152,7 +153,8 @@ class HorseshoeSampler:
                 state.lam, state.tau, state.c2, state.sigmaE, data.valid)
 
         # ---- local/global scale updates (post-sweep)
-        glam = jax.random.gamma(klam, jnp.full((Mpad,), 0.5 + 0.5 * cfg.vL, dt))
+        glam = jax.random.gamma(klam, jnp.full((Mpad,), 0.5 + 0.5 * cfg.vL, dt),
+                                dtype=dt)
         lam = (cfg.vL / v + 0.5 * beta * beta / state.tau) / glam
         bl = jnp.where(data.valid, beta * beta / lam, 0.0)
         tau = dist.inv_gamma_rate_rng(

@@ -82,6 +82,70 @@ def flat_order(block_order, inner_perm, block_size):
     return (block_order[:, None] * block_size + inner_perm[block_order]).reshape(-1)
 
 
+def spike_slab_inner_solve(r, Gb, beta_b, labels_b, xsq_b, gas_b, valid_b,
+                           inner, p_b, z_b, pi, cva, sigmaE, sigmaGG,
+                           v, bacc):
+    """Sequential within-block solve: B exact Gibbs updates against an
+    in-register r = X_b' eps maintained by rank-1 Gram updates.
+
+    O(B + K) work per marker; shared by the single-device blocked sweep and
+    the sharded (shard_map) sweep.  Returns (r, beta_b, labels_b, delta, v,
+    bacc) with delta the per-marker effect changes to apply to eps.
+    """
+    B = beta_b.shape[0]
+
+    def inner_body(t, c):
+        r, beta_b, labels_b, delta, v, bacc = c
+        jl = inner[t]
+        g = gas_b[jl]
+        ok = valid_b[jl]
+        num = r[jl] + beta_b[jl] * xsq_b[jl]
+        res = select_component(p_b[t], z_b[t], num, xsq_b[jl], pi[g],
+                               cva[g], sigmaE, sigmaGG[g],
+                               beta_b[jl], labels_b[jl])
+        d = jnp.where(ok, res.delta, jnp.zeros_like(res.delta))
+        r = r - Gb[jl] * d
+        beta_b = beta_b.at[jl].set(jnp.where(ok, res.beta_new, beta_b[jl]))
+        labels_b = labels_b.at[jl].set(
+            jnp.where(ok, res.label_new, labels_b[jl]))
+        delta = delta.at[jl].set(d)
+        v = v.at[g].add(jnp.where(ok, res.count_onehot,
+                                  jnp.zeros_like(res.count_onehot)))
+        slab = jnp.sum(res.count_onehot[1:])
+        bacc = bacc.at[g].add(
+            jnp.where(ok, slab * res.beta_new * res.beta_new, 0.0))
+        return r, beta_b, labels_b, delta, v, bacc
+
+    # derive the zero init from r so shard_map's varying-axis (VMA) tracking
+    # sees it as device-varying inside sharded sweeps
+    delta0 = r * jnp.zeros((), r.dtype)
+    return lax.fori_loop(0, B, inner_body,
+                         (r, beta_b, labels_b, delta0, v, bacc))
+
+
+def horseshoe_inner_solve(r, Gb, beta_b, xsq_b, lam_b, valid_b, inner, z_b,
+                          tau, c2, sigmaE):
+    """Sequential within-block dense horseshoe solve (see spike_slab_inner_solve)."""
+    B = beta_b.shape[0]
+
+    def inner_body(t, c):
+        r, beta_b, delta = c
+        jl = inner[t]
+        ok = valid_b[jl]
+        num = r[jl] + beta_b[jl] * xsq_b[jl]
+        s_j = tau * c2 * lam_b[jl] / (tau * lam_b[jl] + c2)
+        denom = xsq_b[jl] + sigmaE / s_j
+        beta_new = num / denom + jnp.sqrt(sigmaE / denom) * z_b[t]
+        d = jnp.where(ok, beta_new - beta_b[jl], jnp.zeros_like(beta_new))
+        r = r - Gb[jl] * d
+        beta_b = beta_b.at[jl].set(jnp.where(ok, beta_new, beta_b[jl]))
+        delta = delta.at[jl].set(d)
+        return r, beta_b, delta
+
+    delta0 = r * jnp.zeros((), r.dtype)  # VMA-propagating zero init (see above)
+    return lax.fori_loop(0, B, inner_body, (r, beta_b, delta0))
+
+
 def bayesr_block_sweep(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
                        block_order, inner_perm, p_arr, z_arr,
                        pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad):
@@ -116,31 +180,9 @@ def bayesr_block_sweep(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         valid_b = lax.dynamic_slice_in_dim(valid_pad, start, B)
         r = Xb @ eps
 
-        def inner_body(t, c):
-            r, beta_b, labels_b, delta, v, bacc = c
-            jl = inner[t]
-            g = gas_b[jl]
-            ok = valid_b[jl]
-            num = r[jl] + beta_b[jl] * xsq_b[jl]
-            res = select_component(p_b[t], z_b[t], num, xsq_b[jl], pi[g],
-                                   cva[g], sigmaE, sigmaGG[g],
-                                   beta_b[jl], labels_b[jl])
-            d = jnp.where(ok, res.delta, jnp.zeros_like(res.delta))
-            r = r - Gb[jl] * d
-            beta_b = beta_b.at[jl].set(jnp.where(ok, res.beta_new, beta_b[jl]))
-            labels_b = labels_b.at[jl].set(
-                jnp.where(ok, res.label_new, labels_b[jl]))
-            delta = delta.at[jl].set(d)
-            v = v.at[g].add(jnp.where(ok, res.count_onehot,
-                                      jnp.zeros_like(res.count_onehot)))
-            slab = jnp.sum(res.count_onehot[1:])
-            bacc = bacc.at[g].add(
-                jnp.where(ok, slab * res.beta_new * res.beta_new, 0.0))
-            return r, beta_b, labels_b, delta, v, bacc
-
-        delta0 = jnp.zeros((B,), eps.dtype)
-        r, beta_b, labels_b, delta, v, bacc = lax.fori_loop(
-            0, B, inner_body, (r, beta_b, labels_b, delta0, v, bacc))
+        r, beta_b, labels_b, delta, v, bacc = spike_slab_inner_solve(
+            r, Gb, beta_b, labels_b, xsq_b, gas_b, valid_b, inner, p_b, z_b,
+            pi, cva, sigmaE, sigmaGG, v, bacc)
 
         eps = eps - delta @ Xb
         beta = lax.dynamic_update_slice_in_dim(beta, beta_b, start, axis=0)
@@ -175,22 +217,8 @@ def horseshoe_block_sweep(XT_pad, gram, xsq_pad, eps, beta_pad,
         valid_b = lax.dynamic_slice_in_dim(valid_pad, start, B)
         r = Xb @ eps
 
-        def inner_body(t, c):
-            r, beta_b, delta = c
-            jl = inner[t]
-            ok = valid_b[jl]
-            num = r[jl] + beta_b[jl] * xsq_b[jl]
-            s_j = tau * c2 * lam_b[jl] / (tau * lam_b[jl] + c2)
-            denom = xsq_b[jl] + sigmaE / s_j
-            beta_new = num / denom + jnp.sqrt(sigmaE / denom) * z_b[t]
-            d = jnp.where(ok, beta_new - beta_b[jl], jnp.zeros_like(beta_new))
-            r = r - Gb[jl] * d
-            beta_b = beta_b.at[jl].set(jnp.where(ok, beta_new, beta_b[jl]))
-            delta = delta.at[jl].set(d)
-            return r, beta_b, delta
-
-        delta0 = jnp.zeros((B,), eps.dtype)
-        r, beta_b, delta = lax.fori_loop(0, B, inner_body, (r, beta_b, delta0))
+        r, beta_b, delta = horseshoe_inner_solve(
+            r, Gb, beta_b, xsq_b, lam_b, valid_b, inner, z_b, tau, c2, sigmaE)
         eps = eps - delta @ Xb
         beta = lax.dynamic_update_slice_in_dim(beta, beta_b, start, axis=0)
         return (eps, beta), None

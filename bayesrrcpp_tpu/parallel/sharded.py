@@ -1,0 +1,410 @@
+"""Mesh-sharded BayesR sampler (multi-chip scaling via shard_map + psum).
+
+Scaling design (SURVEY.md sections 2.4, 7; no reference analog exists -- the
+reference holds X as one in-RAM Eigen matrix, src/BayesRv2.cpp:60, and cannot
+reach biobank scale):
+
+- **markers ("m" axis, model parallel)**: X is column-sharded in contiguous
+  groups of Gram blocks.  Each m-slice sweeps one of its own blocks per
+  round; the combined residual update ``eps -= sum_d X_{b_d}' delta_d`` is a
+  single ``psum`` over "m" per round.  Within a block the updates are exact
+  sequential Gibbs; across the Dm simultaneously-processed blocks they are
+  block-Jacobi (each block sees the residual as of the round start).  This is
+  the standard synchronous relaxation used by distributed BayesR
+  implementations; posterior equivalence is validated statistically in
+  tests/test_sharded.py.  With Dm=1 the kernel is exactly the single-device
+  blocked sweep.
+- **individuals ("n" axis, data parallel)**: rows of X / eps are sharded;
+  every per-block correlation ``r = X_b' eps`` is a partial matmul plus a
+  ``psum`` over "n".  This axis is *mathematically exact* (only float
+  reassociation differs) -- tested to tight tolerance against Dn=1.
+- scalars/hyperparameters are replicated and updated with identical PRNG
+  keys on every device, so no broadcast step is ever needed.
+- per-marker RNG streams fold the m-coordinate into the key, so chains are
+  reproducible for a fixed mesh shape.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.7 new API
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _old_shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _old_shard_map(f, mesh, in_specs=in_specs, out_specs=out_specs)
+
+from .. import distributions as dist
+from ..config import ChainConfig, GroupsConfig
+from ..models.bayesr import _as_2d_cva
+from ..models.state import SpikeSlabState
+from ..ops.block_sweep import spike_slab_inner_solve
+from .mesh import AXIS_M, AXIS_N
+
+
+class ShardedMarkerData(NamedTuple):
+    XT: jax.Array        # (Mpad, Npad)  P(m, n)
+    xsq: jax.Array       # (Mpad,)       P(m)
+    gram: jax.Array      # (nb, B, B)    P(m, None, None)
+    g_assign: jax.Array  # (Mpad,)       P(m)
+    valid: jax.Array     # (Mpad,)       P(m)
+    row_valid: jax.Array # (Npad,)       P(n)
+    cva: jax.Array       # (G, K-1)      replicated
+    prior_pi: jax.Array  # (G, K)        replicated
+    fixedT: jax.Array    # (F, Npad)     P(None, n)
+    fsq: jax.Array       # (F,)          replicated
+
+
+class ShardedSpikeSlabSampler:
+    """BayesR sampler sharded over a ("m", "n") device mesh."""
+
+    def __init__(self, X, Y, cva, config, mesh: Mesh, *, g_assign=None,
+                 fixed=None, dtype=jnp.float32, variant: Optional[str] = None):
+        if tuple(mesh.axis_names) != (AXIS_M, AXIS_N):
+            raise ValueError("mesh must have axis names ('m', 'n')")
+        self.mesh = mesh
+        self.Dm = mesh.shape[AXIS_M]
+        self.Dn = mesh.shape[AXIS_N]
+        if variant is None:
+            variant = "groups" if isinstance(config, GroupsConfig) else "bayesr"
+        self.variant = variant
+        self.config = config
+        self.dtype = jnp.dtype(dtype)
+
+        X = np.asarray(X)
+        Y = np.asarray(Y)
+        N, M = X.shape
+        cva2 = _as_2d_cva(cva)
+        G, Km1 = cva2.shape
+        if np.any(cva2 <= 0):
+            raise ValueError("slab variances must be strictly positive")
+        K = Km1 + 1
+        if g_assign is None:
+            g_assign = np.zeros((M,), np.int32)
+        g_assign = np.asarray(g_assign, np.int32)
+        if fixed is None:
+            fixed = np.zeros((N, 0))
+        fixed = np.asarray(fixed)
+        F = fixed.shape[1]
+
+        B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
+        # marker axis padded to a block multiple per m-slice
+        Mpad = -(-M // (B * self.Dm)) * (B * self.Dm)
+        Npad = -(-N // self.Dn) * self.Dn
+        self.N, self.M, self.Mpad, self.Npad = N, M, Mpad, Npad
+        self.K, self.G, self.F, self.B = K, G, F, B
+        self.Mloc = Mpad // self.Dm
+        self.nb_loc = self.Mloc // B
+        self.Nloc = Npad // self.Dn
+
+        XTh = np.zeros((Mpad, Npad), self.dtype)
+        XTh[:M, :N] = X.T
+        xsq = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
+        fixedTh = np.zeros((F, Npad), self.dtype)
+        fixedTh[:, :N] = fixed.T
+
+        sh = lambda spec: NamedSharding(mesh, spec)
+        XT = jax.device_put(XTh, sh(P(AXIS_M, AXIS_N)))
+        prior_pi = self._prior_pi(cva2)
+        self.data = ShardedMarkerData(
+            XT=XT,
+            xsq=jax.device_put(jnp.asarray(xsq), sh(P(AXIS_M))),
+            gram=self._gram(XT),
+            g_assign=jax.device_put(
+                jnp.asarray(np.pad(g_assign, (0, Mpad - M))), sh(P(AXIS_M))),
+            valid=jax.device_put(jnp.asarray(np.arange(Mpad) < M), sh(P(AXIS_M))),
+            row_valid=jax.device_put(jnp.asarray(np.arange(Npad) < N), sh(P(AXIS_N))),
+            cva=jax.device_put(jnp.asarray(cva2, self.dtype), sh(P())),
+            prior_pi=jax.device_put(jnp.asarray(prior_pi, self.dtype), sh(P())),
+            fixedT=jax.device_put(jnp.asarray(fixedTh), sh(P(None, AXIS_N))),
+            fsq=jax.device_put(jnp.asarray((fixedTh.astype(np.float64) ** 2)
+                                           .sum(axis=1).astype(self.dtype)), sh(P())),
+        )
+        self.Y = jax.device_put(
+            jnp.asarray(np.pad(Y.astype(self.dtype), (0, Npad - N))),
+            sh(P(AXIS_N)))
+
+        self.state_specs = SpikeSlabState(
+            key=P(), iteration=P(), mu=P(), beta=P(AXIS_M), labels=P(AXIS_M),
+            eps=P(AXIS_N), sigmaE=P(), sigmaGG=P(), pi=P(), alpha=P(),
+            sigmaF=P())
+        self.data_specs = ShardedMarkerData(
+            XT=P(AXIS_M, AXIS_N), xsq=P(AXIS_M), gram=P(AXIS_M, None, None),
+            g_assign=P(AXIS_M), valid=P(AXIS_M), row_valid=P(AXIS_N),
+            cva=P(), prior_pi=P(), fixedT=P(None, AXIS_N), fsq=P())
+
+        self._run_steps_cache = {}
+        self._emit_cache = {}
+
+    # ---------------------------------------------------------------- gram
+
+    def _gram(self, XT):
+        B, nb_loc, Nloc = self.B, self.nb_loc, self.Nloc
+
+        def gram_shard(xt_loc):
+            blocks = xt_loc.reshape(nb_loc, B, Nloc)
+            g_part = lax.map(lambda xb: xb @ xb.T, blocks)
+            return lax.psum(g_part, AXIS_N)
+
+        f = jax.jit(shard_map(gram_shard, self.mesh,
+                              in_specs=P(AXIS_M, AXIS_N),
+                              out_specs=P(AXIS_M, None, None)))
+        return f(XT)
+
+    def _prior_pi(self, cva2: np.ndarray) -> np.ndarray:
+        G, Km1 = cva2.shape
+        K = Km1 + 1
+        pi = np.empty((G, K))
+        pi[:, 0] = 0.5
+        if self.variant == "bayesr":
+            pi[:, 1:] = 0.5 * cva2 / cva2.sum(axis=1, keepdims=True)
+        else:
+            pi[:, 1:] = 0.5 / K
+            if not getattr(self.config, "reference_prior_pi", True):
+                pi /= pi.sum(axis=1, keepdims=True)
+        return pi
+
+    # ---------------------------------------------------------------- init
+
+    def init(self, key) -> SpikeSlabState:
+        key, kG, kF = jax.random.split(key, 3)
+        dt = self.dtype
+        sigmaGG = jax.vmap(lambda k: dist.beta_rng(k, 1.0, 1.0, dtype=dt))(
+            jax.random.split(kG, self.G))
+        sigmaF = (jax.random.uniform(kF, (), dtype=dt) if self.F > 0
+                  else jnp.ones((), dt))
+        eps = self.Y  # mu=0, beta=0; padded rows are already exactly 0
+        sigmaE = jnp.sum(eps * eps) / self.N * 0.5
+        sh = lambda spec: NamedSharding(self.mesh, spec)
+        zeros_m = jax.device_put(jnp.zeros((self.Mpad,), dt), sh(P(AXIS_M)))
+        zeros_l = jax.device_put(jnp.zeros((self.Mpad,), jnp.int32), sh(P(AXIS_M)))
+        return SpikeSlabState(
+            key=key, iteration=jnp.zeros((), jnp.int32), mu=jnp.zeros((), dt),
+            beta=zeros_m, labels=zeros_l, eps=eps, sigmaE=sigmaE,
+            sigmaGG=sigmaGG, pi=self.data.prior_pi,
+            alpha=jnp.zeros((self.F,), dt), sigmaF=sigmaF)
+
+    # ---------------------------------------------------------------- step
+
+    def _step_local(self, state: SpikeSlabState, data: ShardedMarkerData):
+        """One Gibbs iteration on per-device shards (runs inside shard_map)."""
+        cfg = self.config
+        N, F, G = self.N, self.F, self.G
+        B, nb_loc, Mloc = self.B, self.nb_loc, self.Mloc
+        dt = self.dtype
+        im = lax.axis_index(AXIS_M)
+        (key, kmu, kforder, kfz, ksweep, ksE, ksF, ksG, kpi) = \
+            jax.random.split(state.key, 9)
+
+        rv = data.row_valid
+        # ---- intercept (masked so padded rows stay identically zero)
+        eps = jnp.where(rv, state.eps + state.mu, 0.0)
+        s_eps = lax.psum(jnp.sum(eps), AXIS_N)
+        mu = dist.norm_rng(kmu, s_eps / N, state.sigmaE / N)
+        eps = jnp.where(rv, eps - mu, 0.0)
+
+        # ---- fixed-effect sweep (replicated draws; padded fixed rows are 0)
+        alpha, sigmaF = state.alpha, state.sigmaF
+        if F > 0:
+            forder = jax.random.permutation(kforder, F)
+            zf = jax.random.normal(kfz, (F,), dt)
+
+            def fbody(carry, xs):
+                eps, alpha = carry
+                c, z = xs
+                fc = data.fixedT[c]
+                denom_f = (N - 1) + state.sigmaE / sigmaF
+                num_f = lax.psum(jnp.dot(fc, eps), AXIS_N) + alpha[c] * data.fsq[c]
+                a_new = num_f / denom_f + jnp.sqrt(state.sigmaE / denom_f) * z
+                eps = eps - fc * (a_new - alpha[c])
+                alpha = alpha.at[c].set(a_new)
+                return (eps, alpha), None
+
+            (eps, alpha), _ = lax.scan(fbody, (eps, alpha), (forder, zf))
+
+        # ---- marker sweep: one local block per round, psum'd eps update
+        key_m = jax.random.fold_in(ksweep, im)
+        kb, ki, kp, kz = jax.random.split(key_m, 4)
+        border = jax.random.permutation(kb, nb_loc)
+        inner = jax.vmap(lambda k: jax.random.permutation(k, B))(
+            jax.random.split(ki, nb_loc))
+        p_arr = jax.random.uniform(kp, (nb_loc, B), dtype=dt)
+        z_arr = jax.random.normal(kz, (nb_loc, B), dt)
+
+        # carries that accumulate per-m-slice values must be marked varying
+        # over "m" for shard_map's varying-axis tracking
+        v0 = lax.pcast(jnp.zeros((G, self.K), dt), (AXIS_M,), to="varying")
+        bacc0 = lax.pcast(jnp.zeros((G,), dt), (AXIS_M,), to="varying")
+
+        def round_body(carry, xs):
+            eps, beta, labels, v, bacc = carry
+            b, inr, p_b, z_b = xs
+            start = b * B
+            Xb = lax.dynamic_slice_in_dim(data.XT, start, B, axis=0)
+            Gb = data.gram[b]
+            beta_b = lax.dynamic_slice_in_dim(beta, start, B)
+            labels_b = lax.dynamic_slice_in_dim(labels, start, B)
+            xsq_b = lax.dynamic_slice_in_dim(data.xsq, start, B)
+            gas_b = lax.dynamic_slice_in_dim(data.g_assign, start, B)
+            valid_b = lax.dynamic_slice_in_dim(data.valid, start, B)
+            r = lax.psum(Xb @ eps, AXIS_N)
+            r, beta_b, labels_b, delta, v, bacc = spike_slab_inner_solve(
+                r, Gb, beta_b, labels_b, xsq_b, gas_b, valid_b, inr, p_b, z_b,
+                state.pi, data.cva, state.sigmaE, state.sigmaGG, v, bacc)
+            eps = eps - lax.psum(delta @ Xb, AXIS_M)
+            beta = lax.dynamic_update_slice_in_dim(beta, beta_b, start, axis=0)
+            labels = lax.dynamic_update_slice_in_dim(labels, labels_b, start,
+                                                     axis=0)
+            return (eps, beta, labels, v, bacc), None
+
+        (eps, beta, labels, v, bacc), _ = lax.scan(
+            round_body, (eps, state.beta, state.labels, v0, bacc0),
+            (border, inner, p_arr, z_arr))
+
+        v = lax.psum(v, AXIS_M)
+        bacc = lax.psum(bacc, AXIS_M)
+
+        # ---- hyperparameters (replicated draws, identical on all devices)
+        if F > 0:
+            sigmaF = dist.inv_scaled_chisq_rng(
+                ksF, cfg.v0E + F,
+                (jnp.sum(alpha * alpha) + cfg.v0E * cfg.s02E) / (cfg.v0E + F)
+            ).astype(dt)
+        ss_eps = lax.psum(jnp.sum(eps * eps), AXIS_N)
+        sigmaE = dist.inv_scaled_chisq_rng(
+            ksE, cfg.v0E + N,
+            (ss_eps + cfg.v0E * cfg.s02E) / (cfg.v0E + N)).astype(dt)
+
+        m0 = jnp.sum(v, axis=1) - v[:, 0]
+        if self.variant == "bayesr":
+            ss = jnp.broadcast_to(lax.psum(jnp.sum(beta * beta), AXIS_M), (G,))
+        else:
+            ss = bacc
+        if cfg.reference_sigma_g_scaling:
+            scale_g = (ss * m0 + cfg.v0G * cfg.s02G) / (cfg.v0G + m0)
+        else:
+            scale_g = (ss + cfg.v0G * cfg.s02G) / (cfg.v0G + m0)
+        sigmaGG = jax.vmap(dist.inv_scaled_chisq_rng)(
+            jax.random.split(ksG, G), cfg.v0G + m0, scale_g).astype(dt)
+        pi = jax.vmap(dist.dirichlet_rng)(
+            jax.random.split(kpi, G), v + 1.0).astype(dt)
+
+        return SpikeSlabState(
+            key=key, iteration=state.iteration + 1, mu=mu, beta=beta,
+            labels=labels, eps=eps, sigmaE=sigmaE, sigmaGG=sigmaGG, pi=pi,
+            alpha=alpha, sigmaF=sigmaF)
+
+    # ------------------------------------------------------------- drivers
+
+    def _emit_one(self, state: SpikeSlabState):
+        return {
+            "iteration": state.iteration - 1,
+            "mu": state.mu,
+            "beta": state.beta,
+            "sigmaE": state.sigmaE,
+            "sigmaG": state.sigmaGG,
+            "comp": state.labels,
+            "epsilon": state.eps,
+            "alpha": state.alpha,
+            "sigmaF": state.sigmaF,
+        }
+
+    def _get_run_steps(self, n: int):
+        fn = self._run_steps_cache.get(n)
+        if fn is None:
+            def body(state, data):
+                return lax.fori_loop(
+                    0, n, lambda i, s: self._step_local(s, data), state)
+
+            fn = jax.jit(shard_map(body, self.mesh,
+                                   in_specs=(self.state_specs, self.data_specs),
+                                   out_specs=self.state_specs),
+                         donate_argnums=(0,))
+            self._run_steps_cache[n] = fn
+        return fn
+
+    def _get_emit_chunk(self, n_emits: int, thinning: int):
+        kk = (n_emits, thinning)
+        fn = self._emit_cache.get(kk)
+        if fn is None:
+            row_specs = {
+                "iteration": P(), "mu": P(), "beta": P(None, AXIS_M),
+                "sigmaE": P(), "sigmaG": P(), "comp": P(None, AXIS_M),
+                "epsilon": P(None, AXIS_N), "alpha": P(), "sigmaF": P(),
+            }
+
+            def body(state, data):
+                def one(state, _):
+                    state = lax.fori_loop(
+                        0, thinning, lambda i, s: self._step_local(s, data),
+                        state)
+                    return state, self._emit_one(state)
+
+                return lax.scan(one, state, None, length=n_emits)
+
+            fn = jax.jit(shard_map(body, self.mesh,
+                                   in_specs=(self.state_specs, self.data_specs),
+                                   out_specs=(self.state_specs, row_specs)),
+                         donate_argnums=(0,))
+            self._emit_cache[kk] = fn
+        return fn
+
+    def step(self, state: SpikeSlabState) -> SpikeSlabState:
+        return self._get_run_steps(1)(state, self.data)
+
+    def run(self, key_or_state, chain: ChainConfig, *, sink=None,
+            collect: bool = True, emit_chunk: int = 32):
+        state = (key_or_state if isinstance(key_or_state, SpikeSlabState)
+                 else self.init(key_or_state))
+        emits = list(chain.emit_iterations())
+        collected = []
+        if not emits:
+            state = self._get_run_steps(chain.max_iterations)(state, self.data)
+        else:
+            pre = emits[0] + 1 - int(state.iteration)
+            if pre > 0:
+                state = self._get_run_steps(pre)(state, self.data)
+            state, first = self._get_emit_chunk(1, 0)(state, self.data)
+            self._deliver(first, sink, collected if collect else None)
+            remaining = len(emits) - 1
+            done = 0
+            while done < remaining:
+                n = min(emit_chunk, remaining - done)
+                state, rows = self._get_emit_chunk(n, chain.thinning)(
+                    state, self.data)
+                self._deliver(rows, sink, collected if collect else None)
+                done += n
+            tail = chain.max_iterations - (emits[-1] + 1)
+            if tail > 0:
+                state = self._get_run_steps(tail)(state, self.data)
+        if sink is not None:
+            sink.flush()
+        out = None
+        if collect:
+            out = {k: np.concatenate([c[k] for c in collected], axis=0)
+                   for k in collected[0]} if collected else {}
+        return state, out
+
+    def _deliver(self, rows, sink, collected):
+        rows = jax.tree.map(np.asarray, rows)
+        # slice padding off the marker/individual axes
+        rows["beta"] = rows["beta"][:, : self.M]
+        rows["comp"] = rows["comp"][:, : self.M]
+        rows["epsilon"] = rows["epsilon"][:, : self.N]
+        if not self.config.emit_epsilon:
+            rows["epsilon"] = rows["epsilon"][:, :0]
+        if collected is not None:
+            collected.append(rows)
+        if sink is not None:
+            sink.write(rows)

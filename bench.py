@@ -1,0 +1,113 @@
+"""Benchmark: blocked BayesR Gibbs sweep throughput on the attached device.
+
+Prints ONE JSON line:
+  {"metric": "snp_updates_per_sec", "value": N, "unit": "SNP-updates/s",
+   "vs_baseline": R, ...}
+
+The north-star metric is SNP-updates/sec/chip (BASELINE.json).  The reference
+publishes no numbers (BASELINE.md), so ``vs_baseline`` is measured against a
+faithful single-core CPU proxy of the reference's inner loop: one O(N) dot +
+two O(N) axpys per marker in f64 NumPy/BLAS (the same memory-bound kernel the
+Eigen reference executes, src/BayesRv2.cpp:191,201,243), measured on this
+host at the same N.
+
+Config via env: BENCH_N, BENCH_M, BENCH_ITERS, BENCH_BLOCK, BENCH_DTYPE.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def cpu_reference_rate(N: int, n_markers: int = 2000) -> float:
+    """Measured single-core CPU proxy for the reference per-SNP update cost."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(N,))
+    eps = rng.normal(size=(N,))
+    t0 = time.perf_counter()
+    for _ in range(n_markers):
+        y_tilde = eps + x * 0.1          # rank-1 exclusion (src/BayesRv2.cpp:191)
+        num = x @ y_tilde                # dominant dot      (src/BayesRv2.cpp:201)
+        eps = y_tilde - x * (num * 1e-9) # rank-1 inclusion  (src/BayesRv2.cpp:243)
+    elapsed = time.perf_counter() - t0
+    return n_markers / elapsed
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon") or "TPU" in str(jax.devices()[0])
+    if on_tpu:
+        N = int(os.environ.get("BENCH_N", 20_000))
+        M = int(os.environ.get("BENCH_M", 100_000))
+        iters = int(os.environ.get("BENCH_ITERS", 10))
+    else:  # CPU fallback so the script stays runnable anywhere
+        N = int(os.environ.get("BENCH_N", 2_000))
+        M = int(os.environ.get("BENCH_M", 10_000))
+        iters = int(os.environ.get("BENCH_ITERS", 3))
+    B = int(os.environ.get("BENCH_BLOCK", 512))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16" else jnp.float32
+
+    from bayesrrcpp_tpu import BayesRConfig, SpikeSlabSampler
+
+    # generate the genotype matrix directly on device, marker-major --
+    # at bench scale X must never round-trip through the host
+    key = jax.random.PRNGKey(0)
+    kx, kb, kn, kc = jax.random.split(key, 4)
+
+    @jax.jit
+    def make_data():
+        XT = jax.random.normal(kx, (M, N), jnp.float32)
+        n_causal = max(1, M // 100)
+        beta = jnp.where(jax.random.uniform(kb, (M,)) < n_causal / M,
+                         jax.random.normal(kn, (M,)) * jnp.sqrt(0.5 / n_causal),
+                         0.0)
+        Y = beta @ XT + jax.random.normal(kc, (N,)) * jnp.sqrt(0.5)
+        return XT, Y
+
+    t0 = time.perf_counter()
+    XT, Y = make_data()
+    XT.block_until_ready()
+    gen_s = time.perf_counter() - t0
+
+    cva = np.array([0.0001, 0.001, 0.01], np.float64)
+    t0 = time.perf_counter()
+    sampler = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
+                               transposed=True, dtype=jnp.float32)
+    jax.block_until_ready(sampler.data.gram)
+    setup_s = time.perf_counter() - t0
+
+    state = sampler.init(jax.random.PRNGKey(1))
+    # warmup / compile
+    t0 = time.perf_counter()
+    state = sampler._run_steps(state, sampler.data, 1)
+    jax.block_until_ready(state.eps)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state = sampler._run_steps(state, sampler.data, iters)
+    jax.block_until_ready(state.eps)
+    elapsed = time.perf_counter() - t0
+
+    rate = M * iters / elapsed
+    base = cpu_reference_rate(N)
+    print(json.dumps({
+        "metric": "snp_updates_per_sec",
+        "value": round(rate, 1),
+        "unit": "SNP-updates/s",
+        "vs_baseline": round(rate / base, 2),
+        "config": {"N": N, "M": M, "iters": iters, "block": B,
+                   "platform": platform,
+                   "iter_ms": round(1e3 * elapsed / iters, 1),
+                   "gibbs_iters_per_min": round(60 * iters / elapsed, 2),
+                   "cpu_ref_rate": round(base, 1),
+                   "gen_s": round(gen_s, 1), "gram_s": round(setup_s, 1),
+                   "compile_s": round(compile_s, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
