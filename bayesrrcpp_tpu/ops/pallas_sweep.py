@@ -1,0 +1,332 @@
+"""Pallas TPU kernel for the full blocked Gibbs marker sweep.
+
+Why a kernel: the XLA lax.fori_loop inner solve pays per-op dispatch overhead
+(~100us/marker measured on v5e) because every one of the M sequential marker
+updates issues its own chain of small HLO ops and an HBM gather of the Gram
+row.  This kernel runs the ENTIRE sweep (all blocks) in one pallas_call:
+
+- grid = (nb, 2, nt): for each Gram block b (in the shuffled order, delivered
+  via scalar prefetch), phase 0 accumulates r = X_b' eps over N tiles on the
+  MXU, phase 1 runs the B sequential in-VMEM marker updates (t==0) and then
+  applies the rank-1 residual update eps -= delta' X_b tile by tile.
+- eps lives in VMEM for the whole sweep (one (1, Npad) f32 buffer); X is the
+  only HBM traffic: two streaming passes per iteration (r-pass + update-pass),
+  pipelined by the BlockSpec machinery.
+- the B-step solve touches only VMEM/SMEM: the (B, B) Gram block, (1, B)
+  state rows and scalar parameters, so each sequential step is ~O(B/128)
+  VPU cycles instead of ~100us.
+
+Mosaic constraints shape the data layout:
+- per-marker read/write vectors (beta, labels) are (nb, 1, B) with (1, 1, B)
+  blocks (block dims equal to array dims are always legal); scalar stores to
+  VMEM are illegal, so updates are masked (1, B) vector stores and reads are
+  mask-sum gathers;
+- per-marker read-only scalars (xsq, group id, valid, p, z) are streamed as
+  SMEM blocks and read with dynamic scalar indices like the prefetched
+  permutations.
+
+Exact same math as ops/block_sweep.bayesr_block_sweep (reference semantics
+documented there and in ops/selection.py; reference: src/BayesRv2.cpp:186-245).
+Equality is enforced by tests/test_pallas.py in interpret mode.
+
+Randomness (per-position uniform p / normal z) is generated OUTSIDE with
+jax.random and streamed in, so chains are reproducible across backends.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep import SweepResult
+
+
+def _selection_scalars(logL, p_s, K):
+    """Reference categorical draw as unrolled scalar ops (K is tiny/static).
+
+    Returns (k_sel, any_hit): k_sel == K means the reference's fall-through
+    no-selection case (src/BayesRv2.cpp:222-242).
+    """
+    logLs = logL[:, 1:]                      # (1, K-1) slab logLs
+    k_sel = jnp.int32(K)
+    acum = jnp.float32(0.0)
+    for k in range(K):
+        lk = logL[0, k]
+        guard = jnp.max(jnp.abs(logLs - lk)) > 700.0
+        S = jnp.sum(jnp.exp(logL - lk))
+        w = jnp.where(guard, 0.0, 1.0 / S)
+        acum = acum + w
+        hit = jnp.logical_and(p_s <= acum, k_sel == K)
+        k_sel = jnp.where(hit, jnp.int32(k), k_sel)
+    return k_sel, k_sel < K
+
+
+def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
+                  xt_ref, gram_ref, xsq_ref, gas_ref, valid_ref,
+                  p_ref, z_ref, beta_ref, labels_ref, eps_ref,
+                  pi_ref, cva_ref, sgg_ref, se_ref,
+                  eps_out, beta_out, labels_out, v_out, bacc_out,
+                  r_sc, delta_sc, denom_sc, sd_sc, lp_sc, *, B, TN, K, G):
+    b = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+    sE = se_ref[0]
+    Km1 = K - 1
+
+    @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
+    def _init():
+        eps_out[...] = eps_ref[...]
+        v_out[...] = jnp.zeros_like(v_out)
+        bacc_out[...] = jnp.zeros_like(bacc_out)
+
+    @pl.when(ph == 0)
+    def _accumulate_r():
+        @pl.when(t == 0)
+        def _():
+            r_sc[...] = jnp.zeros_like(r_sc)
+
+        eps_t = eps_out[:, pl.ds(t * TN, TN)]          # (1, TN)
+        r_sc[...] += jax.lax.dot_general(
+            eps_t, xt_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (1, B)
+
+    @pl.when(jnp.logical_and(ph == 1, t == 0))
+    def _solve():
+        beta_out[...] = beta_ref[...]
+        labels_out[...] = labels_ref[...]
+        delta_sc[...] = jnp.zeros_like(delta_sc)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        grow = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+        kcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, K - 1), 1)
+        f32 = jnp.float32
+
+        # ---- per-block precompute (vectorised over the B markers), column
+        # layout (B, k): group-gathered prior quantities so the sequential
+        # loop below is (1,1)/(1,K) row algebra with no lane-dynamic access
+        xsq_c = xsq_ref[0]                       # (B, 1)
+        gas_c = gas_ref[0]                       # (B, 1) int32
+        tiny = jnp.finfo(f32).tiny
+        sigmaG_c = jnp.zeros((B, 1), f32)
+        cva_m = jnp.zeros((B, K - 1), f32)
+        logpi_m = jnp.zeros((B, K), f32)
+        for g in range(G):
+            mg = (gas_c == g).astype(f32)        # (B, 1)
+            sigmaG_c += sgg_ref[g] * mg
+            cva_m += cva_ref[g:g + 1, :] * mg    # (1,K-1)x(B,1) -> (B,K-1)
+            logpi_m += jnp.log(jnp.maximum(pi_ref[g:g + 1, :], tiny)) * mg
+        denom_sc[...] = xsq_c + (sE / sigmaG_c) / cva_m            # (B, K-1)
+        sd_sc[...] = jnp.sqrt(sE / denom_sc[...])                  # (B, K-1)
+        # slab log-prior minus the 0.5*log(...) penalty, precombined
+        lp_sc[...] = jnp.concatenate([
+            logpi_m[:, 0:1],
+            logpi_m[:, 1:] - 0.5 * jnp.log(
+                (sigmaG_c / sE) * xsq_c * cva_m + 1.0),
+        ], axis=1)                                                  # (B, K)
+
+        def body(s, _):
+            jl = inner_ref[b, s]
+            dsj = pl.ds(jl, 1)
+            beta_old = beta_out[0, dsj, :]                  # (1, 1)
+            label_old = labels_out[0, dsj, :]               # (1, 1) int
+            okf = valid_ref[0, dsj, :].astype(f32)          # (1, 1)
+            xsq_j = xsq_ref[0, dsj, :]                      # (1, 1)
+            p_s = p_ref[0, pl.ds(s, 1), :]                  # (1, 1)
+            z_s = z_ref[0, pl.ds(s, 1), :]                  # (1, 1)
+            g_c = gas_ref[0, dsj, :]                        # (1, 1) int
+
+            mask = lane == jl                               # (1, B)
+            maskf = mask.astype(f32)
+            r_jl = jnp.sum(r_sc[...] * maskf, axis=1, keepdims=True)  # (1,1)
+
+            num = r_jl + beta_old * xsq_j                   # (1, 1)
+            denom_row = denom_sc[dsj, :]                    # (1, K-1)
+            muk = num / denom_row                           # (1, K-1)
+            logL = lp_sc[dsj, :] + jnp.concatenate(
+                [jnp.zeros((1, 1), f32), 0.5 * muk * num / sE], axis=1)
+            logLs = logL[:, 1:]                             # (1, K-1)
+
+            # categorical draw with the reference overflow guard, unrolled
+            # over the K components as row-vector ops
+            k_sel = jnp.full((1, 1), K, jnp.int32)
+            acum = jnp.zeros((1, 1), f32)
+            for k in range(K):
+                lk = logL[:, k:k + 1]                       # (1, 1)
+                guard = jnp.max(jnp.abs(logLs - lk), axis=1,
+                                keepdims=True) > 700.0
+                Ssum = jnp.sum(jnp.exp(logL - lk), axis=1, keepdims=True)
+                w = jnp.where(guard, jnp.zeros((1, 1), f32), 1.0 / Ssum)
+                acum = acum + w
+                hit = jnp.logical_and(p_s <= acum, k_sel == K)
+                k_sel = jnp.where(hit, jnp.int32(k), k_sel)
+            any_hit = k_sel < K
+
+            selm = (kcol1 == (k_sel - 1)).astype(f32)       # (1, K-1)
+            mu_sel = jnp.sum(muk * selm, axis=1, keepdims=True)
+            sd_sel = jnp.sum(sd_sc[dsj, :] * selm, axis=1, keepdims=True)
+            beta_drawn = mu_sel + sd_sel * z_s
+            beta_new = jnp.where(k_sel == 0, jnp.zeros((1, 1), f32),
+                                 jnp.where(any_hit, beta_drawn, beta_old))
+            d = okf * (beta_new - beta_old)                 # (1, 1)
+
+            r_sc[...] -= gram_ref[0, dsj, :] * d
+            delta_sc[...] += maskf * d
+            beta_out[0, dsj, :] = beta_old + d
+            labels_out[0, dsj, :] = jnp.where(
+                jnp.logical_and(any_hit, okf > 0), k_sel, label_old)
+
+            take = okf * any_hit.astype(f32)                # (1, 1)
+            onehot = (kcol == k_sel).astype(f32) * take     # (1, K)
+            gmask = (grow == g_c).astype(f32)               # (G, 1)
+            v_out[...] += gmask * onehot                    # (G, K)
+            slab_taken = take * (k_sel > 0).astype(f32)
+            bacc_out[...] += (gcol == g_c).astype(f32) * (
+                slab_taken * beta_new * beta_new)           # (1, G)
+            return ()
+
+        lax.fori_loop(0, B, body, (), unroll=False)
+
+    @pl.when(ph == 1)
+    def _apply_update():
+        upd = jax.lax.dot_general(
+            delta_sc[...], xt_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (1, TN)
+        eps_out[:, pl.ds(t * TN, TN)] -= upd
+
+
+@functools.partial(jax.jit, static_argnames=("B", "TN", "interpret"))
+def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
+                beta3, labels3, eps2d, pi, cva, sgg, se, *,
+                B, TN, interpret):
+    nb = gram.shape[0]
+    G, K = pi.shape
+    Npad = eps2d.shape[1]
+    nt = Npad // TN
+
+    def im_b(b, ph, t, border_ref, inner_ref):
+        return (border_ref[b], 0)
+
+    def im_b3(b, ph, t, border_ref, inner_ref):
+        return (border_ref[b], 0, 0)
+
+    def im_pos(b, ph, t, border_ref, inner_ref):
+        return (b, 0)
+
+    def im_xt(b, ph, t, border_ref, inner_ref):
+        return (border_ref[b], t)
+
+    def im_full(b, ph, t, border_ref, inner_ref):
+        return (0, 0)
+
+    def im_pos3(b, ph, t, border_ref, inner_ref):
+        return (b, 0, 0)
+
+    vmem_b = functools.partial(pl.BlockSpec, (1, B, 1), im_b3)
+    vmem_pos = functools.partial(pl.BlockSpec, (1, B, 1), im_pos3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, 2, nt),
+        in_specs=[
+            pl.BlockSpec((B, TN), im_xt),                       # xt
+            pl.BlockSpec((1, B, B), im_b3),                     # gram
+            vmem_b(),                                           # xsq
+            vmem_b(),                                           # gas
+            vmem_b(),                                           # valid
+            vmem_pos(),                                         # p
+            vmem_pos(),                                         # z
+            pl.BlockSpec((1, B, 1), im_b3),                     # beta
+            pl.BlockSpec((1, B, 1), im_b3),                     # labels
+            pl.BlockSpec((1, Npad), im_full),                   # eps
+            pl.BlockSpec((G, K), im_full),                      # pi
+            pl.BlockSpec((G, K - 1), im_full),                  # cva
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # sigmaGG (G,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # sigmaE (1,)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Npad), im_full),                   # eps_out
+            pl.BlockSpec((1, B, 1), im_b3),                     # beta_out
+            pl.BlockSpec((1, B, 1), im_b3),                     # labels_out
+            pl.BlockSpec((G, K), im_full),                      # v_out
+            pl.BlockSpec((1, G), im_full),                      # bacc_out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, B), jnp.float32),                    # r
+            pltpu.VMEM((1, B), jnp.float32),                    # delta
+            pltpu.VMEM((B, K - 1), jnp.float32),                # denom
+            pltpu.VMEM((B, K - 1), jnp.float32),                # sd
+            pltpu.VMEM((B, K), jnp.float32),                    # log-prior
+        ],
+    )
+    kernel = functools.partial(_sweep_kernel, B=B, TN=TN, K=K, G=G)
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Npad), jnp.float32),
+        jax.ShapeDtypeStruct((nb, B, 1), jnp.float32),
+        jax.ShapeDtypeStruct((nb, B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((G, K), jnp.float32),
+        jax.ShapeDtypeStruct((1, G), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nb * B * Npad + 2 * nb * B * B,
+            bytes_accessed=2 * xt.size * xt.dtype.itemsize + gram.size * 4,
+            transcendentals=nb * B * K * K,
+        ),
+    )(border, inner, xt, gram, xsq, gas, valid, p, z,
+      beta3, labels3, eps2d, pi, cva, sgg, se)
+
+
+def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
+                        block_order, inner_perm, p_arr, z_arr,
+                        pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
+                        *, tile_n: int = 512, interpret: bool = False):
+    """Drop-in replacement for ops.block_sweep.bayesr_block_sweep on TPU.
+
+    All f32 (the kernel accumulates in f32; X may be bf16).  Arrays arrive in
+    the flat (Mpad,)/(N,) layout used by the JAX backends and are reshaped to
+    the kernel layouts here.
+    """
+    Mpad, N = XT_pad.shape
+    nb, B, _ = gram.shape
+    TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+    Npad = -(-N // TN) * TN
+    f32 = jnp.float32
+
+    eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
+    xt = XT_pad if Npad == N else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)))
+    # p/z and the within-block orders are indexed by sweep POSITION (grid
+    # step); block-local state arrays are indexed by the block id via the
+    # prefetched border permutation -- matching block_sweep's RNG semantics
+    inner_by_pos = inner_perm[block_order]
+
+    out = _sweep_call(
+        block_order.astype(jnp.int32), inner_by_pos.astype(jnp.int32),
+        xt, gram, xsq_pad.astype(f32).reshape(nb, B, 1),
+        g_assign_pad.astype(jnp.int32).reshape(nb, B, 1),
+        valid_pad.astype(jnp.int32).reshape(nb, B, 1),
+        p_arr.astype(f32).reshape(nb, B, 1),
+        z_arr.astype(f32).reshape(nb, B, 1),
+        beta_pad.astype(f32).reshape(nb, B, 1),
+        labels_pad.astype(jnp.int32).reshape(nb, B, 1),
+        eps2d, pi.astype(f32), cva.astype(f32),
+        sigmaGG.astype(f32), sigmaE.astype(f32).reshape(1),
+        B=B, TN=TN, interpret=interpret)
+    eps_out, beta_out, labels_out, v_out, bacc_out = out
+    return SweepResult(
+        eps=eps_out[0, :N].astype(eps.dtype),
+        beta=beta_out.reshape(Mpad).astype(beta_pad.dtype),
+        labels=labels_out.reshape(Mpad),
+        v=v_out.astype(eps.dtype),
+        beta_acum=bacc_out[0].astype(eps.dtype),
+    )

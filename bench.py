@@ -42,7 +42,7 @@ def main():
     on_tpu = platform in ("tpu", "axon") or "TPU" in str(jax.devices()[0])
     if on_tpu:
         N = int(os.environ.get("BENCH_N", 20_000))
-        M = int(os.environ.get("BENCH_M", 100_000))
+        M = int(os.environ.get("BENCH_M", 50_000))
         iters = int(os.environ.get("BENCH_ITERS", 10))
     else:  # CPU fallback so the script stays runnable anywhere
         N = int(os.environ.get("BENCH_N", 2_000))
@@ -58,19 +58,14 @@ def main():
     key = jax.random.PRNGKey(0)
     kx, kb, kn, kc = jax.random.split(key, 4)
 
-    @jax.jit
-    def make_data():
-        XT = jax.random.normal(kx, (M, N), jnp.float32)
-        n_causal = max(1, M // 100)
-        beta = jnp.where(jax.random.uniform(kb, (M,)) < n_causal / M,
-                         jax.random.normal(kn, (M,)) * jnp.sqrt(0.5 / n_causal),
-                         0.0)
-        Y = beta @ XT + jax.random.normal(kc, (N,)) * jnp.sqrt(0.5)
-        return XT, Y
-
     t0 = time.perf_counter()
-    XT, Y = make_data()
-    XT.block_until_ready()
+    XT = jax.random.normal(kx, (M, N), jnp.float32)
+    n_causal = max(1, M // 100)
+    beta = jnp.where(jax.random.uniform(kb, (M,)) < n_causal / M,
+                     jax.random.normal(kn, (M,)) * jnp.sqrt(0.5 / n_causal),
+                     0.0)
+    Y = beta @ XT + jax.random.normal(kc, (N,)) * jnp.sqrt(0.5)
+    Y.block_until_ready()
     gen_s = time.perf_counter() - t0
 
     cva = np.array([0.0001, 0.001, 0.01], np.float64)
@@ -81,15 +76,16 @@ def main():
     setup_s = time.perf_counter() - t0
 
     state = sampler.init(jax.random.PRNGKey(1))
-    # warmup / compile
+    # warmup / compile with the SAME static iteration count as the timed
+    # call (a different count would recompile inside the timed region)
     t0 = time.perf_counter()
-    state = sampler._run_steps(state, sampler.data, 1)
-    jax.block_until_ready(state.eps)
+    state = sampler._run_steps(state, sampler.data, iters)
+    float(state.sigmaE)  # hard host sync
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     state = sampler._run_steps(state, sampler.data, iters)
-    jax.block_until_ready(state.eps)
+    float(state.sigmaE)  # hard host sync
     elapsed = time.perf_counter() - t0
 
     rate = M * iters / elapsed

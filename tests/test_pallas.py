@@ -1,0 +1,75 @@
+"""Pallas sweep kernel vs the XLA blocked sweep (interpret mode on CPU).
+
+The kernel must reproduce the blocked backend exactly (same permutations,
+same position-ordered randoms, same update math) -- both are exact Gibbs;
+only float-op ordering differs, so f32 comparisons use tight-but-not-bitwise
+tolerances.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bayesrrcpp_tpu import BayesRConfig, GroupsConfig, SpikeSlabSampler, simulate
+
+CVA = np.array([0.001, 0.01, 0.1])
+
+
+def _pair(sim, config, **kw):
+    a = SpikeSlabSampler(sim.X, sim.Y, kw.pop("cva", CVA), config,
+                         backend="blocked", dtype=jnp.float32, **kw)
+    b = SpikeSlabSampler(sim.X, sim.Y, kw.pop("cva2", CVA), config,
+                         backend="pallas", dtype=jnp.float32, **kw)
+    return a, b
+
+
+def test_pallas_equals_blocked_ungrouped():
+    sim = simulate.simulate_bayesr(seed=61, N=200, M=128, n_causal=16, h2=0.5)
+    s_b, s_p = _pair(sim, BayesRConfig(block_size=32))
+    key = jax.random.PRNGKey(0)
+    st_b, st_p = s_b.init(key), s_p.init(key)
+    for i in range(3):
+        st_b, st_p = s_b.step(st_b), s_p.step(st_p)
+        np.testing.assert_array_equal(np.asarray(st_b.labels),
+                                      np.asarray(st_p.labels),
+                                      err_msg=f"labels diverged at iter {i}")
+        np.testing.assert_allclose(np.asarray(st_b.beta), np.asarray(st_p.beta),
+                                   rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(st_b.eps), np.asarray(st_p.eps),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(float(st_b.sigmaE), float(st_p.sigmaE),
+                                   rtol=1e-4)
+
+
+def test_pallas_equals_blocked_groups():
+    sim = simulate.simulate_bayesr(seed=62, N=160, M=96, n_causal=12, h2=0.5,
+                                   n_groups=3)
+    cva = np.tile(CVA, (3, 1))
+    kw = dict(g_assign=sim.g_assign)
+    s_b = SpikeSlabSampler(sim.X, sim.Y, cva, GroupsConfig(block_size=32),
+                           backend="blocked", dtype=jnp.float32, **kw)
+    s_p = SpikeSlabSampler(sim.X, sim.Y, cva, GroupsConfig(block_size=32),
+                           backend="pallas", dtype=jnp.float32, **kw)
+    key = jax.random.PRNGKey(1)
+    st_b, st_p = s_b.init(key), s_p.init(key)
+    for _ in range(2):
+        st_b, st_p = s_b.step(st_b), s_p.step(st_p)
+    np.testing.assert_array_equal(np.asarray(st_b.labels), np.asarray(st_p.labels))
+    np.testing.assert_allclose(np.asarray(st_b.beta), np.asarray(st_p.beta),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st_b.sigmaGG), np.asarray(st_p.sigmaGG),
+                               rtol=2e-4)
+
+
+def test_pallas_padding_path():
+    """M not a block multiple: padded markers must stay untouched."""
+    sim = simulate.simulate_bayesr(seed=63, N=100, M=50, n_causal=8, h2=0.5)
+    s = SpikeSlabSampler(sim.X, sim.Y, CVA, BayesRConfig(block_size=32),
+                         backend="pallas", dtype=jnp.float32)
+    st = s.init(jax.random.PRNGKey(2))
+    for _ in range(3):
+        st = s.step(st)
+    assert np.all(np.asarray(st.beta)[50:] == 0.0)
+    assert np.all(np.asarray(st.labels)[50:] == 0)
+    eps_direct = sim.Y - float(st.mu) - sim.X @ np.asarray(st.beta)[:50]
+    np.testing.assert_allclose(np.asarray(st.eps), eps_direct, atol=1e-3)
