@@ -48,13 +48,17 @@ class HorseshoeSampler:
     """Regularized-horseshoe sampler over a fixed (X, Y)."""
 
     def __init__(self, X, Y, config: HorseshoeConfig, *, dtype=jnp.float32,
-                 backend: str = "blocked", permutation: Optional[str] = None):
-        if backend not in ("blocked", "scan"):
+                 backend: Optional[str] = None,
+                 permutation: Optional[str] = None):
+        if backend is None:
+            backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                       else "blocked")
+        if backend not in ("blocked", "scan", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if permutation is None:
-            permutation = "blocked" if backend == "blocked" else "full"
-        if backend == "blocked" and permutation != "blocked":
-            raise ValueError("blocked backend requires blocked permutation")
+            permutation = "full" if backend == "scan" else "blocked"
+        if backend in ("blocked", "pallas") and permutation != "blocked":
+            raise ValueError(f"{backend} backend requires blocked permutation")
         X = np.asarray(X)
         Y = np.asarray(Y)
         N, M = X.shape
@@ -71,8 +75,9 @@ class HorseshoeSampler:
         XT = jnp.asarray(np.ascontiguousarray(X.T), self.dtype)
         xsq = jnp.sum(XT * XT, axis=1)
         XT, xsq, _ = bs.pad_markers(XT, xsq, B)
-        gram = (bs.gram_blocks(XT, B) if backend == "blocked"
+        gram = (bs.gram_blocks(XT, B) if backend in ("blocked", "pallas")
                 else jnp.zeros((0, 0, 0), self.dtype))
+        self._pallas_interpret = jax.devices()[0].platform != "tpu"
         self.data = HorseshoeData(XT=XT, xsq=xsq, gram=gram,
                                   valid=jnp.asarray(np.arange(Mpad) < M))
         self.Y = jnp.asarray(Y, self.dtype)
@@ -136,7 +141,15 @@ class HorseshoeSampler:
         z_arr = jax.random.normal(kz, (Mpad,), dt)
         if self.permutation == "blocked":
             border, inner = bs.block_orders(korder, nb, B)
-            if self.backend == "blocked":
+            if self.backend == "pallas":
+                from ..ops.pallas_sweep import horseshoe_sweep_pallas
+
+                eps, beta = horseshoe_sweep_pallas(
+                    data.XT, data.gram, data.xsq, eps, state.beta,
+                    border, inner, z_arr, state.lam, state.tau, state.c2,
+                    state.sigmaE, data.valid,
+                    interpret=self._pallas_interpret)
+            elif self.backend == "blocked":
                 eps, beta = bs.horseshoe_block_sweep(
                     data.XT, data.gram, data.xsq, eps, state.beta,
                     border, inner, z_arr, state.lam, state.tau, state.c2,

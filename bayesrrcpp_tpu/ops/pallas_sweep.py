@@ -330,3 +330,162 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         v=v_out.astype(eps.dtype),
         beta_acum=bacc_out[0].astype(eps.dtype),
     )
+
+
+def _hs_kernel(border_ref, inner_ref,
+               xt_ref, gram_ref, xsq_ref, valid_ref, z_ref,
+               denom_ref, sd_ref, beta_ref, eps_ref,
+               eps_out, beta_out, r_sc, delta_sc, *, B, TN):
+    """Dense regularized-horseshoe sweep (reference: src/HorseshoeR.cpp:219-240).
+
+    Same r/Gram machinery as the mixture kernel; the per-marker conditional
+    is the dense conjugate draw beta = num/denom + sqrt(sigmaE/denom)*z with
+    denom precomputed outside (lambda is fixed during the sweep)."""
+    b = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
+    def _init():
+        eps_out[...] = eps_ref[...]
+
+    @pl.when(ph == 0)
+    def _accumulate_r():
+        @pl.when(t == 0)
+        def _():
+            r_sc[...] = jnp.zeros_like(r_sc)
+
+        eps_t = eps_out[:, pl.ds(t * TN, TN)]
+        r_sc[...] += jax.lax.dot_general(
+            eps_t, xt_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(ph == 1, t == 0))
+    def _solve():
+        beta_out[...] = beta_ref[...]
+        delta_sc[...] = jnp.zeros_like(delta_sc)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+        def body(s, _):
+            jl = inner_ref[b, s]
+            dsj = pl.ds(jl, 1)
+            beta_old = beta_out[0, dsj, :]
+            okf = valid_ref[0, dsj, :].astype(jnp.float32)
+            xsq_j = xsq_ref[0, dsj, :]
+            z_s = z_ref[0, pl.ds(s, 1), :]
+
+            mask = lane == jl
+            maskf = mask.astype(jnp.float32)
+            r_jl = jnp.sum(r_sc[...] * maskf, axis=1, keepdims=True)
+
+            num = r_jl + beta_old * xsq_j
+            beta_new = num / denom_ref[0, dsj, :] + sd_ref[0, dsj, :] * z_s
+            d = okf * (beta_new - beta_old)
+
+            r_sc[...] -= gram_ref[0, dsj, :] * d
+            delta_sc[...] += maskf * d
+            beta_out[0, dsj, :] = beta_old + d
+            return ()
+
+        lax.fori_loop(0, B, body, (), unroll=False)
+
+    @pl.when(ph == 1)
+    def _apply_update():
+        upd = jax.lax.dot_general(
+            delta_sc[...], xt_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        eps_out[:, pl.ds(t * TN, TN)] -= upd
+
+
+@functools.partial(jax.jit, static_argnames=("B", "TN", "interpret"))
+def _hs_call(border, inner, xt, gram, xsq3, valid3, z3, denom3, sd3, beta3,
+             eps2d, *, B, TN, interpret):
+    nb = gram.shape[0]
+    Npad = eps2d.shape[1]
+    nt = Npad // TN
+
+    def im_b3(b, ph, t, border_ref, inner_ref):
+        return (border_ref[b], 0, 0)
+
+    def im_pos3(b, ph, t, border_ref, inner_ref):
+        return (b, 0, 0)
+
+    def im_xt(b, ph, t, border_ref, inner_ref):
+        return (border_ref[b], t)
+
+    def im_full(b, ph, t, border_ref, inner_ref):
+        return (0, 0)
+
+    vb = functools.partial(pl.BlockSpec, (1, B, 1), im_b3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, 2, nt),
+        in_specs=[
+            pl.BlockSpec((B, TN), im_xt),                       # xt
+            pl.BlockSpec((1, B, B), im_b3),                     # gram
+            vb(),                                               # xsq
+            vb(),                                               # valid
+            pl.BlockSpec((1, B, 1), im_pos3),                   # z
+            vb(),                                               # denom
+            vb(),                                               # sd
+            vb(),                                               # beta
+            pl.BlockSpec((1, Npad), im_full),                   # eps
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Npad), im_full),                   # eps_out
+            pl.BlockSpec((1, B, 1), im_b3),                     # beta_out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, B), jnp.float32),
+            pltpu.VMEM((1, B), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_hs_kernel, B=B, TN=TN)
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Npad), jnp.float32),
+        jax.ShapeDtypeStruct((nb, B, 1), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(border, inner, xt, gram, xsq3, valid3, z3, denom3, sd3, beta3, eps2d)
+
+
+def horseshoe_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
+                           block_order, inner_perm, z_arr,
+                           lam_pad, tau, c2, sigmaE, valid_pad,
+                           *, tile_n: int = 512, interpret: bool = False):
+    """Drop-in replacement for ops.block_sweep.horseshoe_block_sweep on TPU."""
+    Mpad, N = XT_pad.shape
+    nb, B, _ = gram.shape
+    TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+    Npad = -(-N // TN) * TN
+    f32 = jnp.float32
+
+    eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
+    xt = XT_pad if Npad == N else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)))
+    inner_by_pos = inner_perm[block_order]
+
+    # per-marker effective prior variance s_j = tau*c2*lam/(tau*lam + c2);
+    # lambda is held fixed during the sweep so denom/sd precompute exactly
+    # (src/HorseshoeR.cpp:234, 242)
+    lam = lam_pad.astype(f32)
+    s_j = (tau * c2 * lam / (tau * lam + c2)).astype(f32)
+    denom = xsq_pad.astype(f32) + sigmaE.astype(f32) / s_j
+    sd = jnp.sqrt(sigmaE.astype(f32) / denom)
+
+    eps_out, beta_out = _hs_call(
+        block_order.astype(jnp.int32), inner_by_pos.astype(jnp.int32),
+        xt, gram, xsq_pad.astype(f32).reshape(nb, B, 1),
+        valid_pad.astype(jnp.int32).reshape(nb, B, 1),
+        z_arr.astype(f32).reshape(nb, B, 1),
+        denom.reshape(nb, B, 1), sd.reshape(nb, B, 1),
+        beta_pad.astype(f32).reshape(nb, B, 1),
+        eps2d, B=B, TN=TN, interpret=interpret)
+    return (eps_out[0, :N].astype(eps.dtype),
+            beta_out.reshape(Mpad).astype(beta_pad.dtype))

@@ -73,3 +73,23 @@ def test_pallas_padding_path():
     assert np.all(np.asarray(st.labels)[50:] == 0)
     eps_direct = sim.Y - float(st.mu) - sim.X @ np.asarray(st.beta)[:50]
     np.testing.assert_allclose(np.asarray(st.eps), eps_direct, atol=1e-3)
+
+
+def test_pallas_equals_blocked_horseshoe():
+    from bayesrrcpp_tpu import HorseshoeConfig, HorseshoeSampler
+
+    sim = simulate.simulate_bayesr(seed=64, N=160, M=96, n_causal=12, h2=0.5)
+    cfg = HorseshoeConfig(A=0.05, block_size=32)
+    s_b = HorseshoeSampler(sim.X, sim.Y, cfg, backend="blocked",
+                           dtype=jnp.float32)
+    s_p = HorseshoeSampler(sim.X, sim.Y, cfg, backend="pallas",
+                           dtype=jnp.float32)
+    key = jax.random.PRNGKey(5)
+    st_b, st_p = s_b.init(key), s_p.init(key)
+    for _ in range(3):
+        st_b, st_p = s_b.step(st_b), s_p.step(st_p)
+    np.testing.assert_allclose(np.asarray(st_b.beta), np.asarray(st_p.beta),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_b.eps), np.asarray(st_p.eps),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(st_b.tau), float(st_p.tau), rtol=2e-4)
