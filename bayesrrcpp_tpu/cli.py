@@ -1,0 +1,225 @@
+"""Command-line interface.
+
+The reference is driven from R scripts; this CLI covers the same workflows
+end-to-end from the shell, reading PLINK .bed or NumPy inputs:
+
+    python -m bayesrrcpp_tpu bayesr    --bed data --pheno y.txt --out chain.csv
+    python -m bayesrrcpp_tpu groups    --x X.npy --y y.npy --groups-file g.txt \
+                                       --fixed F.npy --out chain.csv
+    python -m bayesrrcpp_tpu horseshoe --x X.npy --y y.npy --out chain.csv
+    python -m bayesrrcpp_tpu resume    --checkpoint ck.npz --x X.npy ...
+
+Hyperparameter flags carry the reference names (v0E, s02E, v0G, s02G, cva...).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--bed", help="PLINK .bed/.bim/.fam prefix")
+    p.add_argument("--pheno", help="phenotype file (.fam-style or 1 column)")
+    p.add_argument("--x", help=".npy/.npz matrix of shape (N, M)")
+    p.add_argument("--y", help=".npy phenotype vector")
+    p.add_argument("--out", required=True, help="output CSV path")
+    p.add_argument("--npz-out", help="also write a columnar .npz")
+    p.add_argument("--checkpoint-out", help="write final state checkpoint")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--iterations", type=int, default=2000)
+    p.add_argument("--burn-in", type=int, default=1000)
+    p.add_argument("--thinning", type=int, default=5)
+    p.add_argument("--block-size", type=int, default=512)
+    p.add_argument("--backend", choices=["auto", "pallas", "blocked", "scan"],
+                   default="auto")
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                   default="default",
+                   help="force the JAX platform (cpu is useful for small "
+                        "runs when the default device is a remote TPU)")
+    p.add_argument("--no-epsilon", action="store_true",
+                   help="omit the per-sample residual vector from the output")
+    p.add_argument("--no-standardize", action="store_true")
+
+
+def _add_mixture(p):
+    p.add_argument("--cva", default="0.0001,0.001,0.01",
+                   help="slab variances, comma separated (reference cva)")
+    p.add_argument("--v0E", type=float, default=0.001)
+    p.add_argument("--s02E", type=float, default=0.001)
+    p.add_argument("--v0G", type=float, default=0.001)
+    p.add_argument("--s02G", type=float, default=0.001)
+    p.add_argument("--sigma0", type=float, default=0.01)
+
+
+def _load_xy(args):
+    from .io import bed as bedio
+
+    if args.bed:
+        data = bedio.read_bed(args.bed, standardize=not args.no_standardize)
+        X = data.X
+        if not args.pheno:
+            raise SystemExit("--pheno is required with --bed")
+        Y = bedio.read_phenotype(args.pheno)
+    elif args.x and args.y:
+        X = np.load(args.x)
+        if hasattr(X, "files"):
+            X = X[X.files[0]]
+        Y = np.load(args.y)
+        if not args.no_standardize:
+            sd = X.std(axis=0, ddof=1)
+            sd[sd == 0] = 1.0
+            X = (X - X.mean(axis=0)) / sd
+    else:
+        raise SystemExit("provide either --bed/--pheno or --x/--y")
+    if Y.shape[0] != X.shape[0]:
+        raise SystemExit(f"phenotype length {Y.shape[0]} != N {X.shape[0]}")
+    return X, Y
+
+
+def _dtype(args):
+    import jax.numpy as jnp
+
+    return jnp.float64 if args.dtype == "f64" else jnp.float32
+
+
+def _backend(args):
+    return None if args.backend == "auto" else args.backend
+
+
+def _run(sampler, args, chain, sink, extra_sinks):
+    import jax
+
+    state, _ = sampler.run(jax.random.PRNGKey(args.seed), chain, sink=sink,
+                           collect=False)
+    for s in extra_sinks:
+        s.close()
+    sink.close()
+    if args.checkpoint_out:
+        from .io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_out, state)
+    return state
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="bayesrrcpp_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("bayesr", help="ungrouped BayesR spike-and-slab chain")
+    _add_common(p1)
+    _add_mixture(p1)
+
+    p2 = sub.add_parser("groups", help="grouped BayesRR chain + fixed effects")
+    _add_common(p2)
+    _add_mixture(p2)
+    p2.add_argument("--groups-file", required=True,
+                    help="one int group id per marker (gAssign)")
+    p2.add_argument("--fixed", help=".npy (N, F) fixed-effect covariates")
+
+    p3 = sub.add_parser("horseshoe", help="regularized-horseshoe chain")
+    _add_common(p3)
+    p3.add_argument("--A", type=float, default=1.0)
+    p3.add_argument("--v0E", type=float, default=0.001)
+    p3.add_argument("--s02E", type=float, default=0.001)
+    p3.add_argument("--vL", type=float, default=1.0)
+    p3.add_argument("--vT", type=float, default=1.0)
+    p3.add_argument("--c2", type=float, default=1.0)
+    p3.add_argument("--vC", type=float, default=10.0)
+    p3.add_argument("--sC", type=float, default=10.0)
+
+    p4 = sub.add_parser("resume", help="resume a chain from a checkpoint")
+    _add_common(p4)
+    _add_mixture(p4)
+    p4.add_argument("--checkpoint", required=True)
+    p4.add_argument("--groups-file")
+
+    args = ap.parse_args(argv)
+
+    if getattr(args, "platform", "default") != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .config import BayesRConfig, ChainConfig, GroupsConfig, HorseshoeConfig
+    from .io.sink import CSVSink
+    from .models.bayesr import SpikeSlabSampler
+    from .models.horseshoe import HorseshoeSampler
+
+    X, Y = _load_xy(args)
+    chain = ChainConfig(args.iterations, args.burn_in, args.thinning)
+    dt = _dtype(args)
+    emit_eps = not args.no_epsilon
+
+    if args.cmd == "bayesr":
+        cva = np.array([float(v) for v in args.cva.split(",")])
+        cfg = BayesRConfig(sigma0=args.sigma0, v0E=args.v0E, s02E=args.s02E,
+                           v0G=args.v0G, s02G=args.s02G,
+                           block_size=args.block_size, emit_epsilon=emit_eps)
+        s = SpikeSlabSampler(X, Y, cva, cfg, backend=_backend(args), dtype=dt)
+        sink = CSVSink(args.out, "bayesr", M=s.M, N=s.N, emit_epsilon=emit_eps)
+        _run(s, args, chain, sink, [])
+    elif args.cmd == "groups":
+        g_assign = np.loadtxt(args.groups_file, dtype=np.int32).reshape(-1)
+        G = int(g_assign.max()) + 1
+        cva_row = np.array([float(v) for v in args.cva.split(",")])
+        cva = np.tile(cva_row, (G, 1))
+        fixed = np.load(args.fixed) if args.fixed else None
+        cfg = GroupsConfig(sigma0=args.sigma0, v0E=args.v0E, s02E=args.s02E,
+                           v0G=args.v0G, s02G=args.s02G,
+                           block_size=args.block_size, emit_epsilon=emit_eps)
+        s = SpikeSlabSampler(X, Y, cva, cfg, g_assign=g_assign, fixed=fixed,
+                             backend=_backend(args), dtype=dt)
+        sink = CSVSink(args.out, "groups", M=s.M, N=s.N, groups=G, F=s.F,
+                       emit_epsilon=emit_eps)
+        _run(s, args, chain, sink, [])
+    elif args.cmd == "horseshoe":
+        cfg = HorseshoeConfig(A=args.A, v0E=args.v0E, s02E=args.s02E,
+                              vL=args.vL, vT=args.vT, c2=args.c2, vC=args.vC,
+                              sC=args.sC, block_size=args.block_size,
+                              emit_epsilon=emit_eps)
+        s = HorseshoeSampler(X, Y, cfg, backend=_backend(args), dtype=dt)
+        sink = CSVSink(args.out, "horseshoe", M=s.M, N=s.N,
+                       emit_epsilon=emit_eps)
+        _run(s, args, chain, sink, [])
+    elif args.cmd == "resume":
+        from .io.checkpoint import load_checkpoint
+
+        state = load_checkpoint(args.checkpoint)
+        G = state.sigmaGG.shape[0]
+        if args.groups_file:
+            g_assign = np.loadtxt(args.groups_file, dtype=np.int32).reshape(-1)
+        else:
+            g_assign = None
+        cva_row = np.array([float(v) for v in args.cva.split(",")])
+        cva = np.tile(cva_row, (G, 1))
+        cfg = GroupsConfig(sigma0=args.sigma0, v0E=args.v0E, s02E=args.s02E,
+                           v0G=args.v0G, s02G=args.s02G,
+                           block_size=args.block_size, emit_epsilon=emit_eps)
+        s = SpikeSlabSampler(X, Y, cva, cfg, g_assign=g_assign,
+                             backend=_backend(args), dtype=dt,
+                             variant="groups" if G > 1 else "bayesr")
+        schema = "grstart" if G > 1 else "bayesr"
+        sink = CSVSink(args.out, schema, M=s.M, N=s.N, groups=G,
+                       emit_epsilon=emit_eps)
+        import jax
+
+        state = state._replace(iteration=jax.numpy.zeros((), jax.numpy.int32))
+        _run_state(s, state, args, chain, sink)
+    return 0
+
+
+def _run_state(sampler, state, args, chain, sink):
+    state, _ = sampler.run(state, chain, sink=sink, collect=False)
+    sink.close()
+    if args.checkpoint_out:
+        from .io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_out, state)
+    return state
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,95 @@
+"""End-to-end tests for the PLINK .bed reader and the CLI."""
+import numpy as np
+import pytest
+
+from bayesrrcpp_tpu.cli import main as cli_main
+from bayesrrcpp_tpu.io import bed as bedio
+
+
+@pytest.fixture()
+def bed_prefix(tmp_path):
+    rng = np.random.default_rng(5)
+    N, M = 120, 40
+    freqs = rng.uniform(0.1, 0.9, M)
+    dosage = rng.binomial(2, freqs, size=(N, M)).astype(float)
+    dosage[0, 0] = np.nan  # one missing call
+    prefix = str(tmp_path / "toy")
+    bedio.write_bed(prefix, dosage)
+    return prefix, dosage
+
+
+def test_bed_roundtrip(bed_prefix):
+    prefix, dosage = bed_prefix
+    data = bedio.read_bed(prefix, standardize=False, impute_missing=False)
+    assert data.X.shape == dosage.shape
+    got, want = data.X, dosage.astype(np.float32)
+    mask = ~np.isnan(want)
+    np.testing.assert_array_equal(got[mask], want[mask])
+    assert np.isnan(got[0, 0])
+    # standardized read: columns centered/scaled, missing imputed
+    std = bedio.read_bed(prefix, standardize=True)
+    assert np.isfinite(std.X).all()
+    np.testing.assert_allclose(std.X.mean(axis=0), 0.0, atol=1e-4)
+
+
+def test_cli_bayesr_from_bed(bed_prefix, tmp_path):
+    prefix, dosage = bed_prefix
+    # simulate a phenotype on the standardized dosages
+    data = bedio.read_bed(prefix)
+    rng = np.random.default_rng(6)
+    beta = np.zeros(40)
+    beta[rng.choice(40, 6, replace=False)] = rng.normal(0, 0.3, 6)
+    y = data.X @ beta + rng.normal(0, 0.7, 120)
+    pheno = tmp_path / "pheno.txt"
+    np.savetxt(pheno, y)
+    out = tmp_path / "chain.csv"
+    ck = tmp_path / "state.npz"
+    rc = cli_main([
+        "bayesr", "--bed", prefix, "--pheno", str(pheno),
+        "--out", str(out), "--iterations", "60", "--burn-in", "30",
+        "--thinning", "3", "--block-size", "16", "--seed", "3",
+        "--cva", "0.01,0.1", "--checkpoint-out", str(ck),
+    ])
+    assert rc == 0
+    lines = open(out).read().strip().split("\n")
+    hdr = lines[0].split(",")
+    assert len(lines) - 1 == 10
+    assert all(len(r.split(", ")) == len(hdr) for r in lines[1:])
+    assert ck.exists()
+
+    # resume from the checkpoint through the CLI
+    out2 = tmp_path / "chain2.csv"
+    x_npy = tmp_path / "X.npy"
+    y_npy = tmp_path / "y.npy"
+    np.save(x_npy, data.X)
+    np.save(y_npy, y)
+    rc = cli_main([
+        "resume", "--checkpoint", str(ck), "--x", str(x_npy), "--y",
+        str(y_npy), "--out", str(out2), "--iterations", "20",
+        "--burn-in", "10", "--thinning", "2", "--block-size", "16",
+        "--cva", "0.01,0.1", "--no-standardize",
+    ])
+    assert rc == 0
+    lines2 = open(out2).read().strip().split("\n")
+    assert len(lines2) > 1
+
+
+def test_cli_horseshoe_npy(tmp_path):
+    rng = np.random.default_rng(7)
+    N, M = 100, 30
+    X = rng.normal(size=(N, M))
+    beta = np.zeros(M)
+    beta[:4] = 0.4
+    y = X @ beta + rng.normal(0, 0.8, N)
+    np.save(tmp_path / "X.npy", X)
+    np.save(tmp_path / "y.npy", y)
+    out = tmp_path / "hs.csv"
+    rc = cli_main([
+        "horseshoe", "--x", str(tmp_path / "X.npy"), "--y",
+        str(tmp_path / "y.npy"), "--out", str(out), "--iterations", "40",
+        "--burn-in", "20", "--thinning", "2", "--block-size", "16",
+        "--A", "0.05",
+    ])
+    assert rc == 0
+    hdr = open(out).readline().split(",")
+    assert "tau" in hdr
