@@ -42,6 +42,7 @@ class MarkerData(NamedTuple):
     so jit never constant-folds a multi-GB genotype matrix into the program)."""
 
     XT: jax.Array        # (Mpad, N) standardized genotypes, marker-major
+                         # (f32/bf16 dense, or int8 dosage codes if quantized)
     xsq: jax.Array       # (Mpad,) per-marker squared norms (src/BayesRv2.cpp:170)
     gram: jax.Array      # (nb, B, B) block Gram matrices ((0,0,0) if scan-only)
     g_assign: jax.Array  # (Mpad,) int32 marker -> group map
@@ -50,6 +51,8 @@ class MarkerData(NamedTuple):
     prior_pi: jax.Array  # (G, K) initial mixture probabilities
     fixedT: jax.Array    # (F, N) fixed-effect covariates, column-major
     fsq: jax.Array       # (F,) squared norms of fixed columns
+    x_mean: jax.Array    # (Mpad,) dosage means ((0,) when dense)
+    x_scale: jax.Array   # (Mpad,) 1/sd standardization scales ((0,) when dense)
 
 
 def _as_2d_cva(cva) -> np.ndarray:
@@ -82,12 +85,20 @@ class SpikeSlabSampler:
     def __init__(self, X, Y, cva, config, *, g_assign=None, fixed=None,
                  dtype=jnp.float32, backend: Optional[str] = None,
                  permutation: Optional[str] = None,
-                 variant: Optional[str] = None, transposed: bool = False):
+                 variant: Optional[str] = None, transposed: bool = False,
+                 x_dtype: str = "dense", x_stats=None):
+        if x_dtype not in ("dense", "int8"):
+            raise ValueError(f"unknown x_dtype {x_dtype!r}")
         if backend is None:
             # pallas sweep on real TPUs (measured ~20x the XLA blocked sweep
-            # on v5e); the XLA Gram-blocked sweep elsewhere
-            backend = ("pallas" if jax.devices()[0].platform == "tpu"
+            # on v5e); the XLA Gram-blocked sweep elsewhere.  The quantized
+            # genotype path decodes in-kernel and exists only there (tested
+            # everywhere via interpret mode).
+            backend = ("pallas" if (jax.devices()[0].platform == "tpu"
+                                    or x_dtype == "int8")
                        else "blocked")
+        if x_dtype == "int8" and backend != "pallas":
+            raise ValueError("x_dtype='int8' requires the pallas backend")
         if backend not in ("blocked", "scan", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if permutation is None:
@@ -138,20 +149,28 @@ class SpikeSlabSampler:
         self.permutation = permutation
         self.dtype = jnp.dtype(dtype)
 
-        if x_on_device:
-            XT = (X if transposed else X.T).astype(self.dtype)
+        self.x_quantized = x_dtype == "int8"
+        x_mean = x_scale = jnp.zeros((0,), jnp.float32)
+        if self.x_quantized:
+            XT, xsq, gram, x_mean, x_scale = self._quantize(
+                X, transposed, x_stats, B, Mpad)
         else:
-            XT = jnp.asarray(
-                np.ascontiguousarray(X if transposed else X.T), self.dtype)
-        xsq = jnp.sum(XT * XT, axis=1)
-        XT, xsq, _ = bs.pad_markers(XT, xsq, B)
-        gram = (bs.gram_blocks(XT, B) if backend in ("blocked", "pallas")
-                else jnp.zeros((0, 0, 0), self.dtype))
+            if x_on_device:
+                XT = (X if transposed else X.T).astype(self.dtype)
+            else:
+                XT = jnp.asarray(
+                    np.ascontiguousarray(X if transposed else X.T), self.dtype)
+            xsq = jnp.sum(XT * XT, axis=1)
+            XT, xsq, _ = bs.pad_markers(XT, xsq, B)
+            gram = (bs.gram_blocks(XT, B) if backend in ("blocked", "pallas")
+                    else jnp.zeros((0, 0, 0), self.dtype))
         # the pallas kernel runs compiled on TPU; elsewhere use interpret mode
         self._pallas_interpret = jax.devices()[0].platform != "tpu"
 
         prior_pi = self._prior_pi(cva2)
         self.data = MarkerData(
+            x_mean=x_mean,
+            x_scale=x_scale,
             XT=XT,
             xsq=xsq,
             gram=gram,
@@ -182,6 +201,61 @@ class SpikeSlabSampler:
                                     static_argnums=(2, 3), donate_argnums=(0,))
 
     # ------------------------------------------------------------------ init
+
+    def _quantize(self, X, transposed, x_stats, B, Mpad):
+        """Quantize dosages to int8 codes {0,1,2, 3=missing} with per-marker
+        standardization stats, and build xsq/Gram from in-flight decodes.
+
+        The decoded value is exactly (g - mean) * (1/sd), with missing calls
+        decoding to 0 (mean imputation); memory per genotype drops 4x vs f32,
+        which is what lets biobank-scale M fit in HBM.
+        """
+        from ..ops.pallas_sweep import MISSING_CODE
+
+        if x_stats is not None:
+            means, sds = (np.asarray(x_stats[0], np.float64),
+                          np.asarray(x_stats[1], np.float64))
+            if isinstance(X, jax.Array) and X.dtype == jnp.int8:
+                codes = X if transposed else X.T
+            else:
+                Xh = np.asarray(X)
+                codes = jnp.asarray(
+                    np.ascontiguousarray(Xh if transposed else Xh.T), jnp.int8)
+        else:
+            Xh = np.asarray(X, np.float64)
+            XTh = np.ascontiguousarray(Xh if transposed else Xh.T)
+            means = np.nanmean(XTh, axis=1)
+            sds = np.nanstd(XTh, axis=1, ddof=1)
+            ch = np.where(np.isnan(XTh), float(MISSING_CODE), XTh)
+            if not np.isin(np.unique(ch), [0.0, 1.0, 2.0, 3.0]).all():
+                raise ValueError(
+                    "x_dtype='int8' expects raw dosages in {0,1,2} (+NaN)")
+            codes = jnp.asarray(ch.astype(np.int8))
+
+        scales = np.where(sds > 0, 1.0 / np.where(sds > 0, sds, 1.0), 0.0)
+        pad = Mpad - codes.shape[0]
+        codes = jnp.pad(codes, ((0, pad), (0, 0)),
+                        constant_values=MISSING_CODE)
+        mean = jnp.asarray(np.pad(means, (0, pad)), jnp.float32)
+        scale = jnp.asarray(np.pad(scales, (0, pad)), jnp.float32)
+
+        nb = Mpad // B
+        N = codes.shape[1]
+
+        def decode_block(args):
+            blk, m, s = args
+            g = blk.astype(jnp.float32)
+            x = (g - m[:, None]) * s[:, None]
+            return jnp.where(blk == MISSING_CODE, 0.0, x)
+
+        def per_block(args):
+            x = decode_block(args)
+            return jnp.sum(x * x, axis=1), x @ x.T
+
+        xsq_b, gram = jax.lax.map(
+            per_block, (codes.reshape(nb, B, N), mean.reshape(nb, B),
+                        scale.reshape(nb, B)))
+        return codes, xsq_b.reshape(Mpad), gram, mean, scale
 
     def _prior_pi(self, cva2: np.ndarray) -> np.ndarray:
         G, Km1 = cva2.shape
@@ -309,7 +383,9 @@ class SpikeSlabSampler:
                     data.XT, data.gram, data.xsq, eps, state.beta, state.labels,
                     border, inner, p_arr, z_arr, state.pi, data.cva,
                     state.sigmaE, state.sigmaGG, data.g_assign, data.valid,
-                    interpret=self._pallas_interpret)
+                    interpret=self._pallas_interpret,
+                    x_mean=data.x_mean if self.x_quantized else None,
+                    x_scale=data.x_scale if self.x_quantized else None)
             elif self.backend == "blocked":
                 res = bs.bayesr_block_sweep(
                     data.XT, data.gram, data.xsq, eps, state.beta, state.labels,

@@ -65,17 +65,37 @@ def _selection_scalars(logL, p_s, K):
     return k_sel, k_sel < K
 
 
+MISSING_CODE = 3  # int8 genotype code for a missing call
+
+
+def _decode_tile(raw, mean_col, scale_col):
+    """(B, TN) int8 dosage codes -> standardized f32: (g - mean) * inv_sd,
+    with missing calls (code 3) decoding to exactly 0 (mean imputation).
+
+    The missing-ness compare runs on the f32 cast (mosaic lacks int8 vector
+    compares on v5e)."""
+    g = raw.astype(jnp.float32)
+    x = (g - mean_col) * scale_col
+    return jnp.where(g == float(MISSING_CODE), jnp.zeros_like(x), x)
+
+
 def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
                   xt_ref, gram_ref, xsq_ref, gas_ref, valid_ref,
                   p_ref, z_ref, beta_ref, labels_ref, eps_ref,
                   pi_ref, cva_ref, sgg_ref, se_ref,
                   eps_out, beta_out, labels_out, v_out, bacc_out,
-                  r_sc, delta_sc, denom_sc, sd_sc, lp_sc, *, B, TN, K, G):
+                  r_sc, delta_sc, denom_sc, sd_sc, lp_sc, *, B, TN, K, G,
+                  mean_ref=None, scale_ref=None):
     b = pl.program_id(0)
     ph = pl.program_id(1)
     t = pl.program_id(2)
     sE = se_ref[0]
     Km1 = K - 1
+
+    def x_tile():
+        if mean_ref is None:
+            return xt_ref[...]
+        return _decode_tile(xt_ref[...], mean_ref[0], scale_ref[0])
 
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
@@ -91,7 +111,7 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
 
         eps_t = eps_out[:, pl.ds(t * TN, TN)]          # (1, TN)
         r_sc[...] += jax.lax.dot_general(
-            eps_t, xt_ref[...], (((1,), (1,)), ((), ())),
+            eps_t, x_tile(), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # (1, B)
 
     @pl.when(jnp.logical_and(ph == 1, t == 0))
@@ -194,15 +214,25 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
     @pl.when(ph == 1)
     def _apply_update():
         upd = jax.lax.dot_general(
-            delta_sc[...], xt_ref[...], (((1,), (0,)), ((), ())),
+            delta_sc[...], x_tile(), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (1, TN)
         eps_out[:, pl.ds(t * TN, TN)] -= upd
 
 
-@functools.partial(jax.jit, static_argnames=("B", "TN", "interpret"))
+def _sweep_kernel_q(border_ref, inner_ref, xt_ref, mean3_ref, scale3_ref,
+                    *rest, B, TN, K, G):
+    """Quantized-genotype variant: int8 X tiles decoded in-kernel."""
+    return _sweep_kernel(border_ref, inner_ref, xt_ref, *rest,
+                         B=B, TN=TN, K=K, G=G,
+                         mean_ref=mean3_ref, scale_ref=scale3_ref)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "TN", "interpret", "quantized"))
 def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
                 beta3, labels3, eps2d, pi, cva, sgg, se, *,
-                B, TN, interpret):
+                B, TN, interpret, quantized=False, x_mean3=None,
+                x_scale3=None):
     nb = gram.shape[0]
     G, K = pi.shape
     Npad = eps2d.shape[1]
@@ -228,11 +258,15 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
 
     vmem_b = functools.partial(pl.BlockSpec, (1, B, 1), im_b3)
     vmem_pos = functools.partial(pl.BlockSpec, (1, B, 1), im_pos3)
+    x_specs = [pl.BlockSpec((B, TN), im_xt)]                    # xt
+    x_args = [xt]
+    if quantized:
+        x_specs += [vmem_b(), vmem_b()]                         # mean, scale
+        x_args += [x_mean3, x_scale3]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb, 2, nt),
-        in_specs=[
-            pl.BlockSpec((B, TN), im_xt),                       # xt
+        in_specs=x_specs + [
             pl.BlockSpec((1, B, B), im_b3),                     # gram
             vmem_b(),                                           # xsq
             vmem_b(),                                           # gas
@@ -262,7 +296,8 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
             pltpu.VMEM((B, K), jnp.float32),                    # log-prior
         ],
     )
-    kernel = functools.partial(_sweep_kernel, B=B, TN=TN, K=K, G=G)
+    kernel = functools.partial(_sweep_kernel_q if quantized else _sweep_kernel,
+                               B=B, TN=TN, K=K, G=G)
     out_shape = [
         jax.ShapeDtypeStruct((1, Npad), jnp.float32),
         jax.ShapeDtypeStruct((nb, B, 1), jnp.float32),
@@ -283,14 +318,15 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
             bytes_accessed=2 * xt.size * xt.dtype.itemsize + gram.size * 4,
             transcendentals=nb * B * K * K,
         ),
-    )(border, inner, xt, gram, xsq, gas, valid, p, z,
+    )(border, inner, *x_args, gram, xsq, gas, valid, p, z,
       beta3, labels3, eps2d, pi, cva, sgg, se)
 
 
 def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
                         block_order, inner_perm, p_arr, z_arr,
                         pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
-                        *, tile_n: int = 512, interpret: bool = False):
+                        *, tile_n: int = 512, interpret: bool = False,
+                        x_mean=None, x_scale=None):
     """Drop-in replacement for ops.block_sweep.bayesr_block_sweep on TPU.
 
     All f32 (the kernel accumulates in f32; X may be bf16).  Arrays arrive in
@@ -304,7 +340,13 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     f32 = jnp.float32
 
     eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
-    xt = XT_pad if Npad == N else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)))
+    quantized = x_mean is not None
+    if quantized and XT_pad.dtype != jnp.int8:
+        raise ValueError("quantized sweep expects int8 genotype codes")
+    pad_val = MISSING_CODE if quantized else 0
+    xt = (XT_pad if Npad == N
+          else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)),
+                       constant_values=pad_val))
     # p/z and the within-block orders are indexed by sweep POSITION (grid
     # step); block-local state arrays are indexed by the block id via the
     # prefetched border permutation -- matching block_sweep's RNG semantics
@@ -321,7 +363,11 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         labels_pad.astype(jnp.int32).reshape(nb, B, 1),
         eps2d, pi.astype(f32), cva.astype(f32),
         sigmaGG.astype(f32), sigmaE.astype(f32).reshape(1),
-        B=B, TN=TN, interpret=interpret)
+        B=B, TN=TN, interpret=interpret, quantized=quantized,
+        x_mean3=(None if not quantized
+                 else x_mean.astype(f32).reshape(nb, B, 1)),
+        x_scale3=(None if not quantized
+                  else x_scale.astype(f32).reshape(nb, B, 1)))
     eps_out, beta_out, labels_out, v_out, bacc_out = out
     return SweepResult(
         eps=eps_out[0, :N].astype(eps.dtype),

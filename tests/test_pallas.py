@@ -93,3 +93,37 @@ def test_pallas_equals_blocked_horseshoe():
     np.testing.assert_allclose(np.asarray(st_b.eps), np.asarray(st_p.eps),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(float(st_b.tau), float(st_p.tau), rtol=2e-4)
+
+
+def test_quantized_int8_equals_dense():
+    """int8 in-kernel decode == dense f32 on the same standardized matrix."""
+    rng = np.random.default_rng(65)
+    N, M = 150, 64
+    freqs = rng.uniform(0.15, 0.85, M)
+    dosage = rng.binomial(2, freqs, size=(N, M)).astype(float)
+    dosage[rng.random(dosage.shape) < 0.01] = np.nan  # sparse missingness
+    means = np.nanmean(dosage, axis=0)
+    sds = np.nanstd(dosage, axis=0, ddof=1)
+    dense = np.where(np.isnan(dosage), 0.0, (dosage - means) / sds)
+
+    beta_t = np.zeros(M)
+    beta_t[rng.choice(M, 8, replace=False)] = rng.normal(0, 0.3, 8)
+    y = dense @ beta_t + rng.normal(0, 0.7, N)
+
+    cfg = BayesRConfig(block_size=32)
+    s_d = SpikeSlabSampler(dense, y, CVA, cfg, backend="pallas",
+                           dtype=jnp.float32)
+    s_q = SpikeSlabSampler(dosage, y, CVA, cfg, x_dtype="int8",
+                           dtype=jnp.float32)
+    key = jax.random.PRNGKey(6)
+    st_d, st_q = s_d.init(key), s_q.init(key)
+    for _ in range(3):
+        st_d, st_q = s_d.step(st_d), s_q.step(st_q)
+    np.testing.assert_array_equal(np.asarray(st_d.labels),
+                                  np.asarray(st_q.labels))
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_q.beta),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st_d.eps), np.asarray(st_q.eps),
+                               rtol=2e-4, atol=2e-5)
+    # memory layout really is int8
+    assert s_q.data.XT.dtype == jnp.int8
