@@ -53,6 +53,8 @@ class MarkerData(NamedTuple):
     fsq: jax.Array       # (F,) squared norms of fixed columns
     x_mean: jax.Array    # (Mpad,) dosage means ((0,) when dense)
     x_scale: jax.Array   # (Mpad,) 1/sd standardization scales ((0,) when dense)
+    row_valid: jax.Array # (Npad,) bool row mask ((0,) unless 2-bit packed)
+    n_perm: jax.Array    # (Npad,) packed-layout individual permutation ((0,))
 
 
 def _as_2d_cva(cva) -> np.ndarray:
@@ -87,7 +89,7 @@ class SpikeSlabSampler:
                  permutation: Optional[str] = None,
                  variant: Optional[str] = None, transposed: bool = False,
                  x_dtype: str = "dense", x_stats=None):
-        if x_dtype not in ("dense", "int8"):
+        if x_dtype not in ("dense", "int8", "2bit"):
             raise ValueError(f"unknown x_dtype {x_dtype!r}")
         if backend is None:
             # pallas sweep on real TPUs (measured ~20x the XLA blocked sweep
@@ -95,10 +97,10 @@ class SpikeSlabSampler:
             # genotype path decodes in-kernel and exists only there (tested
             # everywhere via interpret mode).
             backend = ("pallas" if (jax.devices()[0].platform == "tpu"
-                                    or x_dtype == "int8")
+                                    or x_dtype in ("int8", "2bit"))
                        else "blocked")
-        if x_dtype == "int8" and backend != "pallas":
-            raise ValueError("x_dtype='int8' requires the pallas backend")
+        if x_dtype in ("int8", "2bit") and backend != "pallas":
+            raise ValueError(f"x_dtype={x_dtype!r} requires the pallas backend")
         if backend not in ("blocked", "scan", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if permutation is None:
@@ -114,7 +116,15 @@ class SpikeSlabSampler:
         x_on_device = isinstance(X, jax.Array)
         if not x_on_device:
             X = np.asarray(X)
-        if transposed:
+        self._prepacked = (x_dtype == "2bit" and x_on_device
+                           and X.dtype == jnp.int32)
+        if self._prepacked:
+            # X is already packed int32 words (M, N/16), marker-major
+            if not transposed or x_stats is None:
+                raise ValueError("pre-packed 2-bit input requires "
+                                 "transposed=True and x_stats=(means, sds)")
+            M, N = X.shape[0], X.shape[1] * 16
+        elif transposed:
             M, N = X.shape
         else:
             N, M = X.shape
@@ -149,9 +159,17 @@ class SpikeSlabSampler:
         self.permutation = permutation
         self.dtype = jnp.dtype(dtype)
 
-        self.x_quantized = x_dtype == "int8"
+        self.x_quantized = x_dtype in ("int8", "2bit")
+        self.x_packed = x_dtype == "2bit"
         x_mean = x_scale = jnp.zeros((0,), jnp.float32)
-        if self.x_quantized:
+        row_valid = jnp.zeros((0,), bool)
+        n_perm = jnp.zeros((0,), jnp.int32)
+        self.Npad = N
+        if self.x_packed:
+            (XT, xsq, gram, x_mean, x_scale, row_valid, n_perm,
+             self.Npad) = self._quantize_packed(X, transposed, x_stats, B,
+                                                Mpad, N)
+        elif self.x_quantized:
             XT, xsq, gram, x_mean, x_scale = self._quantize(
                 X, transposed, x_stats, B, Mpad)
         else:
@@ -171,6 +189,8 @@ class SpikeSlabSampler:
         self.data = MarkerData(
             x_mean=x_mean,
             x_scale=x_scale,
+            row_valid=row_valid,
+            n_perm=n_perm,
             XT=XT,
             xsq=xsq,
             gram=gram,
@@ -178,10 +198,15 @@ class SpikeSlabSampler:
             valid=jnp.asarray(np.arange(Mpad) < M),
             cva=jnp.asarray(cva2, self.dtype),
             prior_pi=jnp.asarray(prior_pi, self.dtype),
-            fixedT=jnp.asarray(np.ascontiguousarray(fixed.T), self.dtype),
+            fixedT=self._maybe_permute_rows(
+                jnp.asarray(np.ascontiguousarray(fixed.T), self.dtype),
+                n_perm, axis=1),
             fsq=jnp.asarray(np.sum(fixed * fixed, axis=0), self.dtype),
         )
-        self.Y = jnp.asarray(Y, self.dtype)
+        # packed mode stores Y (and eps) padded to Npad in the packed-word
+        # individual order; all sweep sums are permutation-invariant and
+        # emission un-permutes
+        self.Y = self._maybe_permute_rows(jnp.asarray(Y, self.dtype), n_perm)
 
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._run_steps = jax.jit(self._run_steps_impl, static_argnums=(2,),
@@ -201,6 +226,136 @@ class SpikeSlabSampler:
                                     static_argnums=(2, 3), donate_argnums=(0,))
 
     # ------------------------------------------------------------------ init
+
+    def _maybe_permute_rows(self, arr, n_perm, axis=0):
+        """Pad the individual axis to Npad and reorder into the packed-word
+        layout (identity when not in 2-bit mode)."""
+        if not self.x_packed:
+            return arr
+        pad = self.Npad - self.N
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
+        arr = jnp.pad(arr, widths)
+        return jnp.take(arr, n_perm, axis=axis)
+
+    def _quantize_packed(self, X, transposed, x_stats, B, Mpad, N):
+        """2-bit packed genotypes: 16 codes per int32 word along the
+        individual axis -- 0.25 bytes/genotype, the layout that fits
+        biobank-scale M on one chip's HBM.
+
+        The kernel decodes word bit-plane k of tile word i to PERMUTED
+        individual position k*W + i within the tile (no in-kernel interleave
+        reshuffle needed); eps/Y/fixed are stored in that permutation, which
+        is statistically and algebraically neutral (every sweep quantity is a
+        sum over individuals).
+        """
+        from ..ops.pallas_sweep import MISSING_CODE
+
+        TN, WORDS = 2048, 16
+        W = TN // WORDS
+        Npad = -(-N // TN) * TN
+
+        if self._prepacked:
+            return self._prepacked_setup(X, x_stats, B, Mpad, N, Npad, TN, W)
+
+        Xh = np.asarray(X)
+        XTh = Xh if transposed else Xh.T
+        if x_stats is not None:
+            means = np.asarray(x_stats[0], np.float64)
+            sds = np.asarray(x_stats[1], np.float64)
+            codes = np.asarray(XTh, np.int8)
+        else:
+            XTh = np.asarray(XTh, np.float64)
+            means = np.nanmean(XTh, axis=1)
+            sds = np.nanstd(XTh, axis=1, ddof=1)
+            ch = np.where(np.isnan(XTh), float(MISSING_CODE), XTh)
+            if not np.isin(np.unique(ch), [0.0, 1.0, 2.0, 3.0]).all():
+                raise ValueError(
+                    "x_dtype='2bit' expects raw dosages in {0,1,2} (+NaN)")
+            codes = ch.astype(np.int8)
+
+        M = codes.shape[0]
+        scales = np.where(sds > 0, 1.0 / np.where(sds > 0, sds, 1.0), 0.0)
+        codes = np.pad(codes, ((0, Mpad - M), (0, Npad - N)),
+                       constant_values=MISSING_CODE)
+        mean = jnp.asarray(np.pad(means, (0, Mpad - M)), jnp.float32)
+        scale = jnp.asarray(np.pad(scales, (0, Mpad - M)), jnp.float32)
+
+        # pack 16 consecutive codes per int32 word, code j at bits 2j
+        cw = codes.reshape(Mpad, Npad // WORDS, WORDS).astype(np.uint64)
+        shifts = (2 * np.arange(WORDS, dtype=np.uint64))[None, None, :]
+        words = (cw << shifts).sum(axis=2).astype(np.uint32)
+        words_dev = jnp.asarray(words.view(np.int32))
+
+        # store->original permutation: position t*TN + k*W + i holds
+        # original individual 16*(t*W + i) + k
+        t_idx = np.arange(Npad) // TN
+        rem = np.arange(Npad) % TN
+        k_idx, i_idx = rem // W, rem % W
+        perm = 16 * (t_idx * W + i_idx) + k_idx
+        row_valid = jnp.asarray(perm < N)
+        n_perm = jnp.asarray(perm.astype(np.int32))
+
+        # xsq / Gram from decoded blocks (order-agnostic sums over n)
+        nb = Mpad // B
+        codes_dev = jnp.asarray(codes)
+
+        def per_block(args):
+            blk, m, sc = args
+            g = blk.astype(jnp.float32)
+            x = (g - m[:, None]) * sc[:, None]
+            x = jnp.where(g == float(MISSING_CODE), 0.0, x)
+            return jnp.sum(x * x, axis=1), x @ x.T
+
+        xsq_b, gram = jax.lax.map(
+            per_block, (codes_dev.reshape(nb, B, Npad),
+                        mean.reshape(nb, B), scale.reshape(nb, B)))
+        return (words_dev, xsq_b.reshape(Mpad), gram, mean, scale,
+                row_valid, n_perm, Npad)
+
+    def _prepacked_setup(self, words, x_stats, B, Mpad, N, Npad, TN, W):
+        """Device-resident pre-packed words (bench / streaming ingestion):
+        no host densification, xsq/Gram from in-flight word decodes."""
+        from ..ops.pallas_sweep import MISSING_CODE
+
+        if N != Npad:
+            raise ValueError("pre-packed 2-bit input needs N % 2048 == 0")
+        M = words.shape[0]
+        means = np.asarray(x_stats[0], np.float64)
+        scales_np = np.asarray(x_stats[1], np.float64)
+        scales_np = np.where(scales_np > 0,
+                             1.0 / np.where(scales_np > 0, scales_np, 1.0), 0.0)
+        # pad markers with all-missing words (0b11... = -1)
+        words = jnp.pad(words, ((0, Mpad - M), (0, 0)), constant_values=-1)
+        mean = jnp.asarray(np.pad(means, (0, Mpad - M)), jnp.float32)
+        scale = jnp.asarray(np.pad(scales_np, (0, Mpad - M)), jnp.float32)
+
+        t_idx = np.arange(Npad) // TN
+        rem = np.arange(Npad) % TN
+        k_idx, i_idx = rem // W, rem % W
+        perm = 16 * (t_idx * W + i_idx) + k_idx
+        row_valid = jnp.ones((Npad,), bool)
+        n_perm = jnp.asarray(perm.astype(np.int32))
+
+        nb = Mpad // B
+
+        def per_block(args):
+            w, m, sc = args          # (B, Npad/16) int32, (B,), (B,)
+            xsq = jnp.zeros((B,), jnp.float32)
+            g_acc = jnp.zeros((B, B), jnp.float32)
+            for k in range(16):      # order-agnostic sums over individuals
+                c = ((w >> (2 * k)) & 3).astype(jnp.float32)
+                x = (c - m[:, None]) * sc[:, None]
+                x = jnp.where(c == float(MISSING_CODE), 0.0, x)
+                xsq += jnp.sum(x * x, axis=1)
+                g_acc += x @ x.T
+            return xsq, g_acc
+
+        xsq_b, gram = jax.lax.map(
+            per_block, (words.reshape(nb, B, Npad // 16),
+                        mean.reshape(nb, B), scale.reshape(nb, B)))
+        return (words, xsq_b.reshape(Mpad), gram, mean, scale,
+                row_valid, n_perm, Npad)
 
     def _quantize(self, X, transposed, x_stats, B, Mpad):
         """Quantize dosages to int8 codes {0,1,2, 3=missing} with per-marker
@@ -284,7 +439,7 @@ class SpikeSlabSampler:
         sigmaF = (jax.random.uniform(kF, (), dtype=dt) if self.F > 0
                   else jnp.ones((), dt))
         mu = jnp.zeros((), dt)
-        eps = self.Y - mu
+        eps = self.Y - mu  # packed: Y is permuted+padded, pads are exactly 0
         sigmaE = jnp.sum(eps * eps) / self.N * 0.5
         return SpikeSlabState(
             key=key,
@@ -326,7 +481,8 @@ class SpikeSlabSampler:
             mu=jnp.asarray(mu, dt),
             beta=jnp.asarray(np.pad(beta, (0, pad)), dt),
             labels=jnp.asarray(np.pad(components, (0, pad))),
-            eps=jnp.asarray(epsilon, dt),
+            eps=self._maybe_permute_rows(jnp.asarray(epsilon, dt),
+                                         self.data.n_perm),
             sigmaE=jnp.asarray(sigmaE, dt),
             sigmaGG=jnp.asarray(sigmaGG, dt).reshape(self.G),
             pi=pi.astype(dt),
@@ -347,9 +503,15 @@ class SpikeSlabSampler:
 
         # ---- intercept (src/BayesRv2.cpp:177-179); sigma0 is accepted but
         # unused, exactly like the reference (vignettes/BayesRR.Rmd:93).
-        eps = state.eps + state.mu
-        mu = dist.norm_rng(kmu, jnp.sum(eps) / N, state.sigmaE / N)
-        eps = eps - mu
+        if self.x_packed:
+            rv = data.row_valid
+            eps = jnp.where(rv, state.eps + state.mu, 0.0)
+            mu = dist.norm_rng(kmu, jnp.sum(eps) / N, state.sigmaE / N)
+            eps = jnp.where(rv, eps - mu, 0.0)
+        else:
+            eps = state.eps + state.mu
+            mu = dist.norm_rng(kmu, jnp.sum(eps) / N, state.sigmaE / N)
+            eps = eps - mu
 
         # ---- fixed-effect sweep (src/BayesRv2Groups.cpp:216-225)
         alpha, sigmaF = state.alpha, state.sigmaF
@@ -448,8 +610,17 @@ class SpikeSlabSampler:
     def _run_steps_impl(self, state, data, n):
         return lax.fori_loop(0, n, lambda i, s: self._step_impl(s, data), state)
 
-    def _emit_one(self, state: SpikeSlabState):
+    def _emit_one(self, state: SpikeSlabState, data: MarkerData):
         M = self.M
+        if self.config.emit_epsilon:
+            if self.x_packed:
+                # un-permute back to original individual order
+                eps = jnp.zeros((self.Npad,), state.eps.dtype).at[
+                    data.n_perm].set(state.eps)[: self.N]
+            else:
+                eps = state.eps
+        else:
+            eps = jnp.zeros((0,), self.dtype)
         return {
             "iteration": state.iteration - 1,
             "mu": state.mu,
@@ -457,8 +628,7 @@ class SpikeSlabSampler:
             "sigmaE": state.sigmaE,
             "sigmaG": state.sigmaGG,
             "comp": state.labels[:M],
-            "epsilon": (state.eps if self.config.emit_epsilon
-                        else jnp.zeros((0,), self.dtype)),
+            "epsilon": eps,
             "alpha": state.alpha,
             "sigmaF": state.sigmaF,
         }
@@ -467,7 +637,7 @@ class SpikeSlabSampler:
         def body(state, _):
             state = lax.fori_loop(
                 0, thinning, lambda i, s: self._step_impl(s, data), state)
-            return state, self._emit_one(state)
+            return state, self._emit_one(state, data)
 
         return lax.scan(body, state, None, length=n_emits)
 
@@ -477,7 +647,7 @@ class SpikeSlabSampler:
                 0, thinning,
                 lambda i, st: jax.vmap(self._step_impl, in_axes=(0, None))(st, data),
                 state)
-            return state, jax.vmap(self._emit_one)(state)
+            return state, jax.vmap(lambda st: self._emit_one(st, data))(state)
 
         return lax.scan(body, state, None, length=n_emits)
 

@@ -69,7 +69,7 @@ MISSING_CODE = 3  # int8 genotype code for a missing call
 
 
 def _decode_tile(raw, mean_col, scale_col):
-    """(B, TN) int8 dosage codes -> standardized f32: (g - mean) * inv_sd,
+    """int8/int32 dosage codes -> standardized f32: (g - mean) * inv_sd,
     with missing calls (code 3) decoding to exactly 0 (mean imputation).
 
     The missing-ness compare runs on the f32 cast (mosaic lacks int8 vector
@@ -85,17 +85,32 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
                   pi_ref, cva_ref, sgg_ref, se_ref,
                   eps_out, beta_out, labels_out, v_out, bacc_out,
                   r_sc, delta_sc, denom_sc, sd_sc, lp_sc, *, B, TN, K, G,
-                  mean_ref=None, scale_ref=None):
+                  mean_ref=None, scale_ref=None, packed=False):
     b = pl.program_id(0)
     ph = pl.program_id(1)
     t = pl.program_id(2)
     sE = se_ref[0]
     Km1 = K - 1
 
-    def x_tile():
-        if mean_ref is None:
-            return xt_ref[...]
-        return _decode_tile(xt_ref[...], mean_ref[0], scale_ref[0])
+    # sub-tile decomposition: dense/int8 tiles decode whole; 2-bit packed
+    # tiles hold 16 genotypes per int32 word and decode per bit-plane k into
+    # a (B, W) sub-tile covering the PERMUTED individual range
+    # [t*TN + k*W, t*TN + (k+1)*W)  (the sampler permutes eps to match)
+    if packed:
+        SUB = 16
+        W = TN // 16
+
+        def x_sub(k):
+            c = (xt_ref[...] >> (2 * k)) & 3           # (B, W) int32
+            return _decode_tile(c, mean_ref[0], scale_ref[0])
+    else:
+        SUB = 1
+        W = TN
+
+        def x_sub(k):
+            if mean_ref is None:
+                return xt_ref[...]
+            return _decode_tile(xt_ref[...], mean_ref[0], scale_ref[0])
 
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
@@ -109,10 +124,11 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
         def _():
             r_sc[...] = jnp.zeros_like(r_sc)
 
-        eps_t = eps_out[:, pl.ds(t * TN, TN)]          # (1, TN)
-        r_sc[...] += jax.lax.dot_general(
-            eps_t, x_tile(), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (1, B)
+        for k in range(SUB):
+            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (1, W)
+            r_sc[...] += jax.lax.dot_general(
+                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (1, B)
 
     @pl.when(jnp.logical_and(ph == 1, t == 0))
     def _solve():
@@ -213,27 +229,32 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
 
     @pl.when(ph == 1)
     def _apply_update():
-        upd = jax.lax.dot_general(
-            delta_sc[...], x_tile(), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (1, TN)
-        eps_out[:, pl.ds(t * TN, TN)] -= upd
+        for k in range(SUB):
+            upd = jax.lax.dot_general(
+                delta_sc[...], x_sub(k), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # (1, W)
+            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
 def _sweep_kernel_q(border_ref, inner_ref, xt_ref, mean3_ref, scale3_ref,
-                    *rest, B, TN, K, G):
-    """Quantized-genotype variant: int8 X tiles decoded in-kernel."""
+                    *rest, B, TN, K, G, packed=False):
+    """Quantized-genotype variant: int8 or 2-bit-packed X decoded in-kernel."""
     return _sweep_kernel(border_ref, inner_ref, xt_ref, *rest,
                          B=B, TN=TN, K=K, G=G,
-                         mean_ref=mean3_ref, scale_ref=scale3_ref)
+                         mean_ref=mean3_ref, scale_ref=scale3_ref,
+                         packed=packed)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("B", "TN", "interpret", "quantized"))
+                   static_argnames=("B", "TN", "interpret", "quantized",
+                                    "packed"))
 def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
                 beta3, labels3, eps2d, pi, cva, sgg, se, *,
-                B, TN, interpret, quantized=False, x_mean3=None,
-                x_scale3=None):
-    nb = gram.shape[0]
+                B, TN, interpret, quantized=False, packed=False,
+                x_mean3=None, x_scale3=None):
+    nb_call = border.shape[0]   # blocks processed by THIS call (may be a
+                                # chunk of the full sweep: the scalar-prefetch
+                                # permutations must fit in ~1MB SMEM)
     G, K = pi.shape
     Npad = eps2d.shape[1]
     nt = Npad // TN
@@ -258,14 +279,17 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
 
     vmem_b = functools.partial(pl.BlockSpec, (1, B, 1), im_b3)
     vmem_pos = functools.partial(pl.BlockSpec, (1, B, 1), im_pos3)
-    x_specs = [pl.BlockSpec((B, TN), im_xt)]                    # xt
+    # packed: xt holds int32 words of 16 2-bit codes -> tile covers TN
+    # decoded lanes with TN//16 words
+    x_tile_w = TN // 16 if packed else TN
+    x_specs = [pl.BlockSpec((B, x_tile_w), im_xt)]              # xt
     x_args = [xt]
     if quantized:
         x_specs += [vmem_b(), vmem_b()]                         # mean, scale
         x_args += [x_mean3, x_scale3]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb, 2, nt),
+        grid=(nb_call, 2, nt),
         in_specs=x_specs + [
             pl.BlockSpec((1, B, B), im_b3),                     # gram
             vmem_b(),                                           # xsq
@@ -283,8 +307,8 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
         ],
         out_specs=[
             pl.BlockSpec((1, Npad), im_full),                   # eps_out
-            pl.BlockSpec((1, B, 1), im_b3),                     # beta_out
-            pl.BlockSpec((1, B, 1), im_b3),                     # labels_out
+            pl.BlockSpec((1, B, 1), im_pos3),                   # beta_out
+            pl.BlockSpec((1, B, 1), im_pos3),                   # labels_out
             pl.BlockSpec((G, K), im_full),                      # v_out
             pl.BlockSpec((1, G), im_full),                      # bacc_out
         ],
@@ -296,12 +320,14 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
             pltpu.VMEM((B, K), jnp.float32),                    # log-prior
         ],
     )
-    kernel = functools.partial(_sweep_kernel_q if quantized else _sweep_kernel,
-                               B=B, TN=TN, K=K, G=G)
+    kernel = (functools.partial(_sweep_kernel_q, B=B, TN=TN, K=K, G=G,
+                                packed=packed)
+              if quantized
+              else functools.partial(_sweep_kernel, B=B, TN=TN, K=K, G=G))
     out_shape = [
         jax.ShapeDtypeStruct((1, Npad), jnp.float32),
-        jax.ShapeDtypeStruct((nb, B, 1), jnp.float32),
-        jax.ShapeDtypeStruct((nb, B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((nb_call, B, 1), jnp.float32),  # position-ordered
+        jax.ShapeDtypeStruct((nb_call, B, 1), jnp.int32),    # position-ordered
         jax.ShapeDtypeStruct((G, K), jnp.float32),
         jax.ShapeDtypeStruct((1, G), jnp.float32),
     ]
@@ -314,9 +340,9 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * nb * B * Npad + 2 * nb * B * B,
+            flops=4 * nb_call * B * Npad + 2 * nb_call * B * B,
             bytes_accessed=2 * xt.size * xt.dtype.itemsize + gram.size * 4,
-            transcendentals=nb * B * K * K,
+            transcendentals=nb_call * B * K * K,
         ),
     )(border, inner, *x_args, gram, xsq, gas, valid, p, z,
       beta3, labels3, eps2d, pi, cva, sgg, se)
@@ -326,55 +352,102 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
                         block_order, inner_perm, p_arr, z_arr,
                         pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
                         *, tile_n: int = 512, interpret: bool = False,
-                        x_mean=None, x_scale=None):
+                        x_mean=None, x_scale=None, max_call_blocks=None):
     """Drop-in replacement for ops.block_sweep.bayesr_block_sweep on TPU.
 
     All f32 (the kernel accumulates in f32; X may be bf16).  Arrays arrive in
     the flat (Mpad,)/(N,) layout used by the JAX backends and are reshaped to
     the kernel layouts here.
     """
-    Mpad, N = XT_pad.shape
     nb, B, _ = gram.shape
-    TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
-    Npad = -(-N // TN) * TN
-    f32 = jnp.float32
-
-    eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
     quantized = x_mean is not None
-    if quantized and XT_pad.dtype != jnp.int8:
-        raise ValueError("quantized sweep expects int8 genotype codes")
-    pad_val = MISSING_CODE if quantized else 0
-    xt = (XT_pad if Npad == N
-          else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)),
-                       constant_values=pad_val))
+    packed = quantized and XT_pad.dtype == jnp.int32
+    if packed:
+        # XT_pad holds int32 words of 16 2-bit codes along the (permuted)
+        # individual axis; eps arrives already permuted+padded to Npad
+        Mpad, Nw = XT_pad.shape
+        Npad = Nw * 16
+        TN = 2048                      # 128 int32 words per tile
+        if Npad % TN or eps.shape[0] != Npad:
+            raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
+                             "matching pre-permuted eps")
+        N = Npad
+        xt = XT_pad
+        f32 = jnp.float32
+        eps2d = eps.astype(f32).reshape(1, Npad)
+    else:
+        Mpad, N = XT_pad.shape
+        TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+        Npad = -(-N // TN) * TN
+        f32 = jnp.float32
+        eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
+        if quantized and XT_pad.dtype != jnp.int8:
+            raise ValueError("quantized sweep expects int8 genotype codes")
+        pad_val = MISSING_CODE if quantized else 0
+        xt = (XT_pad if Npad == N
+              else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)),
+                           constant_values=pad_val))
     # p/z and the within-block orders are indexed by sweep POSITION (grid
     # step); block-local state arrays are indexed by the block id via the
     # prefetched border permutation -- matching block_sweep's RNG semantics
     inner_by_pos = inner_perm[block_order]
 
-    out = _sweep_call(
-        block_order.astype(jnp.int32), inner_by_pos.astype(jnp.int32),
-        xt, gram, xsq_pad.astype(f32).reshape(nb, B, 1),
-        g_assign_pad.astype(jnp.int32).reshape(nb, B, 1),
-        valid_pad.astype(jnp.int32).reshape(nb, B, 1),
-        p_arr.astype(f32).reshape(nb, B, 1),
-        z_arr.astype(f32).reshape(nb, B, 1),
-        beta_pad.astype(f32).reshape(nb, B, 1),
-        labels_pad.astype(jnp.int32).reshape(nb, B, 1),
-        eps2d, pi.astype(f32), cva.astype(f32),
-        sigmaGG.astype(f32), sigmaE.astype(f32).reshape(1),
-        B=B, TN=TN, interpret=interpret, quantized=quantized,
+    # chunk the sweep so the scalar-prefetched permutations fit in SMEM
+    # (~1MB); each call processes <=CB blocks, eps threads through, outputs
+    # are position-ordered and scattered back into the marker layout
+    CB = max(1, min(nb, max_call_blocks or (65536 // B)))
+    call = functools.partial(
+        _sweep_call,
+        B=B, TN=TN, interpret=interpret, quantized=quantized, packed=packed,
         x_mean3=(None if not quantized
                  else x_mean.astype(f32).reshape(nb, B, 1)),
         x_scale3=(None if not quantized
                   else x_scale.astype(f32).reshape(nb, B, 1)))
-    eps_out, beta_out, labels_out, v_out, bacc_out = out
+    common = (xt, gram, xsq_pad.astype(f32).reshape(nb, B, 1),
+              g_assign_pad.astype(jnp.int32).reshape(nb, B, 1),
+              valid_pad.astype(jnp.int32).reshape(nb, B, 1))
+    tail = (pi.astype(f32), cva.astype(f32),
+            sigmaGG.astype(f32), sigmaE.astype(f32).reshape(1))
+
+    beta_cur = beta_pad.astype(f32).reshape(nb, B, 1)
+    labels_cur = labels_pad.astype(jnp.int32).reshape(nb, B, 1)
+    p3 = p_arr.astype(f32).reshape(nb, B, 1)
+    z3 = z_arr.astype(f32).reshape(nb, B, 1)
+    border_i = block_order.astype(jnp.int32)
+    inner_i = inner_by_pos.astype(jnp.int32)
+
+    G = pi.shape[0]
+    K = pi.shape[1]
+    v_tot = jnp.zeros((G, K), f32)
+    bacc_tot = jnp.zeros((1, G), f32)
+    beta_flat = beta_cur.reshape(Mpad)
+    labels_flat = labels_cur.reshape(Mpad)
+    lane = jnp.arange(B, dtype=border_i.dtype)
+    for c0 in range(0, nb, CB):
+        cb = min(CB, nb - c0)
+        border_c = lax.dynamic_slice_in_dim(border_i, c0, cb)
+        out = call(border_c,
+                   lax.dynamic_slice_in_dim(inner_i, c0, cb),
+                   *common,
+                   lax.dynamic_slice_in_dim(p3, c0, cb, axis=0),
+                   lax.dynamic_slice_in_dim(z3, c0, cb, axis=0),
+                   beta_flat.reshape(nb, B, 1),
+                   labels_flat.reshape(nb, B, 1),
+                   eps2d, *tail)
+        eps2d, beta_c, labels_c, v_c, bacc_c = out
+        idx = (border_c[:, None] * B + lane[None, :]).reshape(-1)
+        beta_flat = beta_flat.at[idx].set(beta_c.reshape(-1))
+        labels_flat = labels_flat.at[idx].set(labels_c.reshape(-1))
+        v_tot += v_c
+        bacc_tot += bacc_c
+
+    eps_out = eps2d
     return SweepResult(
         eps=eps_out[0, :N].astype(eps.dtype),
-        beta=beta_out.reshape(Mpad).astype(beta_pad.dtype),
-        labels=labels_out.reshape(Mpad),
-        v=v_out.astype(eps.dtype),
-        beta_acum=bacc_out[0].astype(eps.dtype),
+        beta=beta_flat.astype(beta_pad.dtype),
+        labels=labels_flat,
+        v=v_tot.astype(eps.dtype),
+        beta_acum=bacc_tot[0].astype(eps.dtype),
     )
 
 

@@ -127,3 +127,70 @@ def test_quantized_int8_equals_dense():
                                rtol=2e-4, atol=2e-5)
     # memory layout really is int8
     assert s_q.data.XT.dtype == jnp.int8
+
+
+def test_packed_2bit_equals_dense():
+    """2-bit packed in-kernel decode == dense f32 (permutation-invariant)."""
+    rng = np.random.default_rng(66)
+    N, M = 150, 64
+    freqs = rng.uniform(0.15, 0.85, M)
+    dosage = rng.binomial(2, freqs, size=(N, M)).astype(float)
+    dosage[rng.random(dosage.shape) < 0.01] = np.nan
+    means = np.nanmean(dosage, axis=0)
+    sds = np.nanstd(dosage, axis=0, ddof=1)
+    dense = np.where(np.isnan(dosage), 0.0, (dosage - means) / sds)
+
+    beta_t = np.zeros(M)
+    beta_t[rng.choice(M, 8, replace=False)] = rng.normal(0, 0.3, 8)
+    y = dense @ beta_t + rng.normal(0, 0.7, N)
+
+    cfg = BayesRConfig(block_size=32)
+    s_d = SpikeSlabSampler(dense, y, CVA, cfg, backend="pallas",
+                           dtype=jnp.float32)
+    s_p = SpikeSlabSampler(dosage, y, CVA, cfg, x_dtype="2bit",
+                           dtype=jnp.float32)
+    assert s_p.data.XT.dtype == jnp.int32
+    assert s_p.Npad == 2048
+    key = jax.random.PRNGKey(7)
+    st_d, st_p = s_d.init(key), s_p.init(key)
+    for _ in range(3):
+        st_d, st_p = s_d.step(st_d), s_p.step(st_p)
+    np.testing.assert_array_equal(np.asarray(st_d.labels),
+                                  np.asarray(st_p.labels))
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_p.beta),
+                               rtol=3e-4, atol=3e-6)
+    # packed eps is permuted+padded; un-permute to compare
+    eps_o = np.zeros(s_p.Npad, np.float32)
+    eps_o[np.asarray(s_p.data.n_perm)] = np.asarray(st_p.eps)
+    np.testing.assert_allclose(np.asarray(st_d.eps), eps_o[:N],
+                               rtol=3e-4, atol=3e-5)
+    # emission path un-permutes internally
+    row = jax.jit(lambda st: s_p._emit_one(st, s_p.data))(st_p)
+    np.testing.assert_allclose(np.asarray(row["epsilon"]), eps_o[:N],
+                               atol=1e-6)
+
+
+def test_chunked_calls_equal_single_call():
+    """SMEM-bounded chunking (multiple pallas calls/sweep) is exact."""
+    from bayesrrcpp_tpu.ops import block_sweep as bs
+    from bayesrrcpp_tpu.ops.pallas_sweep import bayesr_sweep_pallas
+
+    sim = simulate.simulate_bayesr(seed=67, N=120, M=160, n_causal=12, h2=0.5)
+    s = SpikeSlabSampler(sim.X, sim.Y, CVA, BayesRConfig(block_size=16),
+                         backend="pallas", dtype=jnp.float32)
+    st = s.init(jax.random.PRNGKey(8))
+    d = s.data
+    key = jax.random.PRNGKey(9)
+    border, inner = bs.block_orders(key, s.nb, s.B)
+    p = jax.random.uniform(jax.random.PRNGKey(10), (s.Mpad,), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(11), (s.Mpad,), jnp.float32)
+    args = (d.XT, d.gram, d.xsq, st.eps, st.beta, st.labels, border, inner,
+            p, z, st.pi, d.cva, st.sigmaE, st.sigmaGG, d.g_assign, d.valid)
+    one = bayesr_sweep_pallas(*args, interpret=True)
+    many = bayesr_sweep_pallas(*args, interpret=True, max_call_blocks=3)
+    np.testing.assert_array_equal(np.asarray(one.labels), np.asarray(many.labels))
+    np.testing.assert_allclose(np.asarray(one.beta), np.asarray(many.beta),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(one.eps), np.asarray(many.eps),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(one.v), np.asarray(many.v))
