@@ -450,7 +450,9 @@ class SpikeSlabSampler:
             eps=eps,
             sigmaE=sigmaE,
             sigmaGG=sigmaGG,
-            pi=self.data.prior_pi,
+            # copy: the state is donated by step functions and must not alias
+            # the per-chain data
+            pi=self.data.prior_pi + jnp.zeros((), dt),
             alpha=jnp.zeros((self.F,), dt),
             sigmaF=sigmaF,
         )

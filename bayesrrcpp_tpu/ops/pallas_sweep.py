@@ -352,7 +352,8 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
                         block_order, inner_perm, p_arr, z_arr,
                         pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
                         *, tile_n: int = 512, interpret: bool = False,
-                        x_mean=None, x_scale=None, max_call_blocks=None):
+                        x_mean=None, x_scale=None, max_call_blocks=None,
+                        inner_positional: bool = False):
     """Drop-in replacement for ops.block_sweep.bayesr_block_sweep on TPU.
 
     All f32 (the kernel accumulates in f32; X may be bf16).  Arrays arrive in
@@ -390,12 +391,17 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     # p/z and the within-block orders are indexed by sweep POSITION (grid
     # step); block-local state arrays are indexed by the block id via the
     # prefetched border permutation -- matching block_sweep's RNG semantics
-    inner_by_pos = inner_perm[block_order]
+    inner_by_pos = inner_perm if inner_positional else inner_perm[block_order]
 
+    # the sweep may cover a subset of blocks (one chunk of a sharded slice);
+    # positions are indexed within this sweep
+    n_rounds = block_order.shape[0]
+    if p_arr.shape[0] != n_rounds * B:
+        raise ValueError("p/z streams must have one entry per sweep position")
     # chunk the sweep so the scalar-prefetched permutations fit in SMEM
     # (~1MB); each call processes <=CB blocks, eps threads through, outputs
     # are position-ordered and scattered back into the marker layout
-    CB = max(1, min(nb, max_call_blocks or (65536 // B)))
+    CB = max(1, min(n_rounds, max_call_blocks or (65536 // B)))
     call = functools.partial(
         _sweep_call,
         B=B, TN=TN, interpret=interpret, quantized=quantized, packed=packed,
@@ -411,8 +417,8 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
 
     beta_cur = beta_pad.astype(f32).reshape(nb, B, 1)
     labels_cur = labels_pad.astype(jnp.int32).reshape(nb, B, 1)
-    p3 = p_arr.astype(f32).reshape(nb, B, 1)
-    z3 = z_arr.astype(f32).reshape(nb, B, 1)
+    p3 = p_arr.astype(f32).reshape(n_rounds, B, 1)
+    z3 = z_arr.astype(f32).reshape(n_rounds, B, 1)
     border_i = block_order.astype(jnp.int32)
     inner_i = inner_by_pos.astype(jnp.int32)
 
@@ -423,8 +429,8 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     beta_flat = beta_cur.reshape(Mpad)
     labels_flat = labels_cur.reshape(Mpad)
     lane = jnp.arange(B, dtype=border_i.dtype)
-    for c0 in range(0, nb, CB):
-        cb = min(CB, nb - c0)
+    for c0 in range(0, n_rounds, CB):
+        cb = min(CB, n_rounds - c0)
         border_c = lax.dynamic_slice_in_dim(border_i, c0, cb)
         out = call(border_c,
                    lax.dynamic_slice_in_dim(inner_i, c0, cb),
@@ -578,7 +584,8 @@ def _hs_call(border, inner, xt, gram, xsq3, valid3, z3, denom3, sd3, beta3,
 def horseshoe_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
                            block_order, inner_perm, z_arr,
                            lam_pad, tau, c2, sigmaE, valid_pad,
-                           *, tile_n: int = 512, interpret: bool = False):
+                           *, tile_n: int = 512, interpret: bool = False,
+                           inner_positional: bool = False):
     """Drop-in replacement for ops.block_sweep.horseshoe_block_sweep on TPU."""
     Mpad, N = XT_pad.shape
     nb, B, _ = gram.shape
@@ -588,7 +595,7 @@ def horseshoe_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
 
     eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
     xt = XT_pad if Npad == N else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)))
-    inner_by_pos = inner_perm[block_order]
+    inner_by_pos = inner_perm if inner_positional else inner_perm[block_order]
 
     # per-marker effective prior variance s_j = tau*c2*lam/(tau*lam + c2);
     # lambda is held fixed during the sweep so denom/sd precompute exactly

@@ -37,13 +37,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:
     from jax import shard_map as _shard_map  # jax >= 0.7 new API
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=True):
+        try:
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_vma)
+        except TypeError:  # older signature
+            return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _old_shard_map
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _old_shard_map(f, mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=True):
+        return _old_shard_map(f, mesh, in_specs=in_specs, out_specs=out_specs,
+                              check_rep=check_vma)
 
 from .. import distributions as dist
 from ..config import ChainConfig, GroupsConfig
@@ -70,12 +76,26 @@ class ShardedSpikeSlabSampler:
     """BayesR sampler sharded over a ("m", "n") device mesh."""
 
     def __init__(self, X, Y, cva, config, mesh: Mesh, *, g_assign=None,
-                 fixed=None, dtype=jnp.float32, variant: Optional[str] = None):
+                 fixed=None, dtype=jnp.float32, variant: Optional[str] = None,
+                 backend: str = "xla", chunk_blocks: Optional[int] = None):
         if tuple(mesh.axis_names) != (AXIS_M, AXIS_N):
             raise ValueError("mesh must have axis names ('m', 'n')")
         self.mesh = mesh
         self.Dm = mesh.shape[AXIS_M]
         self.Dn = mesh.shape[AXIS_N]
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and self.Dn != 1:
+            # the pallas local sweep computes r from full rows; shard markers
+            # only and keep eps replicated (eps is KBs, X is GBs -- the
+            # natural BayesR layout at pod scale)
+            raise ValueError("backend='pallas' requires an (m, 1) mesh")
+        self.backend = backend
+        # blocks each m-slice sweeps between cross-slice residual syncs:
+        # 1 = tightest (one psum per block round), larger = fewer collectives
+        # at the cost of a wider block-Jacobi staleness window
+        self.chunk_blocks = chunk_blocks
+        self._pallas_interpret = jax.devices()[0].platform != "tpu"
         if variant is None:
             variant = "groups" if isinstance(config, GroupsConfig) else "bayesr"
         self.variant = variant
@@ -184,7 +204,9 @@ class ShardedSpikeSlabSampler:
             jax.random.split(kG, self.G))
         sigmaF = (jax.random.uniform(kF, (), dtype=dt) if self.F > 0
                   else jnp.ones((), dt))
-        eps = self.Y  # mu=0, beta=0; padded rows are already exactly 0
+        # mu=0, beta=0; padded rows are already exactly 0.  Copy: the state
+        # is donated by the step functions and must not alias self.Y.
+        eps = self.Y + jnp.zeros((), self.dtype)
         sigmaE = jnp.sum(eps * eps) / self.N * 0.5
         sh = lambda spec: NamedSharding(self.mesh, spec)
         zeros_m = jax.device_put(jnp.zeros((self.Mpad,), dt), sh(P(AXIS_M)))
@@ -192,7 +214,7 @@ class ShardedSpikeSlabSampler:
         return SpikeSlabState(
             key=key, iteration=jnp.zeros((), jnp.int32), mu=jnp.zeros((), dt),
             beta=zeros_m, labels=zeros_l, eps=eps, sigmaE=sigmaE,
-            sigmaGG=sigmaGG, pi=self.data.prior_pi,
+            sigmaGG=sigmaGG, pi=self.data.prior_pi + jnp.zeros((), self.dtype),
             alpha=jnp.zeros((self.F,), dt), sigmaF=sigmaF)
 
     # ---------------------------------------------------------------- step
@@ -242,6 +264,12 @@ class ShardedSpikeSlabSampler:
         p_arr = jax.random.uniform(kp, (nb_loc, B), dtype=dt)
         z_arr = jax.random.normal(kz, (nb_loc, B), dt)
 
+        if self.backend == "pallas":
+            eps, beta, labels, v, bacc = self._pallas_local_sweep(
+                state, data, eps, border, inner, p_arr, z_arr)
+            return self._hypers(state, data, key, eps, mu, alpha, sigmaF,
+                                beta, labels, v, bacc, ksE, ksF, ksG, kpi)
+
         # carries that accumulate per-m-slice values must be marked varying
         # over "m" for shard_map's varying-axis tracking
         v0 = lax.pcast(jnp.zeros((G, self.K), dt), (AXIS_M,), to="varying")
@@ -272,6 +300,50 @@ class ShardedSpikeSlabSampler:
             round_body, (eps, state.beta, state.labels, v0, bacc0),
             (border, inner, p_arr, z_arr))
 
+        return self._hypers(state, data, key, eps, mu, alpha, sigmaF,
+                            beta, labels, v, bacc, ksE, ksF, ksG, kpi)
+
+    def _pallas_local_sweep(self, state, data, eps, border, inner,
+                            p_arr, z_arr):
+        """Local Gram-blocked sweep via the pallas kernel, in chunks of
+        ``chunk_blocks`` blocks with one cross-slice psum of the residual
+        update per chunk (requires an (m, 1) mesh)."""
+        from ..ops.pallas_sweep import bayesr_sweep_pallas
+
+        nb_loc, B, G, K = self.nb_loc, self.B, self.G, self.K
+        dt = self.dtype
+        C = min(self.chunk_blocks or 128, nb_loc)
+        beta, labels = state.beta, state.labels
+        v = lax.pcast(jnp.zeros((G, K), dt), (AXIS_M,), to="varying")
+        bacc = lax.pcast(jnp.zeros((G,), dt), (AXIS_M,), to="varying")
+        p_flat = p_arr.reshape(-1)
+        z_flat = z_arr.reshape(-1)
+        for c0 in range(0, nb_loc, C):
+            cb = min(C, nb_loc - c0)
+            border_c = lax.dynamic_slice_in_dim(border, c0, cb)
+            inner_c = lax.dynamic_slice_in_dim(inner, c0, cb)
+            # positions are local to the chunk; gather the chunk's own
+            # per-position randoms from the flat per-slice stream
+            p_c = lax.dynamic_slice_in_dim(p_flat, c0 * B, cb * B)
+            z_c = lax.dynamic_slice_in_dim(z_flat, c0 * B, cb * B)
+            res = bayesr_sweep_pallas(
+                data.XT, data.gram, data.xsq, eps, beta, labels,
+                border_c, inner_c, p_c, z_c,
+                state.pi, data.cva, state.sigmaE, state.sigmaGG,
+                data.g_assign, data.valid,
+                interpret=self._pallas_interpret, inner_positional=True)
+            delta_eps = res.eps - eps
+            eps = eps + lax.psum(delta_eps, AXIS_M)
+            beta, labels = res.beta, res.labels
+            v = v + res.v
+            bacc = bacc + res.beta_acum
+        return eps, beta, labels, v, bacc
+
+    def _hypers(self, state, data, key, eps, mu, alpha, sigmaF,
+                beta, labels, v, bacc, ksE, ksF, ksG, kpi):
+        cfg = self.config
+        N, F, G = self.N, self.F, self.G
+        dt = self.dtype
         v = lax.psum(v, AXIS_M)
         bacc = lax.psum(bacc, AXIS_M)
 
@@ -329,7 +401,8 @@ class ShardedSpikeSlabSampler:
 
             fn = jax.jit(shard_map(body, self.mesh,
                                    in_specs=(self.state_specs, self.data_specs),
-                                   out_specs=self.state_specs),
+                                   out_specs=self.state_specs,
+                                   check_vma=self.backend != "pallas"),
                          donate_argnums=(0,))
             self._run_steps_cache[n] = fn
         return fn
@@ -355,7 +428,8 @@ class ShardedSpikeSlabSampler:
 
             fn = jax.jit(shard_map(body, self.mesh,
                                    in_specs=(self.state_specs, self.data_specs),
-                                   out_specs=(self.state_specs, row_specs)),
+                                   out_specs=(self.state_specs, row_specs),
+                                   check_vma=self.backend != "pallas"),
                          donate_argnums=(0,))
             self._emit_cache[kk] = fn
         return fn

@@ -85,3 +85,21 @@ def test_groups_fixed_effects_sharded():
     alpha_hat = out["alpha"].mean(axis=0)
     np.testing.assert_allclose(alpha_hat, sim.alpha_true, atol=0.2)
     assert np.isfinite(out["beta"]).all()
+
+
+def test_pallas_sharded_recovery(sim):
+    """Pallas local sweeps + chunked psum on an (m, 1) mesh: posterior holds."""
+    s = ShardedSpikeSlabSampler(sim.X, sim.Y, CVA, BayesRConfig(block_size=32),
+                                make_mesh(4, 1), dtype=jnp.float32,
+                                backend="pallas", chunk_blocks=2)
+    chain = ChainConfig(max_iterations=400, burn_in=200, thinning=2)
+    _, out = s.run(jax.random.PRNGKey(5), chain)
+    beta_hat = out["beta"].mean(axis=0)
+    corr = np.corrcoef(sim.beta_true, beta_hat)[0, 1]
+    assert corr > 0.8
+    # residual bookkeeping stays exact under chunked psum
+    st, _ = s.run(jax.random.PRNGKey(6), ChainConfig(5, 1, 1), collect=False)
+    beta = np.asarray(st.beta)[: s.M]
+    eps_direct = sim.Y - float(st.mu) - sim.X @ beta
+    np.testing.assert_allclose(np.asarray(st.eps)[: s.N], eps_direct,
+                               atol=5e-3)
