@@ -325,8 +325,11 @@ class SpikeSlabSampler:
         scales_np = np.asarray(x_stats[1], np.float64)
         scales_np = np.where(scales_np > 0,
                              1.0 / np.where(scales_np > 0, scales_np, 1.0), 0.0)
-        # pad markers with all-missing words (0b11... = -1)
-        words = jnp.pad(words, ((0, Mpad - M), (0, 0)), constant_values=-1)
+        # pad markers with all-missing words (0b11... = -1); skip the no-op
+        # pad -- eager jnp.pad would duplicate a biobank-sized array
+        if Mpad != M:
+            words = jnp.pad(words, ((0, Mpad - M), (0, 0)),
+                            constant_values=-1)
         mean = jnp.asarray(np.pad(means, (0, Mpad - M)), jnp.float32)
         scale = jnp.asarray(np.pad(scales_np, (0, Mpad - M)), jnp.float32)
 

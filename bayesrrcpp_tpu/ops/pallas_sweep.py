@@ -245,9 +245,6 @@ def _sweep_kernel_q(border_ref, inner_ref, xt_ref, mean3_ref, scale3_ref,
                          packed=packed)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("B", "TN", "interpret", "quantized",
-                                    "packed"))
 def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
                 beta3, labels3, eps2d, pi, cva, sgg, se, *,
                 B, TN, interpret, quantized=False, packed=False,
@@ -338,11 +335,6 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * nb_call * B * Npad + 2 * nb_call * B * B,
-            bytes_accessed=2 * xt.size * xt.dtype.itemsize + gram.size * 4,
-            transcendentals=nb_call * B * K * K,
         ),
     )(border, inner, *x_args, gram, xsq, gas, valid, p, z,
       beta3, labels3, eps2d, pi, cva, sgg, se)
@@ -522,7 +514,6 @@ def _hs_kernel(border_ref, inner_ref,
         eps_out[:, pl.ds(t * TN, TN)] -= upd
 
 
-@functools.partial(jax.jit, static_argnames=("B", "TN", "interpret"))
 def _hs_call(border, inner, xt, gram, xsq3, valid3, z3, denom3, sd3, beta3,
              eps2d, *, B, TN, interpret):
     nb = gram.shape[0]

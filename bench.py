@@ -58,20 +58,35 @@ def main():
     key = jax.random.PRNGKey(0)
     kx, kb, kn, kc = jax.random.split(key, 4)
 
+    x_dtype = os.environ.get("BENCH_XDTYPE", "dense")  # dense | int8 | 2bit
     t0 = time.perf_counter()
-    XT = jax.random.normal(kx, (M, N), jnp.float32)
-    n_causal = max(1, M // 100)
-    beta = jnp.where(jax.random.uniform(kb, (M,)) < n_causal / M,
-                     jax.random.normal(kn, (M,)) * jnp.sqrt(0.5 / n_causal),
-                     0.0)
-    Y = beta @ XT + jax.random.normal(kc, (N,)) * jnp.sqrt(0.5)
+    extra = {}
+    if x_dtype == "2bit":
+        N = -(-N // 2048) * 2048
+        XT = jax.random.randint(kx, (M, N // 16), -(2 ** 31), 2 ** 31 - 1,
+                                jnp.int32)
+        extra = dict(x_dtype="2bit",
+                     x_stats=(np.full(M, 1.0), np.full(M, 0.8165)))
+        Y = jax.random.normal(kc, (N,), jnp.float32)
+    elif x_dtype == "int8":
+        XT = jax.random.randint(kx, (M, N), 0, 3, dtype=jnp.int8)
+        extra = dict(x_dtype="int8",
+                     x_stats=(np.full(M, 1.0), np.full(M, np.sqrt(2 / 3))))
+        Y = jax.random.normal(kc, (N,), jnp.float32)
+    else:
+        XT = jax.random.normal(kx, (M, N), jnp.float32)
+        n_causal = max(1, M // 100)
+        beta = jnp.where(jax.random.uniform(kb, (M,)) < n_causal / M,
+                         jax.random.normal(kn, (M,)) * jnp.sqrt(0.5 / n_causal),
+                         0.0)
+        Y = beta @ XT + jax.random.normal(kc, (N,)) * jnp.sqrt(0.5)
     Y.block_until_ready()
     gen_s = time.perf_counter() - t0
 
     cva = np.array([0.0001, 0.001, 0.01], np.float64)
     t0 = time.perf_counter()
     sampler = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
-                               transposed=True, dtype=jnp.float32)
+                               transposed=True, dtype=jnp.float32, **extra)
     jax.block_until_ready(sampler.data.gram)
     setup_s = time.perf_counter() - t0
 
@@ -96,6 +111,7 @@ def main():
         "unit": "SNP-updates/s",
         "vs_baseline": round(rate / base, 2),
         "config": {"N": N, "M": M, "iters": iters, "block": B,
+                   "x_dtype": x_dtype,
                    "platform": platform,
                    "iter_ms": round(1e3 * elapsed / iters, 1),
                    "gibbs_iters_per_min": round(60 * iters / elapsed, 2),
