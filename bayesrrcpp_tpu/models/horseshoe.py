@@ -87,6 +87,15 @@ class HorseshoeSampler:
                                   donate_argnums=(0,))
         self._emit_chunk = jax.jit(self._emit_chunk_impl, static_argnums=(2, 3),
                                    donate_argnums=(0,))
+        # multi-chain variants (vmap over the chain axis)
+        self._vrun_steps = jax.jit(
+            lambda s, d, n: lax.fori_loop(
+                0, n,
+                lambda i, st: jax.vmap(self._step_impl, in_axes=(0, None))(st, d),
+                s),
+            static_argnums=(2,), donate_argnums=(0,))
+        self._vemit_chunk = jax.jit(self._vemit_chunk_impl,
+                                    static_argnums=(2, 3), donate_argnums=(0,))
 
     # ------------------------------------------------------------------ init
 
@@ -213,6 +222,48 @@ class HorseshoeSampler:
             return state, self._emit_one(state)
 
         return lax.scan(body, state, None, length=n_emits)
+
+    def _vemit_chunk_impl(self, state, data, n_emits, thinning):
+        def body(state, _):
+            state = lax.fori_loop(
+                0, thinning,
+                lambda i, st: jax.vmap(self._step_impl, in_axes=(0, None))(st, data),
+                state)
+            return state, jax.vmap(self._emit_one)(state)
+
+        return lax.scan(body, state, None, length=n_emits)
+
+    def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
+                   collect: bool = True, emit_chunk: int = 32):
+        """Run ``n_chains`` independent horseshoe chains batched on one device."""
+        import numpy as np
+
+        keys = jax.random.split(key, n_chains)
+        state = jax.vmap(self.init)(keys)
+        emits = list(chain.emit_iterations())
+        collected = []
+        if not emits:
+            state = self._vrun_steps(state, self.data, chain.max_iterations)
+        else:
+            state = self._vrun_steps(state, self.data, emits[0] + 1)
+            state, first = self._vemit_chunk(state, self.data, 1, 0)
+            self._deliver(first, None, collected if collect else None)
+            remaining = len(emits) - 1
+            done = 0
+            while done < remaining:
+                n = min(emit_chunk, remaining - done)
+                state, rows = self._vemit_chunk(state, self.data, n,
+                                                chain.thinning)
+                self._deliver(rows, None, collected if collect else None)
+                done += n
+            tail = chain.max_iterations - (emits[-1] + 1)
+            if tail > 0:
+                state = self._vrun_steps(state, self.data, tail)
+        out = None
+        if collect:
+            out = {k: np.concatenate([c[k] for c in collected], axis=0)
+                   for k in collected[0]} if collected else {}
+        return state, out
 
     def run(self, key_or_state, chain: ChainConfig, *, sink=None,
             collect: bool = True, emit_chunk: int = 32):

@@ -482,3 +482,308 @@ class ShardedSpikeSlabSampler:
             collected.append(rows)
         if sink is not None:
             sink.write(rows)
+
+
+class ShardedHorseshoeSampler:
+    """Regularized-horseshoe sampler sharded over a ("m", "n") device mesh.
+
+    Same layout as ShardedSpikeSlabSampler: markers (and the per-marker
+    lambda/v scales) column-sharded over "m", individuals over "n"; the dense
+    sweep is block-Jacobi across m-slices with one residual psum per round
+    ("xla" backend) or per chunk ("pallas" backend, (m, 1) meshes).
+    """
+
+    def __init__(self, X, Y, config, mesh: Mesh, *, dtype=jnp.float32,
+                 backend: str = "xla", chunk_blocks: Optional[int] = None):
+        from ..models.state import HorseshoeState
+        from ..ops.block_sweep import horseshoe_inner_solve  # noqa: F401
+
+        if tuple(mesh.axis_names) != (AXIS_M, AXIS_N):
+            raise ValueError("mesh must have axis names ('m', 'n')")
+        self.mesh = mesh
+        self.Dm = mesh.shape[AXIS_M]
+        self.Dn = mesh.shape[AXIS_N]
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "pallas" and self.Dn != 1:
+            raise ValueError("backend='pallas' requires an (m, 1) mesh")
+        self.backend = backend
+        self.chunk_blocks = chunk_blocks
+        self._pallas_interpret = jax.devices()[0].platform != "tpu"
+        self.config = config
+        self.dtype = jnp.dtype(dtype)
+
+        X = np.asarray(X)
+        Y = np.asarray(Y)
+        N, M = X.shape
+        B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
+        Mpad = -(-M // (B * self.Dm)) * (B * self.Dm)
+        Npad = -(-N // self.Dn) * self.Dn
+        self.N, self.M, self.Mpad, self.Npad = N, M, Mpad, Npad
+        self.B = B
+        self.Mloc = Mpad // self.Dm
+        self.nb_loc = self.Mloc // B
+        self.Nloc = Npad // self.Dn
+
+        XTh = np.zeros((Mpad, Npad), self.dtype)
+        XTh[:M, :N] = X.T
+        xsq = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
+
+        sh = lambda spec: NamedSharding(mesh, spec)
+        XT = jax.device_put(XTh, sh(P(AXIS_M, AXIS_N)))
+        gram = self._gram(XT)
+        self.data = {
+            "XT": XT,
+            "xsq": jax.device_put(jnp.asarray(xsq), sh(P(AXIS_M))),
+            "gram": gram,
+            "valid": jax.device_put(jnp.asarray(np.arange(Mpad) < M),
+                                    sh(P(AXIS_M))),
+            "row_valid": jax.device_put(jnp.asarray(np.arange(Npad) < N),
+                                        sh(P(AXIS_N))),
+        }
+        self.Y = jax.device_put(
+            jnp.asarray(np.pad(Y.astype(self.dtype), (0, Npad - N))),
+            sh(P(AXIS_N)))
+
+        self.state_specs = HorseshoeState(
+            key=P(), iteration=P(), mu=P(), beta=P(AXIS_M), eps=P(AXIS_N),
+            sigmaE=P(), lam=P(AXIS_M), v=P(AXIS_M), tau=P(), eta=P(), c2=P())
+        self.data_specs = {
+            "XT": P(AXIS_M, AXIS_N), "xsq": P(AXIS_M),
+            "gram": P(AXIS_M, None, None), "valid": P(AXIS_M),
+            "row_valid": P(AXIS_N),
+        }
+        self._run_steps_cache = {}
+        self._emit_cache = {}
+
+    def _gram(self, XT):
+        B, nb_loc, Nloc = self.B, self.nb_loc, self.Nloc
+
+        def gram_shard(xt_loc):
+            blocks = xt_loc.reshape(nb_loc, B, Nloc)
+            g_part = lax.map(lambda xb: xb @ xb.T, blocks)
+            return lax.psum(g_part, AXIS_N)
+
+        return jax.jit(shard_map(gram_shard, self.mesh,
+                                 in_specs=P(AXIS_M, AXIS_N),
+                                 out_specs=P(AXIS_M, None, None)))(XT)
+
+    def init(self, key):
+        from ..models.state import HorseshoeState
+
+        cfg = self.config
+        key, keta, ktau = jax.random.split(key, 3)
+        dt = self.dtype
+        mu = jnp.zeros((), dt)
+        eps = self.Y - mu
+        sigmaE = jnp.sum(eps * eps) / self.N * 0.5
+        eta = dist.inv_gamma_rate_rng(keta, 0.5, 1.0 / (sigmaE * cfg.A ** 2))
+        tau = (1.0 / eta) * dist.inv_gamma_rate_rng(ktau, 0.5 * cfg.vT, cfg.vT)
+        sh = lambda spec: NamedSharding(self.mesh, spec)
+        ones_m = jax.device_put(jnp.ones((self.Mpad,), dt),
+                                sh(P(AXIS_M)))
+        zeros_m = jax.device_put(jnp.zeros((self.Mpad,), dt), sh(P(AXIS_M)))
+        return HorseshoeState(
+            key=key, iteration=jnp.zeros((), jnp.int32), mu=mu, beta=zeros_m,
+            eps=eps, sigmaE=sigmaE.astype(dt), lam=ones_m,
+            v=ones_m + jnp.zeros((), dt), tau=tau.astype(dt),
+            eta=eta.astype(dt), c2=jnp.asarray(cfg.c2, dt))
+
+    # ---------------------------------------------------------------- step
+
+    def _step_local(self, state, data):
+        from ..models.state import HorseshoeState
+        from ..ops.block_sweep import horseshoe_inner_solve
+
+        cfg = self.config
+        N, M, Mpad = self.N, self.M, self.Mpad
+        B, nb_loc = self.B, self.nb_loc
+        dt = self.dtype
+        im = lax.axis_index(AXIS_M)
+        (key, kmu, keta, kv, ksweep, klam, ktau, kc2, ksE) = \
+            jax.random.split(state.key, 9)
+
+        rv = data["row_valid"]
+        eps = jnp.where(rv, state.eps + state.mu, 0.0)
+        s_eps = lax.psum(jnp.sum(eps), AXIS_N)
+        mu = dist.norm_rng(kmu, s_eps / N, state.sigmaE / N)
+        eps = jnp.where(rv, eps - mu, 0.0)
+
+        eta = dist.inv_gamma_rate_rng(
+            keta, 0.5 + 0.5 * cfg.vT,
+            1.0 / (state.sigmaE * cfg.A * cfg.A) + cfg.vT / state.tau)
+        # local auxiliaries: per-m-slice keys, identical across n
+        key_m = jax.random.fold_in(kv, im)
+        Mloc = self.Mloc
+        gv = jax.random.gamma(key_m, jnp.full((Mloc,), 0.5 + 0.5 * cfg.vL, dt),
+                              dtype=dt)
+        v = (cfg.vL / state.lam + 1.0) / gv
+
+        # ---- dense sweep, block-Jacobi across m-slices
+        key_s = jax.random.fold_in(ksweep, im)
+        kb, ki, kz = jax.random.split(key_s, 3)
+        border = jax.random.permutation(kb, nb_loc)
+        inner = jax.vmap(lambda k: jax.random.permutation(k, B))(
+            jax.random.split(ki, nb_loc))
+        z_arr = jax.random.normal(kz, (nb_loc, B), dt)
+
+        if self.backend == "pallas":
+            from ..ops.pallas_sweep import horseshoe_sweep_pallas
+
+            C = min(self.chunk_blocks or 128, nb_loc)
+            beta = state.beta
+            z_flat = z_arr.reshape(-1)
+            for c0 in range(0, nb_loc, C):
+                cb = min(C, nb_loc - c0)
+                eps_new, beta = horseshoe_sweep_pallas(
+                    data["XT"], data["gram"], data["xsq"], eps, beta,
+                    lax.dynamic_slice_in_dim(border, c0, cb),
+                    lax.dynamic_slice_in_dim(inner, c0, cb),
+                    lax.dynamic_slice_in_dim(z_flat, c0 * B, cb * B),
+                    state.lam, state.tau, state.c2, state.sigmaE,
+                    data["valid"], interpret=self._pallas_interpret,
+                    inner_positional=True)
+                eps = eps + lax.psum(eps_new - eps, AXIS_M)
+        else:
+            def round_body(carry, xs):
+                eps, beta = carry
+                b, inr, z_b = xs
+                start = b * B
+                Xb = lax.dynamic_slice_in_dim(data["XT"], start, B, axis=0)
+                Gb = data["gram"][b]
+                beta_b = lax.dynamic_slice_in_dim(beta, start, B)
+                xsq_b = lax.dynamic_slice_in_dim(data["xsq"], start, B)
+                lam_b = lax.dynamic_slice_in_dim(state.lam, start, B)
+                valid_b = lax.dynamic_slice_in_dim(data["valid"], start, B)
+                r = lax.psum(Xb @ eps, AXIS_N)
+                r, beta_b, delta = horseshoe_inner_solve(
+                    r, Gb, beta_b, xsq_b, lam_b, valid_b, inr, z_b,
+                    state.tau, state.c2, state.sigmaE)
+                eps = eps - lax.psum(delta @ Xb, AXIS_M)
+                beta = lax.dynamic_update_slice_in_dim(beta, beta_b, start,
+                                                       axis=0)
+                return (eps, beta), None
+
+            (eps, beta), _ = lax.scan(round_body, (eps, state.beta),
+                                      (border, inner, z_arr))
+
+        # ---- local/global scale updates
+        key_l = jax.random.fold_in(klam, im)
+        glam = jax.random.gamma(key_l, jnp.full((Mloc,), 0.5 + 0.5 * cfg.vL, dt),
+                                dtype=dt)
+        lam = (cfg.vL / v + 0.5 * beta * beta / state.tau) / glam
+        bl = jnp.where(data["valid"], beta * beta / lam, 0.0)
+        sum_bl = lax.psum(jnp.sum(bl), AXIS_M)
+        tau = dist.inv_gamma_rate_rng(
+            ktau, 0.5 * (M + cfg.vT), cfg.vT / eta + 0.5 * sum_bl)
+        bsq = lax.psum(jnp.sum(beta * beta), AXIS_M)
+        c2 = dist.inv_gamma_rate_rng(
+            kc2, 0.5 * cfg.vC + 0.5 * M, 0.5 * cfg.vC * cfg.sC + 0.5 * bsq)
+        ss_eps = lax.psum(jnp.sum(eps * eps), AXIS_N)
+        sigmaE = dist.inv_scaled_chisq_rng(
+            ksE, cfg.v0E + N,
+            (ss_eps + cfg.v0E * cfg.s02E) / (cfg.v0E + N)).astype(dt)
+
+        return HorseshoeState(
+            key=key, iteration=state.iteration + 1, mu=mu, beta=beta, eps=eps,
+            sigmaE=sigmaE, lam=lam, v=v, tau=tau.astype(dt),
+            eta=eta.astype(dt), c2=c2.astype(dt))
+
+    # ------------------------------------------------------------- drivers
+
+    def _emit_one(self, state):
+        return {
+            "iteration": state.iteration - 1,
+            "mu": state.mu,
+            "beta": state.beta,
+            "sigmaE": state.sigmaE,
+            "tau": state.tau,
+            "lambda": state.lam,
+            "epsilon": state.eps,
+        }
+
+    def _get_run_steps(self, n: int):
+        fn = self._run_steps_cache.get(n)
+        if fn is None:
+            def body(state, data):
+                return lax.fori_loop(
+                    0, n, lambda i, s: self._step_local(s, data), state)
+
+            fn = jax.jit(shard_map(body, self.mesh,
+                                   in_specs=(self.state_specs, self.data_specs),
+                                   out_specs=self.state_specs,
+                                   check_vma=self.backend != "pallas"),
+                         donate_argnums=(0,))
+            self._run_steps_cache[n] = fn
+        return fn
+
+    def _get_emit_chunk(self, n_emits: int, thinning: int):
+        kk = (n_emits, thinning)
+        fn = self._emit_cache.get(kk)
+        if fn is None:
+            row_specs = {
+                "iteration": P(), "mu": P(), "beta": P(None, AXIS_M),
+                "sigmaE": P(), "tau": P(), "lambda": P(None, AXIS_M),
+                "epsilon": P(None, AXIS_N),
+            }
+
+            def body(state, data):
+                def one(state, _):
+                    state = lax.fori_loop(
+                        0, thinning, lambda i, s: self._step_local(s, data),
+                        state)
+                    return state, self._emit_one(state)
+
+                return lax.scan(one, state, None, length=n_emits)
+
+            fn = jax.jit(shard_map(body, self.mesh,
+                                   in_specs=(self.state_specs, self.data_specs),
+                                   out_specs=(self.state_specs, row_specs),
+                                   check_vma=self.backend != "pallas"),
+                         donate_argnums=(0,))
+            self._emit_cache[kk] = fn
+        return fn
+
+    def step(self, state):
+        return self._get_run_steps(1)(state, self.data)
+
+    def run(self, key_or_state, chain: ChainConfig, *, collect: bool = True,
+            emit_chunk: int = 32):
+        from ..models.state import HorseshoeState
+
+        state = (key_or_state if isinstance(key_or_state, HorseshoeState)
+                 else self.init(key_or_state))
+        emits = list(chain.emit_iterations())
+        collected = []
+        if not emits:
+            state = self._get_run_steps(chain.max_iterations)(state, self.data)
+        else:
+            pre = emits[0] + 1 - int(state.iteration)
+            if pre > 0:
+                state = self._get_run_steps(pre)(state, self.data)
+            state, first = self._get_emit_chunk(1, 0)(state, self.data)
+            self._deliver(first, collected if collect else None)
+            remaining = len(emits) - 1
+            done = 0
+            while done < remaining:
+                n = min(emit_chunk, remaining - done)
+                state, rows = self._get_emit_chunk(n, chain.thinning)(
+                    state, self.data)
+                self._deliver(rows, collected if collect else None)
+                done += n
+            tail = chain.max_iterations - (emits[-1] + 1)
+            if tail > 0:
+                state = self._get_run_steps(tail)(state, self.data)
+        out = None
+        if collect:
+            out = {k: np.concatenate([c[k] for c in collected], axis=0)
+                   for k in collected[0]} if collected else {}
+        return state, out
+
+    def _deliver(self, rows, collected):
+        rows = jax.tree.map(np.asarray, rows)
+        rows["beta"] = rows["beta"][:, : self.M]
+        rows["lambda"] = rows["lambda"][:, : self.M]
+        rows["epsilon"] = rows["epsilon"][:, : self.N]
+        if collected is not None:
+            collected.append(rows)

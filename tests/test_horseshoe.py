@@ -65,3 +65,15 @@ def test_recovery(sim):
     sigmaE_hat = out["sigmaE"].mean()
     noise_var = np.var(sim.Y - sim.X @ sim.beta_true)
     assert sigmaE_hat == pytest.approx(noise_var, rel=0.4)
+
+
+def test_multi_chain(sim):
+    cfg = _hs_config(600, 400, 30)
+    s = HorseshoeSampler(sim.X, sim.Y, cfg, backend="blocked",
+                         dtype=jnp.float64)
+    chain = ChainConfig(max_iterations=200, burn_in=100, thinning=4)
+    states, out = s.run_chains(jax.random.PRNGKey(9), 3, chain)
+    n_emits = len(list(chain.emit_iterations()))
+    assert out["beta"].shape == (n_emits, 3, s.M)
+    assert not np.allclose(out["beta"][:, 0], out["beta"][:, 1])
+    assert np.isfinite(out["tau"]).all()

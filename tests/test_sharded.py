@@ -103,3 +103,25 @@ def test_pallas_sharded_recovery(sim):
     eps_direct = sim.Y - float(st.mu) - sim.X @ beta
     np.testing.assert_allclose(np.asarray(st.eps)[: s.N], eps_direct,
                                atol=5e-3)
+
+
+def test_sharded_horseshoe(sim):
+    from bayesrrcpp_tpu import HorseshoeConfig
+    from bayesrrcpp_tpu.parallel.sharded import ShardedHorseshoeSampler
+
+    cfg = HorseshoeConfig(A=0.05, block_size=32)
+    for mesh, backend in [(make_mesh(2, 2), "xla"), (make_mesh(4, 1), "pallas")]:
+        s = ShardedHorseshoeSampler(sim.X, sim.Y, cfg, mesh,
+                                    dtype=jnp.float64 if backend == "xla"
+                                    else jnp.float32, backend=backend)
+        chain = ChainConfig(max_iterations=300, burn_in=150, thinning=3)
+        _, out = s.run(jax.random.PRNGKey(7), chain)
+        beta_hat = out["beta"].mean(axis=0)
+        corr = np.corrcoef(sim.beta_true, beta_hat)[0, 1]
+        assert corr > 0.75, (backend, corr)
+        assert np.all(out["tau"] > 0)
+        st, _ = s.run(jax.random.PRNGKey(8), ChainConfig(4, 1, 1),
+                      collect=False)
+        eps_direct = sim.Y - float(st.mu) - sim.X @ np.asarray(st.beta)[: s.M]
+        np.testing.assert_allclose(np.asarray(st.eps)[: s.N], eps_direct,
+                                   atol=5e-3)
