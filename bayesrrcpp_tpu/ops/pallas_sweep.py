@@ -345,7 +345,7 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
                         pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
                         *, tile_n: int = 512, interpret: bool = False,
                         x_mean=None, x_scale=None, max_call_blocks=None,
-                        inner_positional: bool = False):
+                        inner_positional: bool = False, slice_x=None):
     """Drop-in replacement for ops.block_sweep.bayesr_block_sweep on TPU.
 
     All f32 (the kernel accumulates in f32; X may be bf16).  Arrays arrive in
@@ -394,16 +394,25 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     # (~1MB); each call processes <=CB blocks, eps threads through, outputs
     # are position-ordered and scattered back into the marker layout
     CB = max(1, min(n_rounds, max_call_blocks or (65536 // B)))
+    # XLA stages custom-call operands through a scoped-memory copy of the
+    # WHOLE operand; at biobank sizes that transient copy of X is the HBM
+    # bottleneck.  When X is large, gather each chunk's blocks first so only
+    # the ~1/n_chunks slice is staged (costs one extra streaming pass of X
+    # per sweep).
+    xrow = xt.shape[1]
+    slice_per_call = (slice_x if slice_x is not None
+                      else (xt.size * xt.dtype.itemsize > (3 << 30)
+                            and n_rounds > CB))
     call = functools.partial(
         _sweep_call,
-        B=B, TN=TN, interpret=interpret, quantized=quantized, packed=packed,
-        x_mean3=(None if not quantized
-                 else x_mean.astype(f32).reshape(nb, B, 1)),
-        x_scale3=(None if not quantized
-                  else x_scale.astype(f32).reshape(nb, B, 1)))
-    common = (xt, gram, xsq_pad.astype(f32).reshape(nb, B, 1),
-              g_assign_pad.astype(jnp.int32).reshape(nb, B, 1),
-              valid_pad.astype(jnp.int32).reshape(nb, B, 1))
+        B=B, TN=TN, interpret=interpret, quantized=quantized, packed=packed)
+    mean3 = (None if not quantized
+             else x_mean.astype(f32).reshape(nb, B, 1))
+    scale3 = (None if not quantized
+              else x_scale.astype(f32).reshape(nb, B, 1))
+    xsq3 = xsq_pad.astype(f32).reshape(nb, B, 1)
+    gas3 = g_assign_pad.astype(jnp.int32).reshape(nb, B, 1)
+    valid3 = valid_pad.astype(jnp.int32).reshape(nb, B, 1)
     tail = (pi.astype(f32), cva.astype(f32),
             sigmaGG.astype(f32), sigmaE.astype(f32).reshape(1))
 
@@ -421,17 +430,35 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     beta_flat = beta_cur.reshape(Mpad)
     labels_flat = labels_cur.reshape(Mpad)
     lane = jnp.arange(B, dtype=border_i.dtype)
+    xt_blocks = xt.reshape(nb, B, xrow)
     for c0 in range(0, n_rounds, CB):
         cb = min(CB, n_rounds - c0)
         border_c = lax.dynamic_slice_in_dim(border_i, c0, cb)
-        out = call(border_c,
+        if slice_per_call:
+            # gather this chunk's blocks; the call then indexes positionally
+            xt_c = jnp.take(xt_blocks, border_c, axis=0).reshape(cb * B, xrow)
+            gram_c = jnp.take(gram, border_c, axis=0)
+            take3 = lambda a: jnp.take(a, border_c, axis=0)
+            args_c = (xt_c, gram_c, take3(xsq3), take3(gas3), take3(valid3))
+            mean_c = None if not quantized else take3(mean3)
+            scale_c = None if not quantized else take3(scale3)
+            beta_in = jnp.take(beta_flat.reshape(nb, B, 1), border_c, axis=0)
+            labels_in = jnp.take(labels_flat.reshape(nb, B, 1), border_c,
+                                 axis=0)
+            border_call = jnp.arange(cb, dtype=jnp.int32)
+        else:
+            args_c = (xt, gram, xsq3, gas3, valid3)
+            mean_c, scale_c = mean3, scale3
+            beta_in = beta_flat.reshape(nb, B, 1)
+            labels_in = labels_flat.reshape(nb, B, 1)
+            border_call = border_c
+        out = call(border_call,
                    lax.dynamic_slice_in_dim(inner_i, c0, cb),
-                   *common,
+                   *args_c,
                    lax.dynamic_slice_in_dim(p3, c0, cb, axis=0),
                    lax.dynamic_slice_in_dim(z3, c0, cb, axis=0),
-                   beta_flat.reshape(nb, B, 1),
-                   labels_flat.reshape(nb, B, 1),
-                   eps2d, *tail)
+                   beta_in, labels_in,
+                   eps2d, *tail, x_mean3=mean_c, x_scale3=scale_c)
         eps2d, beta_c, labels_c, v_c, bacc_c = out
         idx = (border_c[:, None] * B + lane[None, :]).reshape(-1)
         beta_flat = beta_flat.at[idx].set(beta_c.reshape(-1))

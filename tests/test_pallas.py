@@ -188,6 +188,14 @@ def test_chunked_calls_equal_single_call():
             p, z, st.pi, d.cva, st.sigmaE, st.sigmaGG, d.g_assign, d.valid)
     one = bayesr_sweep_pallas(*args, interpret=True)
     many = bayesr_sweep_pallas(*args, interpret=True, max_call_blocks=3)
+    sliced = bayesr_sweep_pallas(*args, interpret=True, max_call_blocks=3,
+                                 slice_x=True)
+    np.testing.assert_array_equal(np.asarray(many.labels),
+                                  np.asarray(sliced.labels))
+    np.testing.assert_allclose(np.asarray(many.beta), np.asarray(sliced.beta),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(many.eps), np.asarray(sliced.eps),
+                               rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(one.labels), np.asarray(many.labels))
     np.testing.assert_allclose(np.asarray(one.beta), np.asarray(many.beta),
                                rtol=1e-6)
