@@ -248,7 +248,7 @@ def _sweep_kernel_q(border_ref, inner_ref, xt_ref, mean3_ref, scale3_ref,
 def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
                 beta3, labels3, eps2d, pi, cva, sgg, se, *,
                 B, TN, interpret, quantized=False, packed=False,
-                x_mean3=None, x_scale3=None):
+                x_mean3=None, x_scale3=None, xt_positional=False):
     nb_call = border.shape[0]   # blocks processed by THIS call (may be a
                                 # chunk of the full sweep: the scalar-prefetch
                                 # permutations must fit in ~1MB SMEM)
@@ -266,7 +266,7 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
         return (b, 0)
 
     def im_xt(b, ph, t, border_ref, inner_ref):
-        return (border_ref[b], t)
+        return (b if xt_positional else border_ref[b], t)
 
     def im_full(b, ph, t, border_ref, inner_ref):
         return (0, 0)
@@ -403,6 +403,8 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     slice_per_call = (slice_x if slice_x is not None
                       else (xt.size * xt.dtype.itemsize > (3 << 30)
                             and n_rounds > CB))
+    if slice_per_call:
+        CB = min(CB, 64)
     call = functools.partial(
         _sweep_call,
         B=B, TN=TN, interpret=interpret, quantized=quantized, packed=packed)
@@ -435,30 +437,20 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         cb = min(CB, n_rounds - c0)
         border_c = lax.dynamic_slice_in_dim(border_i, c0, cb)
         if slice_per_call:
-            # gather this chunk's blocks; the call then indexes positionally
+            # gather only this chunk's X blocks (the one biobank-sized
+            # operand); everything else stays whole + border-indexed
             xt_c = jnp.take(xt_blocks, border_c, axis=0).reshape(cb * B, xrow)
-            gram_c = jnp.take(gram, border_c, axis=0)
-            take3 = lambda a: jnp.take(a, border_c, axis=0)
-            args_c = (xt_c, gram_c, take3(xsq3), take3(gas3), take3(valid3))
-            mean_c = None if not quantized else take3(mean3)
-            scale_c = None if not quantized else take3(scale3)
-            beta_in = jnp.take(beta_flat.reshape(nb, B, 1), border_c, axis=0)
-            labels_in = jnp.take(labels_flat.reshape(nb, B, 1), border_c,
-                                 axis=0)
-            border_call = jnp.arange(cb, dtype=jnp.int32)
         else:
-            args_c = (xt, gram, xsq3, gas3, valid3)
-            mean_c, scale_c = mean3, scale3
-            beta_in = beta_flat.reshape(nb, B, 1)
-            labels_in = labels_flat.reshape(nb, B, 1)
-            border_call = border_c
-        out = call(border_call,
+            xt_c = xt
+        out = call(border_c,
                    lax.dynamic_slice_in_dim(inner_i, c0, cb),
-                   *args_c,
+                   xt_c, gram, xsq3, gas3, valid3,
                    lax.dynamic_slice_in_dim(p3, c0, cb, axis=0),
                    lax.dynamic_slice_in_dim(z3, c0, cb, axis=0),
-                   beta_in, labels_in,
-                   eps2d, *tail, x_mean3=mean_c, x_scale3=scale_c)
+                   beta_flat.reshape(nb, B, 1),
+                   labels_flat.reshape(nb, B, 1),
+                   eps2d, *tail, x_mean3=mean3, x_scale3=scale3,
+                   xt_positional=slice_per_call)
         eps2d, beta_c, labels_c, v_c, bacc_c = out
         idx = (border_c[:, None] * B + lane[None, :]).reshape(-1)
         beta_flat = beta_flat.at[idx].set(beta_c.reshape(-1))
