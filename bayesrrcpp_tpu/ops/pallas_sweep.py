@@ -433,20 +433,19 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     labels_flat = labels_cur.reshape(Mpad)
     lane = jnp.arange(B, dtype=border_i.dtype)
     xt_blocks = xt.reshape(nb, B, xrow)
-    for c0 in range(0, n_rounds, CB):
-        cb = min(CB, n_rounds - c0)
-        border_c = lax.dynamic_slice_in_dim(border_i, c0, cb)
+
+    def run_chunk(carry, xs):
+        eps2d, beta_flat, labels_flat, v_tot, bacc_tot = carry
+        border_c, inner_c, p_c, z_c = xs
+        cb = border_c.shape[0]
         if slice_per_call:
             # gather only this chunk's X blocks (the one biobank-sized
             # operand); everything else stays whole + border-indexed
             xt_c = jnp.take(xt_blocks, border_c, axis=0).reshape(cb * B, xrow)
         else:
             xt_c = xt
-        out = call(border_c,
-                   lax.dynamic_slice_in_dim(inner_i, c0, cb),
-                   xt_c, gram, xsq3, gas3, valid3,
-                   lax.dynamic_slice_in_dim(p3, c0, cb, axis=0),
-                   lax.dynamic_slice_in_dim(z3, c0, cb, axis=0),
+        out = call(border_c, inner_c, xt_c, gram, xsq3, gas3, valid3,
+                   p_c, z_c,
                    beta_flat.reshape(nb, B, 1),
                    labels_flat.reshape(nb, B, 1),
                    eps2d, *tail, x_mean3=mean3, x_scale3=scale3,
@@ -455,8 +454,28 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         idx = (border_c[:, None] * B + lane[None, :]).reshape(-1)
         beta_flat = beta_flat.at[idx].set(beta_c.reshape(-1))
         labels_flat = labels_flat.at[idx].set(labels_c.reshape(-1))
-        v_tot += v_c
-        bacc_tot += bacc_c
+        return (eps2d, beta_flat, labels_flat, v_tot + v_c,
+                bacc_tot + bacc_c), None
+
+    carry = (eps2d, beta_flat, labels_flat, v_tot, bacc_tot)
+    rem = n_rounds % CB
+    if rem:
+        # remainder chunk first (one extra call shape), then uniform chunks
+        carry, _ = run_chunk(carry, (border_i[:rem], inner_i[:rem],
+                                     p3[:rem], z3[:rem]))
+    n_uniform = (n_rounds - rem) // CB
+    if n_uniform == 1:
+        carry, _ = run_chunk(carry, (border_i[rem:], inner_i[rem:],
+                                     p3[rem:], z3[rem:]))
+    elif n_uniform > 1:
+        # scan keeps chunk temps single-buffered (an unrolled loop of
+        # gathers rematerializes several biobank-sized temps at once)
+        xs = (border_i[rem:].reshape(n_uniform, CB),
+              inner_i[rem:].reshape(n_uniform, CB, B),
+              p3[rem:].reshape(n_uniform, CB, B, 1),
+              z3[rem:].reshape(n_uniform, CB, B, 1))
+        carry, _ = lax.scan(run_chunk, carry, xs)
+    eps2d, beta_flat, labels_flat, v_tot, bacc_tot = carry
 
     eps_out = eps2d
     return SweepResult(
