@@ -400,9 +400,10 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     # the ~1/n_chunks slice is staged (costs one extra streaming pass of X
     # per sweep).
     xrow = xt.shape[1]
-    slice_per_call = (slice_x if slice_x is not None
-                      else (xt.size * xt.dtype.itemsize > (3 << 30)
-                            and n_rounds > CB))
+    # opt-in only: XLA keeps several rematerialized copies of the per-chunk
+    # gather alive at biobank sizes, which costs more than the staging it
+    # avoids (measured on v5e; see BENCH.md known follow-ups)
+    slice_per_call = bool(slice_x) and n_rounds > CB
     if slice_per_call:
         CB = min(CB, 64)
     call = functools.partial(
