@@ -657,81 +657,40 @@ class SpikeSlabSampler:
         return lax.scan(body, state, None, length=n_emits)
 
     def run(self, key_or_state, chain: ChainConfig, *, sink=None,
-            collect: bool = True, emit_chunk: int = 32):
+            collect: bool = True, emit_chunk: int = 32, progress=None):
         """Run a full chain, emitting thinned post-burn-in samples.
 
         Replaces the reference's producer/consumer OpenMP split
-        (src/BayesRv2.cpp:102-108, 281-290): the device runs jit-compiled
-        emission chunks while the host streams previous chunks to the sink
-        (JAX async dispatch gives the overlap; no lock-free queue needed, and
-        no tail-sample drop -- the reference's consumer exits on a flag and
-        can lose enqueued rows, src/BayesRv2.cpp:279-289).
+        (src/BayesRv2.cpp:102-108, 281-290) with async device dispatch + a
+        host sink; no tail-sample drop (src/BayesRv2.cpp:279-289).
         """
-        if isinstance(key_or_state, SpikeSlabState):
-            state = key_or_state
-        else:
-            state = self.init(key_or_state)
+        from .driver import run_chain
 
-        emits = list(chain.emit_iterations())
-        collected = []
-        if not emits:
-            state = self._run_steps(state, self.data, chain.max_iterations)
-        else:
-            state = self._run_steps(state, self.data, emits[0] + 1 - int(state.iteration))
-            state, first = self._emit_chunk(state, self.data, 1, 0)
-            self._deliver(first, sink, collected if collect else None)
-            remaining = len(emits) - 1
-            done = 0
-            while done < remaining:
-                n = min(emit_chunk, remaining - done)
-                state, rows = self._emit_chunk(state, self.data, n, chain.thinning)
-                self._deliver(rows, sink, collected if collect else None)
-                done += n
-            tail = chain.max_iterations - (emits[-1] + 1)
-            if tail > 0:
-                state = self._run_steps(state, self.data, tail)
-        if sink is not None:
-            sink.flush()
-        out = None
-        if collect:
-            out = {k: np.concatenate([c[k] for c in collected], axis=0)
-                   for k in collected[0]} if collected else {}
-        return state, out
+        state = (key_or_state if isinstance(key_or_state, SpikeSlabState)
+                 else self.init(key_or_state))
+        return run_chain(
+            state, chain,
+            steps_fn=lambda st, n: self._run_steps(st, self.data, n),
+            emit_fn=lambda st, n, t: self._emit_chunk(st, self.data, n, t),
+            sink=sink, collect=collect, emit_chunk=emit_chunk,
+            start_iteration=int(state.iteration), progress=progress)
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
                    collect: bool = True, emit_chunk: int = 32):
         """Run ``n_chains`` independent chains batched on one device (vmap).
 
-        Returns (final_states, samples) where every collected array has a
-        chain axis after the emission axis: e.g. beta is
-        (n_emits, n_chains, M).
+        Collected arrays gain a chain axis after the emission axis, e.g.
+        beta is (n_emits, n_chains, M).
         """
+        from .driver import run_chain
+
         keys = jax.random.split(key, n_chains)
         state = jax.vmap(self.init)(keys)
-        emits = list(chain.emit_iterations())
-        collected = []
-        if not emits:
-            state = self._vrun_steps(state, self.data, chain.max_iterations)
-        else:
-            state = self._vrun_steps(state, self.data, emits[0] + 1)
-            state, first = self._vemit_chunk(state, self.data, 1, 0)
-            self._deliver(first, None, collected if collect else None)
-            remaining = len(emits) - 1
-            done = 0
-            while done < remaining:
-                n = min(emit_chunk, remaining - done)
-                state, rows = self._vemit_chunk(state, self.data, n,
-                                                chain.thinning)
-                self._deliver(rows, None, collected if collect else None)
-                done += n
-            tail = chain.max_iterations - (emits[-1] + 1)
-            if tail > 0:
-                state = self._vrun_steps(state, self.data, tail)
-        out = None
-        if collect:
-            out = {k: np.concatenate([c[k] for c in collected], axis=0)
-                   for k in collected[0]} if collected else {}
-        return state, out
+        return run_chain(
+            state, chain,
+            steps_fn=lambda st, n: self._vrun_steps(st, self.data, n),
+            emit_fn=lambda st, n, t: self._vemit_chunk(st, self.data, n, t),
+            collect=collect, emit_chunk=emit_chunk)
 
     @staticmethod
     def _deliver(rows, sink, collected):

@@ -1,0 +1,67 @@
+"""Shared chain driver: burn-in / thinned-emission scheduling.
+
+One implementation of the reference's emission predicate
+(``iteration >= burn_in and iteration % thinning == 0``,
+reference: src/BayesRv2.cpp:257-272) used by every sampler class.  The host
+streams finished emission chunks to the sink while the device computes the
+next chunk (JAX async dispatch provides the overlap the reference built from
+OpenMP threads + a lock-free queue, src/BayesRv2.cpp:102-108).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
+              sink=None, collect=True, emit_chunk=32, start_iteration=0,
+              progress=None):
+    """Drive a full chain.
+
+    steps_fn(state, n)           -- advance n iterations (n static).
+    emit_fn(state, n, thinning)  -- n emissions of `thinning` steps each;
+                                    returns (state, rows dict).
+    postprocess(rows)            -- optional host-side row fix-up (slicing
+                                    padding, un-permuting), applied after
+                                    device_get.
+    progress(done, total)        -- optional callback per delivered chunk.
+    """
+    emits = list(chain.emit_iterations())
+    collected = [] if collect else None
+    total = len(emits)
+
+    def deliver(rows, done):
+        rows = jax.tree.map(np.asarray, rows)
+        if postprocess is not None:
+            rows = postprocess(rows)
+        if collected is not None:
+            collected.append(rows)
+        if sink is not None:
+            sink.write(rows)
+        if progress is not None:
+            progress(done, total)
+
+    if not emits:
+        state = steps_fn(state, chain.max_iterations - start_iteration)
+    else:
+        pre = emits[0] + 1 - start_iteration
+        if pre > 0:
+            state = steps_fn(state, pre)
+        state, first = emit_fn(state, 1, 0)
+        deliver(first, 1)
+        done = 1
+        while done - 1 < total - 1:
+            n = min(emit_chunk, total - done)
+            state, rows = emit_fn(state, n, chain.thinning)
+            done += n
+            deliver(rows, done)
+        tail = chain.max_iterations - (emits[-1] + 1)
+        if tail > 0:
+            state = steps_fn(state, tail)
+    if sink is not None:
+        sink.flush()
+    out = None
+    if collect:
+        out = ({k: np.concatenate([c[k] for c in collected], axis=0)
+                for k in collected[0]} if collected else {})
+    return state, out

@@ -438,50 +438,27 @@ class ShardedSpikeSlabSampler:
         return self._get_run_steps(1)(state, self.data)
 
     def run(self, key_or_state, chain: ChainConfig, *, sink=None,
-            collect: bool = True, emit_chunk: int = 32):
+            collect: bool = True, emit_chunk: int = 32, progress=None):
+        from ..models.driver import run_chain
+
         state = (key_or_state if isinstance(key_or_state, SpikeSlabState)
                  else self.init(key_or_state))
-        emits = list(chain.emit_iterations())
-        collected = []
-        if not emits:
-            state = self._get_run_steps(chain.max_iterations)(state, self.data)
-        else:
-            pre = emits[0] + 1 - int(state.iteration)
-            if pre > 0:
-                state = self._get_run_steps(pre)(state, self.data)
-            state, first = self._get_emit_chunk(1, 0)(state, self.data)
-            self._deliver(first, sink, collected if collect else None)
-            remaining = len(emits) - 1
-            done = 0
-            while done < remaining:
-                n = min(emit_chunk, remaining - done)
-                state, rows = self._get_emit_chunk(n, chain.thinning)(
-                    state, self.data)
-                self._deliver(rows, sink, collected if collect else None)
-                done += n
-            tail = chain.max_iterations - (emits[-1] + 1)
-            if tail > 0:
-                state = self._get_run_steps(tail)(state, self.data)
-        if sink is not None:
-            sink.flush()
-        out = None
-        if collect:
-            out = {k: np.concatenate([c[k] for c in collected], axis=0)
-                   for k in collected[0]} if collected else {}
-        return state, out
 
-    def _deliver(self, rows, sink, collected):
-        rows = jax.tree.map(np.asarray, rows)
-        # slice padding off the marker/individual axes
-        rows["beta"] = rows["beta"][:, : self.M]
-        rows["comp"] = rows["comp"][:, : self.M]
-        rows["epsilon"] = rows["epsilon"][:, : self.N]
-        if not self.config.emit_epsilon:
-            rows["epsilon"] = rows["epsilon"][:, :0]
-        if collected is not None:
-            collected.append(rows)
-        if sink is not None:
-            sink.write(rows)
+        def postprocess(rows):
+            rows["beta"] = rows["beta"][:, : self.M]
+            rows["comp"] = rows["comp"][:, : self.M]
+            rows["epsilon"] = rows["epsilon"][:, : self.N]
+            if not self.config.emit_epsilon:
+                rows["epsilon"] = rows["epsilon"][:, :0]
+            return rows
+
+        return run_chain(
+            state, chain,
+            steps_fn=lambda st, n: self._get_run_steps(n)(st, self.data),
+            emit_fn=lambda st, n, t: self._get_emit_chunk(n, t)(st, self.data),
+            postprocess=postprocess, sink=sink, collect=collect,
+            emit_chunk=emit_chunk, start_iteration=int(state.iteration),
+            progress=progress)
 
 
 class ShardedHorseshoeSampler:
@@ -748,42 +725,22 @@ class ShardedHorseshoeSampler:
         return self._get_run_steps(1)(state, self.data)
 
     def run(self, key_or_state, chain: ChainConfig, *, collect: bool = True,
-            emit_chunk: int = 32):
+            emit_chunk: int = 32, progress=None):
+        from ..models.driver import run_chain
         from ..models.state import HorseshoeState
 
         state = (key_or_state if isinstance(key_or_state, HorseshoeState)
                  else self.init(key_or_state))
-        emits = list(chain.emit_iterations())
-        collected = []
-        if not emits:
-            state = self._get_run_steps(chain.max_iterations)(state, self.data)
-        else:
-            pre = emits[0] + 1 - int(state.iteration)
-            if pre > 0:
-                state = self._get_run_steps(pre)(state, self.data)
-            state, first = self._get_emit_chunk(1, 0)(state, self.data)
-            self._deliver(first, collected if collect else None)
-            remaining = len(emits) - 1
-            done = 0
-            while done < remaining:
-                n = min(emit_chunk, remaining - done)
-                state, rows = self._get_emit_chunk(n, chain.thinning)(
-                    state, self.data)
-                self._deliver(rows, collected if collect else None)
-                done += n
-            tail = chain.max_iterations - (emits[-1] + 1)
-            if tail > 0:
-                state = self._get_run_steps(tail)(state, self.data)
-        out = None
-        if collect:
-            out = {k: np.concatenate([c[k] for c in collected], axis=0)
-                   for k in collected[0]} if collected else {}
-        return state, out
 
-    def _deliver(self, rows, collected):
-        rows = jax.tree.map(np.asarray, rows)
-        rows["beta"] = rows["beta"][:, : self.M]
-        rows["lambda"] = rows["lambda"][:, : self.M]
-        rows["epsilon"] = rows["epsilon"][:, : self.N]
-        if collected is not None:
-            collected.append(rows)
+        def postprocess(rows):
+            rows["beta"] = rows["beta"][:, : self.M]
+            rows["lambda"] = rows["lambda"][:, : self.M]
+            rows["epsilon"] = rows["epsilon"][:, : self.N]
+            return rows
+
+        return run_chain(
+            state, chain,
+            steps_fn=lambda st, n: self._get_run_steps(n)(st, self.data),
+            emit_fn=lambda st, n, t: self._get_emit_chunk(n, t)(st, self.data),
+            postprocess=postprocess, collect=collect, emit_chunk=emit_chunk,
+            start_iteration=int(state.iteration), progress=progress)
