@@ -89,11 +89,26 @@ def _backend(args):
     return None if args.backend == "auto" else args.backend
 
 
+def _wrap_sinks(args, sink):
+    from .io.sink import NpzSink, TeeSink
+
+    if args.npz_out:
+        return TeeSink(sink, NpzSink(args.npz_out))
+    return sink
+
+
+def _progress(done, total):
+    # decile progress prints, like the reference (src/BayesRv2.cpp:173-175)
+    if total and done % max(1, total // 10) == 0:
+        print(f"emitted {done}/{total} samples", flush=True)
+
+
 def _run(sampler, args, chain, sink, extra_sinks):
     import jax
 
+    sink = _wrap_sinks(args, sink)
     state, _ = sampler.run(jax.random.PRNGKey(args.seed), chain, sink=sink,
-                           collect=False)
+                           collect=False, progress=_progress)
     for s in extra_sinks:
         s.close()
     sink.close()
@@ -212,7 +227,9 @@ def main(argv=None):
 
 
 def _run_state(sampler, state, args, chain, sink):
-    state, _ = sampler.run(state, chain, sink=sink, collect=False)
+    sink = _wrap_sinks(args, sink)
+    state, _ = sampler.run(state, chain, sink=sink, collect=False,
+                           progress=_progress)
     sink.close()
     if args.checkpoint_out:
         from .io.checkpoint import save_checkpoint

@@ -197,6 +197,25 @@ class NpzSink(_AsyncWriterMixin):
             np.savez_compressed(self.path, **merged)
 
 
+class TeeSink:
+    """Fan a sample stream out to several sinks (e.g. CSV + npz)."""
+
+    def __init__(self, *sinks):
+        self.sinks = sinks
+
+    def write(self, rows):
+        for s in self.sinks:
+            s.write(rows)
+
+    def flush(self):
+        for s in self.sinks:
+            s.flush()
+
+    def close(self):
+        for s in self.sinks:
+            s.close()
+
+
 class MemorySink(_AsyncWriterMixin):
     """Collects chunks in memory (tests)."""
 

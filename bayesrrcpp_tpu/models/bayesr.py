@@ -22,7 +22,7 @@ sigmaF/sigmaE/sigmaG(G)/pi hyper draws -> optional thinned emission.
 """
 from __future__ import annotations
 
-import math
+
 from typing import NamedTuple, Optional
 
 import jax

@@ -44,11 +44,13 @@ def test_cli_bayesr_from_bed(bed_prefix, tmp_path):
     np.savetxt(pheno, y)
     out = tmp_path / "chain.csv"
     ck = tmp_path / "state.npz"
+    npz = tmp_path / "chain.npz"
     rc = cli_main([
         "bayesr", "--bed", prefix, "--pheno", str(pheno),
         "--out", str(out), "--iterations", "60", "--burn-in", "30",
         "--thinning", "3", "--block-size", "16", "--seed", "3",
         "--cva", "0.01,0.1", "--checkpoint-out", str(ck),
+        "--npz-out", str(npz),
     ])
     assert rc == 0
     lines = open(out).read().strip().split("\n")
@@ -56,6 +58,8 @@ def test_cli_bayesr_from_bed(bed_prefix, tmp_path):
     assert len(lines) - 1 == 10
     assert all(len(r.split(", ")) == len(hdr) for r in lines[1:])
     assert ck.exists()
+    with np.load(npz) as z:
+        assert z["beta"].shape == (10, 40)
 
     # resume from the checkpoint through the CLI
     out2 = tmp_path / "chain2.csv"
