@@ -156,3 +156,37 @@ def test_checkpoint_resume_bitwise(sim):
         resumed = s.step(resumed)
     np.testing.assert_array_equal(np.asarray(st.beta), np.asarray(resumed.beta))
     np.testing.assert_array_equal(np.asarray(st.eps), np.asarray(resumed.eps))
+
+
+def test_single_slab_component():
+    """K=2 (one slab) -- the reference's own smoke config uses cva=0.5 scalar
+    (src/BayesRv2.cpp:309,315); exercises the K-1==1 shapes in every backend."""
+    sim = simulate.simulate_bayesr(seed=77, N=300, M=96, n_causal=12, h2=0.5)
+    cva = np.array([0.5])
+    results = {}
+    for backend in ["scan", "blocked", "pallas"]:
+        s = SpikeSlabSampler(sim.X, sim.Y, cva, BayesRConfig(block_size=32),
+                             backend=backend,
+                             permutation="blocked" if backend != "scan" else None,
+                             dtype=jnp.float32)
+        st = s.init(jax.random.PRNGKey(0))
+        for _ in range(3):
+            st = s.step(st)
+        results[backend] = st
+        assert np.isfinite(np.asarray(st.beta)).all()
+        assert set(np.unique(np.asarray(st.labels))) <= {0, 1}
+    # blocked permutation backends must agree
+    np.testing.assert_array_equal(
+        np.asarray(results["blocked"].labels),
+        np.asarray(results["pallas"].labels))
+    np.testing.assert_allclose(np.asarray(results["blocked"].beta),
+                               np.asarray(results["pallas"].beta),
+                               rtol=2e-4, atol=2e-6)
+
+    # recovery with the single-component prior
+    s = SpikeSlabSampler(sim.X, sim.Y, cva, BayesRConfig(block_size=32),
+                         dtype=jnp.float64)
+    chain = ChainConfig(max_iterations=400, burn_in=200, thinning=2)
+    _, out = s.run(jax.random.PRNGKey(1), chain)
+    corr = np.corrcoef(sim.beta_true, out["beta"].mean(axis=0))[0, 1]
+    assert corr > 0.8

@@ -51,3 +51,19 @@ def test_inclusion_and_prediction(run):
     assert pip[~causal].mean() < 0.65
     pred = summary.predict(flat, sim.X)
     assert np.corrcoef(pred, sim.Y)[0, 1] > 0.6
+
+
+def test_chain_timer():
+    from bayesrrcpp_tpu.utils.profiling import ChainTimer, trace
+
+    t = ChainTimer(markers=1000)
+    with t.compile():
+        pass
+    with t.measure(10):
+        import time
+        time.sleep(0.01)
+    d = t.stats.as_dict()
+    assert d["iterations"] == 10
+    assert d["snp_updates_per_sec"] > 0
+    with trace(None):  # no-op path
+        pass
