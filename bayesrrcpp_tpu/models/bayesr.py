@@ -151,6 +151,13 @@ class SpikeSlabSampler:
         B = min(config.block_size, 1 << max(1, (M - 1).bit_length()))
         B = max(8, min(B, config.block_size))
         Mpad = -(-M // B) * B
+        if Mpad // B >= 64:
+            # keep the sweep's block count a multiple of 8 at scale: XLA's
+            # generated-code size blows up ~40x for non-8-aligned block
+            # counts (measured v5e, nb=977 -> 285 MiB of program vs 7.8 MiB
+            # at nb=976/984), costing HBM + compile time; extra padding
+            # markers are masked out and nearly free
+            Mpad = -(-M // (8 * B)) * (8 * B)
         self.N, self.M, self.Mpad, self.K, self.G, self.F, self.B = N, M, Mpad, K, G, F, B
         self.nb = Mpad // B
         self.config = config
@@ -179,7 +186,7 @@ class SpikeSlabSampler:
                 XT = jnp.asarray(
                     np.ascontiguousarray(X if transposed else X.T), self.dtype)
             xsq = jnp.sum(XT * XT, axis=1)
-            XT, xsq, _ = bs.pad_markers(XT, xsq, B)
+            XT, xsq, _ = bs.pad_markers(XT, xsq, B, mpad=Mpad)
             gram = (bs.gram_blocks(XT, B) if backend in ("blocked", "pallas")
                     else jnp.zeros((0, 0, 0), self.dtype))
         # the pallas kernel runs compiled on TPU; elsewhere use interpret mode

@@ -66,6 +66,9 @@ class HorseshoeSampler:
             raise ValueError("Y must have the same number of rows as X")
         B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
         Mpad = -(-M // B) * B
+        if Mpad // B >= 64:
+            # 8-aligned block count at scale (same codegen blowup as bayesr)
+            Mpad = -(-M // (8 * B)) * (8 * B)
         self.N, self.M, self.Mpad, self.B, self.nb = N, M, Mpad, B, Mpad // B
         self.config = config
         self.backend = backend
@@ -74,7 +77,7 @@ class HorseshoeSampler:
 
         XT = jnp.asarray(np.ascontiguousarray(X.T), self.dtype)
         xsq = jnp.sum(XT * XT, axis=1)
-        XT, xsq, _ = bs.pad_markers(XT, xsq, B)
+        XT, xsq, _ = bs.pad_markers(XT, xsq, B, mpad=Mpad)
         gram = (bs.gram_blocks(XT, B) if backend in ("blocked", "pallas")
                 else jnp.zeros((0, 0, 0), self.dtype))
         self._pallas_interpret = jax.devices()[0].platform != "tpu"

@@ -36,10 +36,12 @@ from .selection import select_component
 from .sweep import SweepResult
 
 
-def pad_markers(XT, xsq, block_size):
-    """Pad the marker axis of XT/xsq with zero rows to a block multiple."""
+def pad_markers(XT, xsq, block_size, mpad=None):
+    """Pad the marker axis of XT/xsq with zero rows to a block multiple
+    (or to an explicit ``mpad`` >= that, e.g. the 8-aligned block count the
+    samplers use at scale)."""
     M = XT.shape[0]
-    Mpad = -(-M // block_size) * block_size
+    Mpad = mpad if mpad is not None else -(-M // block_size) * block_size
     if Mpad != M:
         XT = jnp.pad(XT, ((0, Mpad - M), (0, 0)))
         xsq = jnp.pad(xsq, (0, Mpad - M))

@@ -119,8 +119,12 @@ class ShardedSpikeSlabSampler:
         F = fixed.shape[1]
 
         B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
-        # marker axis padded to a block multiple per m-slice
+        # marker axis padded to a block multiple per m-slice (8-aligned
+        # per-slice block count at scale; see models/bayesr.py on the
+        # non-8-aligned codegen blowup)
         Mpad = -(-M // (B * self.Dm)) * (B * self.Dm)
+        if Mpad // (B * self.Dm) >= 64:
+            Mpad = -(-M // (8 * B * self.Dm)) * (8 * B * self.Dm)
         Npad = -(-N // self.Dn) * self.Dn
         self.N, self.M, self.Mpad, self.Npad = N, M, Mpad, Npad
         self.K, self.G, self.F, self.B = K, G, F, B
@@ -495,6 +499,8 @@ class ShardedHorseshoeSampler:
         N, M = X.shape
         B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
         Mpad = -(-M // (B * self.Dm)) * (B * self.Dm)
+        if Mpad // (B * self.Dm) >= 64:  # 8-aligned block count at scale
+            Mpad = -(-M // (8 * B * self.Dm)) * (8 * B * self.Dm)
         Npad = -(-N // self.Dn) * self.Dn
         self.N, self.M, self.Mpad, self.Npad = N, M, Mpad, Npad
         self.B = B

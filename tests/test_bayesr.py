@@ -190,3 +190,20 @@ def test_single_slab_component():
     _, out = s.run(jax.random.PRNGKey(1), chain)
     corr = np.corrcoef(sim.beta_true, out["beta"].mean(axis=0))[0, 1]
     assert corr > 0.8
+
+
+def test_large_nb_rounds_to_8_aligned_block_count():
+    """At >=64 blocks Mpad rounds the block count up to a multiple of 8
+    (avoids an XLA codegen blowup for non-8-aligned pallas grids at biobank
+    scale, measured on v5e); extra padded markers must stay inert."""
+    sim = simulate.simulate_bayesr(seed=9, N=120, M=521, n_causal=30, h2=0.5)
+    s = SpikeSlabSampler(sim.X, sim.Y, CVA, BayesRConfig(block_size=8),
+                         backend="blocked", dtype=jnp.float64)
+    assert s.Mpad == 576 and s.nb == 72       # ceil(521/8)=66 -> 72 blocks
+    st = s.init(jax.random.PRNGKey(0))
+    for _ in range(2):
+        st = s.step(st)
+    beta = np.asarray(st.beta)
+    assert np.isfinite(beta).all()
+    assert (beta[521:] == 0).all()            # padding never activates
+    assert np.asarray(st.labels)[521:].max() == 0
