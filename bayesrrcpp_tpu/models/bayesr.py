@@ -55,6 +55,8 @@ class MarkerData(NamedTuple):
     x_scale: jax.Array   # (Mpad,) 1/sd standardization scales ((0,) when dense)
     row_valid: jax.Array # (Npad,) bool row mask ((0,) unless 2-bit packed)
     n_perm: jax.Array    # (Npad,) packed-layout individual permutation ((0,))
+    x_colsum: jax.Array  # (Mpad,) decoded per-marker column sums ((0,) when
+                         # dense); feeds the fold-affine raw-code kernel
 
 
 def _as_2d_cva(cva) -> np.ndarray:
@@ -169,16 +171,18 @@ class SpikeSlabSampler:
         self.x_quantized = x_dtype in ("int8", "2bit")
         self.x_packed = x_dtype == "2bit"
         x_mean = x_scale = jnp.zeros((0,), jnp.float32)
+        x_colsum = jnp.zeros((0,), jnp.float32)
         row_valid = jnp.zeros((0,), bool)
         n_perm = jnp.zeros((0,), jnp.int32)
+        has_missing = False
         self.Npad = N
         if self.x_packed:
             (XT, xsq, gram, x_mean, x_scale, row_valid, n_perm,
-             self.Npad) = self._quantize_packed(X, transposed, x_stats, B,
-                                                Mpad, N)
+             self.Npad, x_colsum, has_missing) = self._quantize_packed(
+                 X, transposed, x_stats, B, Mpad, N)
         elif self.x_quantized:
-            XT, xsq, gram, x_mean, x_scale = self._quantize(
-                X, transposed, x_stats, B, Mpad)
+            (XT, xsq, gram, x_mean, x_scale, x_colsum,
+             has_missing) = self._quantize(X, transposed, x_stats, B, Mpad)
         else:
             if x_on_device:
                 XT = (X if transposed else X.T).astype(self.dtype)
@@ -191,6 +195,10 @@ class SpikeSlabSampler:
                     else jnp.zeros((0, 0, 0), self.dtype))
         # the pallas kernel runs compiled on TPU; elsewhere use interpret mode
         self._pallas_interpret = jax.devices()[0].platform != "tpu"
+        # quantized data with no real missing calls takes the fold-affine
+        # raw-code kernel (standardization applied after the code dots --
+        # ~2x less in-kernel decode work; see ops/pallas_sweep.py)
+        self._x_fold = self.x_quantized and not has_missing
 
         prior_pi = self._prior_pi(cva2)
         self.data = MarkerData(
@@ -198,6 +206,7 @@ class SpikeSlabSampler:
             x_scale=x_scale,
             row_valid=row_valid,
             n_perm=n_perm,
+            x_colsum=x_colsum,
             XT=XT,
             xsq=xsq,
             gram=gram,
@@ -282,9 +291,13 @@ class SpikeSlabSampler:
             codes = ch.astype(np.int8)
 
         M = codes.shape[0]
+        has_missing = bool(np.any(codes == MISSING_CODE))
         scales = np.where(sds > 0, 1.0 / np.where(sds > 0, sds, 1.0), 0.0)
+        # fold-affine mode (no missing) needs pad lanes to carry code 0 so
+        # the raw-code dots ignore them; otherwise pads are "missing"
+        pad_code = MISSING_CODE if has_missing else 0
         codes = np.pad(codes, ((0, Mpad - M), (0, Npad - N)),
-                       constant_values=MISSING_CODE)
+                       constant_values=pad_code)
         mean = jnp.asarray(np.pad(means, (0, Mpad - M)), jnp.float32)
         scale = jnp.asarray(np.pad(scales, (0, Mpad - M)), jnp.float32)
 
@@ -303,22 +316,25 @@ class SpikeSlabSampler:
         row_valid = jnp.asarray(perm < N)
         n_perm = jnp.asarray(perm.astype(np.int32))
 
-        # xsq / Gram from decoded blocks (order-agnostic sums over n)
+        # xsq / Gram / column sums from decoded blocks (order-agnostic sums
+        # over n); pad columns masked explicitly (their code is 0 in fold
+        # mode, which would otherwise decode to -m*s != 0)
         nb = Mpad // B
         codes_dev = jnp.asarray(codes)
+        cmask = jnp.asarray(np.arange(Npad) < N, jnp.float32)
 
         def per_block(args):
             blk, m, sc = args
             g = blk.astype(jnp.float32)
             x = (g - m[:, None]) * sc[:, None]
-            x = jnp.where(g == float(MISSING_CODE), 0.0, x)
-            return jnp.sum(x * x, axis=1), x @ x.T
+            x = jnp.where(g == float(MISSING_CODE), 0.0, x) * cmask[None, :]
+            return jnp.sum(x * x, axis=1), x @ x.T, jnp.sum(x, axis=1)
 
-        xsq_b, gram = jax.lax.map(
+        xsq_b, gram, xsum_b = jax.lax.map(
             per_block, (codes_dev.reshape(nb, B, Npad),
                         mean.reshape(nb, B), scale.reshape(nb, B)))
         return (words_dev, xsq_b.reshape(Mpad), gram, mean, scale,
-                row_valid, n_perm, Npad)
+                row_valid, n_perm, Npad, xsum_b.reshape(Mpad), has_missing)
 
     def _prepacked_setup(self, words, x_stats, B, Mpad, N, Npad, TN, W):
         """Device-resident pre-packed words (bench / streaming ingestion):
@@ -353,19 +369,27 @@ class SpikeSlabSampler:
             w, m, sc = args          # (B, Npad/16) int32, (B,), (B,)
             xsq = jnp.zeros((B,), jnp.float32)
             g_acc = jnp.zeros((B, B), jnp.float32)
+            xsum = jnp.zeros((B,), jnp.float32)
+            miss = jnp.zeros((B,), bool)
             for k in range(16):      # order-agnostic sums over individuals
                 c = ((w >> (2 * k)) & 3).astype(jnp.float32)
+                miss |= jnp.any(c == float(MISSING_CODE), axis=1)
                 x = (c - m[:, None]) * sc[:, None]
                 x = jnp.where(c == float(MISSING_CODE), 0.0, x)
                 xsq += jnp.sum(x * x, axis=1)
                 g_acc += x @ x.T
-            return xsq, g_acc
+                xsum += jnp.sum(x, axis=1)
+            return xsq, g_acc, xsum, miss
 
-        xsq_b, gram = jax.lax.map(
+        xsq_b, gram, xsum_b, miss_b = jax.lax.map(
             per_block, (words.reshape(nb, B, Npad // 16),
                         mean.reshape(nb, B), scale.reshape(nb, B)))
+        # padded markers are all-missing words by construction but inert in
+        # every mode (scale 0); only REAL markers decide whether the
+        # fold-affine kernel is usable
+        has_missing = bool(jax.device_get(jnp.any(miss_b.reshape(Mpad)[:M])))
         return (words, xsq_b.reshape(Mpad), gram, mean, scale,
-                row_valid, n_perm, Npad)
+                row_valid, n_perm, Npad, xsum_b.reshape(Mpad), has_missing)
 
     def _quantize(self, X, transposed, x_stats, B, Mpad):
         """Quantize dosages to int8 codes {0,1,2, 3=missing} with per-marker
@@ -398,6 +422,8 @@ class SpikeSlabSampler:
             codes = jnp.asarray(ch.astype(np.int8))
 
         scales = np.where(sds > 0, 1.0 / np.where(sds > 0, sds, 1.0), 0.0)
+        has_missing = bool(jax.device_get(jnp.any(
+            jnp.asarray(codes) == MISSING_CODE)))
         pad = Mpad - codes.shape[0]
         codes = jnp.pad(codes, ((0, pad), (0, 0)),
                         constant_values=MISSING_CODE)
@@ -415,12 +441,13 @@ class SpikeSlabSampler:
 
         def per_block(args):
             x = decode_block(args)
-            return jnp.sum(x * x, axis=1), x @ x.T
+            return jnp.sum(x * x, axis=1), x @ x.T, jnp.sum(x, axis=1)
 
-        xsq_b, gram = jax.lax.map(
+        xsq_b, gram, xsum_b = jax.lax.map(
             per_block, (codes.reshape(nb, B, N), mean.reshape(nb, B),
                         scale.reshape(nb, B)))
-        return codes, xsq_b.reshape(Mpad), gram, mean, scale
+        return (codes, xsq_b.reshape(Mpad), gram, mean, scale,
+                xsum_b.reshape(Mpad), has_missing)
 
     def _prior_pi(self, cva2: np.ndarray) -> np.ndarray:
         G, Km1 = cva2.shape
@@ -559,7 +586,10 @@ class SpikeSlabSampler:
                     state.sigmaE, state.sigmaGG, data.g_assign, data.valid,
                     interpret=self._pallas_interpret,
                     x_mean=data.x_mean if self.x_quantized else None,
-                    x_scale=data.x_scale if self.x_quantized else None)
+                    x_scale=data.x_scale if self.x_quantized else None,
+                    fold_affine=self._x_fold,
+                    x_xsum=data.x_colsum if self.x_quantized else None,
+                    row_valid=data.row_valid if self.x_packed else None)
             elif self.backend == "blocked":
                 res = bs.bayesr_block_sweep(
                     data.XT, data.gram, data.xsq, eps, state.beta, state.labels,

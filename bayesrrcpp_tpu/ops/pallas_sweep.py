@@ -85,12 +85,26 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
                   pi_ref, cva_ref, sgg_ref, se_ref,
                   eps_out, beta_out, labels_out, v_out, bacc_out,
                   r_sc, delta_sc, denom_sc, sd_sc, lp_sc, *, B, TN, K, G,
-                  mean_ref=None, scale_ref=None, packed=False):
+                  mean_ref=None, scale_ref=None, packed=False,
+                  srow_ref=None, msrow_ref=None, xsum_ref=None,
+                  esum0_ref=None, esum_sc=None, dms_sc=None):
     b = pl.program_id(0)
     ph = pl.program_id(1)
     t = pl.program_id(2)
     sE = se_ref[0]
     Km1 = K - 1
+    # affine-folded decode (quantized X with no real missing calls): the MXU
+    # sees RAW integer codes c; the per-marker standardization
+    # x = s*(c - m) is applied after the fact as
+    #   r_j = s_j * (X_j_codes' eps) - (m_j s_j) * sum(eps)
+    # and the rank-1 residual update as
+    #   eps -= (delta .* s)' C - (delta . (m .* s)),
+    # cutting the in-kernel decode from ~7 VPU ops/element to 3 (the
+    # dominant cost at biobank scale, see BENCH.md).  sum(eps) is tracked
+    # analytically across blocks via the precomputed decoded column sums
+    # xsum_j (padded lanes then drift but are never read: pad codes are 0 so
+    # code-dots ignore them; the host zeroes them between kernel calls).
+    fold = srow_ref is not None
 
     # sub-tile decomposition: dense/int8 tiles decode whole; 2-bit packed
     # tiles hold 16 genotypes per int32 word and decode per bit-plane k into
@@ -102,12 +116,16 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
 
         def x_sub(k):
             c = (xt_ref[...] >> (2 * k)) & 3           # (B, W) int32
+            if fold:
+                return c.astype(jnp.float32)
             return _decode_tile(c, mean_ref[0], scale_ref[0])
     else:
         SUB = 1
         W = TN
 
         def x_sub(k):
+            if fold:
+                return xt_ref[...].astype(jnp.float32)
             if mean_ref is None:
                 return xt_ref[...]
             return _decode_tile(xt_ref[...], mean_ref[0], scale_ref[0])
@@ -117,6 +135,8 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
         eps_out[...] = eps_ref[...]
         v_out[...] = jnp.zeros_like(v_out)
         bacc_out[...] = jnp.zeros_like(bacc_out)
+        if fold:
+            esum_sc[...] = jnp.full((1, 1), esum0_ref[0], jnp.float32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
@@ -135,6 +155,10 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
         beta_out[...] = beta_ref[...]
         labels_out[...] = labels_ref[...]
         delta_sc[...] = jnp.zeros_like(delta_sc)
+        if fold:
+            # code-domain correlations -> standardized domain
+            r_sc[...] = (r_sc[...] * srow_ref[0]
+                         - msrow_ref[0] * esum_sc[...])
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
         grow = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
         gcol = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
@@ -226,6 +250,15 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
             return ()
 
         lax.fori_loop(0, B, body, (), unroll=False)
+        if fold:
+            # track sum(eps) across blocks analytically (pad lanes drift and
+            # cannot be summed directly), and pre-scale delta for the raw
+            # code-domain rank-1 update
+            esum_sc[...] -= jnp.sum(delta_sc[...] * xsum_ref[0], axis=1,
+                                    keepdims=True)
+            dms_sc[...] = jnp.sum(delta_sc[...] * msrow_ref[0], axis=1,
+                                  keepdims=True)
+            delta_sc[...] = delta_sc[...] * srow_ref[0]
 
     @pl.when(ph == 1)
     def _apply_update():
@@ -233,6 +266,8 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
             upd = jax.lax.dot_general(
                 delta_sc[...], x_sub(k), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)     # (1, W)
+            if fold:
+                upd = upd - dms_sc[...]
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
@@ -245,10 +280,32 @@ def _sweep_kernel_q(border_ref, inner_ref, xt_ref, mean3_ref, scale3_ref,
                          packed=packed)
 
 
+def _sweep_kernel_qf(border_ref, inner_ref, xt_ref, srow_ref, msrow_ref,
+                     xsum_ref, gram_ref, xsq_ref, gas_ref, valid_ref,
+                     p_ref, z_ref, beta_ref, labels_ref, eps_ref,
+                     pi_ref, cva_ref, sgg_ref, se_ref, esum0_ref,
+                     eps_out, beta_out, labels_out, v_out, bacc_out,
+                     r_sc, delta_sc, denom_sc, sd_sc, lp_sc, esum_sc, dms_sc,
+                     *, B, TN, K, G, packed=False):
+    """Quantized variant with the affine standardization FOLDED out of the
+    per-element decode (no-missing data only; see _sweep_kernel)."""
+    return _sweep_kernel(border_ref, inner_ref, xt_ref, gram_ref, xsq_ref,
+                         gas_ref, valid_ref, p_ref, z_ref, beta_ref,
+                         labels_ref, eps_ref, pi_ref, cva_ref, sgg_ref,
+                         se_ref, eps_out, beta_out, labels_out, v_out,
+                         bacc_out, r_sc, delta_sc, denom_sc, sd_sc, lp_sc,
+                         B=B, TN=TN, K=K, G=G, packed=packed,
+                         srow_ref=srow_ref, msrow_ref=msrow_ref,
+                         xsum_ref=xsum_ref, esum0_ref=esum0_ref,
+                         esum_sc=esum_sc, dms_sc=dms_sc)
+
+
 def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
                 beta3, labels3, eps2d, pi, cva, sgg, se, *,
                 B, TN, interpret, quantized=False, packed=False,
-                x_mean3=None, x_scale3=None, xt_positional=False):
+                x_mean3=None, x_scale3=None, xt_positional=False,
+                fold=False, x_srow3=None, x_msrow3=None, x_xsum3=None,
+                esum0=None):
     nb_call = border.shape[0]   # blocks processed by THIS call (may be a
                                 # chunk of the full sweep: the scalar-prefetch
                                 # permutations must fit in ~1MB SMEM)
@@ -281,9 +338,16 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
     x_tile_w = TN // 16 if packed else TN
     x_specs = [pl.BlockSpec((B, x_tile_w), im_xt)]              # xt
     x_args = [xt]
-    if quantized:
+    if fold:
+        row_b = functools.partial(pl.BlockSpec, (1, 1, B), im_b3)
+        x_specs += [row_b(), row_b(), row_b()]    # scale, mean*scale, colsum
+        x_args += [x_srow3, x_msrow3, x_xsum3]
+    elif quantized:
         x_specs += [vmem_b(), vmem_b()]                         # mean, scale
         x_args += [x_mean3, x_scale3]
+    tail_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]       # esum0 (1,)
+                  if fold else [])
+    tail_args = [esum0] if fold else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb_call, 2, nt),
@@ -301,7 +365,7 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
             pl.BlockSpec((G, K - 1), im_full),                  # cva
             pl.BlockSpec(memory_space=pltpu.SMEM),              # sigmaGG (G,)
             pl.BlockSpec(memory_space=pltpu.SMEM),              # sigmaE (1,)
-        ],
+        ] + tail_specs,
         out_specs=[
             pl.BlockSpec((1, Npad), im_full),                   # eps_out
             pl.BlockSpec((1, B, 1), im_pos3),                   # beta_out
@@ -315,12 +379,18 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
             pltpu.VMEM((B, K - 1), jnp.float32),                # denom
             pltpu.VMEM((B, K - 1), jnp.float32),                # sd
             pltpu.VMEM((B, K), jnp.float32),                    # log-prior
-        ],
+        ] + ([pltpu.VMEM((1, 1), jnp.float32),                  # sum(eps)
+              pltpu.VMEM((1, 1), jnp.float32)]                  # delta.(m*s)
+             if fold else []),
     )
-    kernel = (functools.partial(_sweep_kernel_q, B=B, TN=TN, K=K, G=G,
-                                packed=packed)
-              if quantized
-              else functools.partial(_sweep_kernel, B=B, TN=TN, K=K, G=G))
+    if fold:
+        kernel = functools.partial(_sweep_kernel_qf, B=B, TN=TN, K=K, G=G,
+                                   packed=packed)
+    elif quantized:
+        kernel = functools.partial(_sweep_kernel_q, B=B, TN=TN, K=K, G=G,
+                                   packed=packed)
+    else:
+        kernel = functools.partial(_sweep_kernel, B=B, TN=TN, K=K, G=G)
     out_shape = [
         jax.ShapeDtypeStruct((1, Npad), jnp.float32),
         jax.ShapeDtypeStruct((nb_call, B, 1), jnp.float32),  # position-ordered
@@ -337,7 +407,7 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
     )(border, inner, *x_args, gram, xsq, gas, valid, p, z,
-      beta3, labels3, eps2d, pi, cva, sgg, se)
+      beta3, labels3, eps2d, pi, cva, sgg, se, *tail_args)
 
 
 def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
@@ -345,16 +415,27 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
                         pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
                         *, tile_n: int = 512, interpret: bool = False,
                         x_mean=None, x_scale=None, max_call_blocks=None,
-                        inner_positional: bool = False, slice_x=None):
+                        inner_positional: bool = False, slice_x=None,
+                        x_xsum=None, fold_affine: bool = False,
+                        row_valid=None):
     """Drop-in replacement for ops.block_sweep.bayesr_block_sweep on TPU.
 
     All f32 (the kernel accumulates in f32; X may be bf16).  Arrays arrive in
     the flat (Mpad,)/(N,) layout used by the JAX backends and are reshaped to
     the kernel layouts here.
+
+    ``fold_affine=True`` (quantized X, no real missing calls) switches to the
+    raw-code kernel: standardization is applied per-marker after the code
+    dots, which needs the decoded column sums ``x_xsum`` (Mpad,) and, for the
+    packed layout, the ``row_valid`` lane mask (padded lanes drift inside a
+    call and are re-zeroed between calls).
     """
     nb, B, _ = gram.shape
     quantized = x_mean is not None
     packed = quantized and XT_pad.dtype == jnp.int32
+    fold = bool(fold_affine) and quantized
+    if fold and x_xsum is None:
+        raise ValueError("fold_affine needs x_xsum (decoded column sums)")
     if packed:
         # XT_pad holds int32 words of 16 2-bit codes along the (permuted)
         # individual axis; eps arrives already permuted+padded to Npad
@@ -376,7 +457,8 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
         if quantized and XT_pad.dtype != jnp.int8:
             raise ValueError("quantized sweep expects int8 genotype codes")
-        pad_val = MISSING_CODE if quantized else 0
+        # fold mode: pad lanes must carry code 0 so raw-code dots ignore them
+        pad_val = MISSING_CODE if (quantized and not fold) else 0
         xt = (XT_pad if Npad == N
               else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)),
                            constant_values=pad_val))
@@ -408,11 +490,24 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         CB = min(CB, 64)
     call = functools.partial(
         _sweep_call,
-        B=B, TN=TN, interpret=interpret, quantized=quantized, packed=packed)
-    mean3 = (None if not quantized
+        B=B, TN=TN, interpret=interpret, quantized=quantized, packed=packed,
+        fold=fold)
+    mean3 = (None if not quantized or fold
              else x_mean.astype(f32).reshape(nb, B, 1))
-    scale3 = (None if not quantized
+    scale3 = (None if not quantized or fold
               else x_scale.astype(f32).reshape(nb, B, 1))
+    if fold:
+        srow3 = x_scale.astype(f32).reshape(nb, 1, B)
+        msrow3 = (x_mean.astype(f32) * x_scale.astype(f32)).reshape(nb, 1, B)
+        xsum3 = x_xsum.astype(f32).reshape(nb, 1, B)
+        if packed:
+            if row_valid is None:
+                raise ValueError("packed fold_affine needs row_valid")
+            lane_mask = row_valid.astype(f32).reshape(1, Npad)
+        else:
+            lane_mask = (jnp.arange(Npad) < N).astype(f32).reshape(1, Npad)
+    else:
+        srow3 = msrow3 = xsum3 = lane_mask = None
     xsq3 = xsq_pad.astype(f32).reshape(nb, B, 1)
     gas3 = g_assign_pad.astype(jnp.int32).reshape(nb, B, 1)
     valid3 = valid_pad.astype(jnp.int32).reshape(nb, B, 1)
@@ -445,13 +540,19 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
             xt_c = jnp.take(xt_blocks, border_c, axis=0).reshape(cb * B, xrow)
         else:
             xt_c = xt
+        esum0 = (jnp.sum(eps2d, axis=1) if fold else None)
         out = call(border_c, inner_c, xt_c, gram, xsq3, gas3, valid3,
                    p_c, z_c,
                    beta_flat.reshape(nb, B, 1),
                    labels_flat.reshape(nb, B, 1),
                    eps2d, *tail, x_mean3=mean3, x_scale3=scale3,
-                   xt_positional=slice_per_call)
+                   xt_positional=slice_per_call,
+                   x_srow3=srow3, x_msrow3=msrow3, x_xsum3=xsum3,
+                   esum0=esum0)
         eps2d, beta_c, labels_c, v_c, bacc_c = out
+        if fold:
+            # re-zero drifted pad lanes (see fold_affine note above)
+            eps2d = eps2d * lane_mask
         idx = (border_c[:, None] * B + lane[None, :]).reshape(-1)
         beta_flat = beta_flat.at[idx].set(beta_c.reshape(-1))
         labels_flat = labels_flat.at[idx].set(labels_c.reshape(-1))

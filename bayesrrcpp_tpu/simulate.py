@@ -57,3 +57,33 @@ def simulate_bayesr(seed, N, M, n_causal, h2=0.5, n_groups=1, n_fixed=0,
     return SimData(X.astype(dtype), Y.astype(dtype), beta, g_assign,
                    None if fixed is None else fixed.astype(dtype),
                    alpha_true, float(realised_h2))
+
+
+def random_packed_words(key, M, n_words):
+    """(M, n_words) int32 of 2-bit genotype codes with NO missing calls.
+
+    Each packed field gets hi-bit from one random stream and lo-bit from a
+    second, with lo forced to 0 whenever hi is 1 -- codes land in {0, 1, 2}
+    (P = 1/4, 1/4, 1/2), never the missing code 3.  Device-side and cheap;
+    used by benchmarks so the fold-affine kernel path is exercised.
+    Stats for decode: mean 1.25, sd sqrt(11/16).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def gen(key):
+        w = jax.random.randint(key, (M, n_words), -(2 ** 31), 2 ** 31 - 1,
+                               jnp.int32)
+        hi_mask = jnp.int32(np.uint32(0xAAAAAAAA).astype(np.int32))
+        lo_mask = jnp.int32(0x55555555)
+        h = w & hi_mask                  # hi bit of each field
+        l = w & lo_mask & ~(h >> 1)      # lo bit, forced 0 when hi is set
+        return h | l
+
+    # one fused elementwise program: peak memory ~2 buffers, not 4
+    return jax.jit(gen)(key)
+
+
+def packed_word_stats(M):
+    """x_stats matching random_packed_words' code distribution."""
+    return np.full(M, 1.25), np.full(M, float(np.sqrt(11.0 / 16.0)))

@@ -62,11 +62,16 @@ def main():
     t0 = time.perf_counter()
     extra = {}
     if x_dtype == "2bit":
+        from bayesrrcpp_tpu.simulate import (packed_word_stats,
+                                             random_packed_words)
+
         N = -(-N // 2048) * 2048
-        XT = jax.random.randint(kx, (M, N // 16), -(2 ** 31), 2 ** 31 - 1,
-                                jnp.int32)
-        extra = dict(x_dtype="2bit",
-                     x_stats=(np.full(M, 1.0), np.full(M, 0.8165)))
+        if os.environ.get("BENCH_MISSING") == "1":  # in-kernel decode path
+            XT = jax.random.randint(kx, (M, N // 16), -(2 ** 31),
+                                    2 ** 31 - 1, jnp.int32)
+        else:  # missing-free -> fold-affine raw-code kernel (the fast path)
+            XT = random_packed_words(kx, M, N // 16)
+        extra = dict(x_dtype="2bit", x_stats=packed_word_stats(M))
         Y = jax.random.normal(kc, (N,), jnp.float32)
     elif x_dtype == "int8":
         XT = jax.random.randint(kx, (M, N), 0, 3, dtype=jnp.int8)

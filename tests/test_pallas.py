@@ -202,3 +202,76 @@ def test_chunked_calls_equal_single_call():
     np.testing.assert_allclose(np.asarray(one.eps), np.asarray(many.eps),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(one.v), np.asarray(many.v))
+
+
+def _nomissing_dosage(seed, N, M):
+    rng = np.random.default_rng(seed)
+    freqs = rng.uniform(0.15, 0.85, M)
+    dosage = rng.binomial(2, freqs, size=(N, M)).astype(float)
+    means = dosage.mean(axis=0)
+    sds = dosage.std(axis=0, ddof=1)
+    dense = (dosage - means) / sds
+    beta_t = np.zeros(M)
+    beta_t[rng.choice(M, 8, replace=False)] = rng.normal(0, 0.3, 8)
+    y = dense @ beta_t + rng.normal(0, 0.7, N)
+    return dosage, dense, y
+
+
+def test_fold_affine_int8_equals_dense():
+    """No-missing data activates the fold-affine raw-code kernel; it must
+    match the dense f32 sweep (standardization applied post-dot)."""
+    dosage, dense, y = _nomissing_dosage(68, 150, 64)
+    cfg = BayesRConfig(block_size=32)
+    s_d = SpikeSlabSampler(dense, y, CVA, cfg, backend="pallas",
+                           dtype=jnp.float32)
+    s_q = SpikeSlabSampler(dosage, y, CVA, cfg, x_dtype="int8",
+                           dtype=jnp.float32)
+    assert s_q._x_fold is True
+    key = jax.random.PRNGKey(12)
+    st_d, st_q = s_d.init(key), s_q.init(key)
+    for _ in range(3):
+        st_d, st_q = s_d.step(st_d), s_q.step(st_q)
+    np.testing.assert_array_equal(np.asarray(st_d.labels),
+                                  np.asarray(st_q.labels))
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_q.beta),
+                               rtol=3e-4, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(st_d.eps), np.asarray(st_q.eps),
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_fold_affine_2bit_equals_dense():
+    dosage, dense, y = _nomissing_dosage(69, 150, 80)  # M%32 != 0: pads too
+    cfg = BayesRConfig(block_size=32)
+    s_d = SpikeSlabSampler(dense, y, CVA, cfg, backend="pallas",
+                           dtype=jnp.float32)
+    s_p = SpikeSlabSampler(dosage, y, CVA, cfg, x_dtype="2bit",
+                           dtype=jnp.float32)
+    assert s_p._x_fold is True
+    key = jax.random.PRNGKey(13)
+    st_d, st_p = s_d.init(key), s_p.init(key)
+    for _ in range(3):
+        st_d, st_p = s_d.step(st_d), s_p.step(st_p)
+    np.testing.assert_array_equal(np.asarray(st_d.labels),
+                                  np.asarray(st_p.labels))
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_p.beta),
+                               rtol=3e-4, atol=3e-6)
+    # padded/permuted eps lanes must be zeroed between calls; compare real
+    eps_o = np.zeros(s_p.Npad, np.float32)
+    eps_o[np.asarray(s_p.data.n_perm)] = np.asarray(st_p.eps)
+    np.testing.assert_allclose(np.asarray(st_d.eps), eps_o[:150],
+                               rtol=3e-4, atol=3e-5)
+    # pad lanes exactly zero after the sweep (maintained invariant)
+    pad_lanes = ~np.asarray(s_p.data.row_valid)
+    assert np.all(np.asarray(st_p.eps)[pad_lanes] == 0.0)
+
+
+def test_missing_data_disables_fold():
+    rng = np.random.default_rng(70)
+    dosage = rng.binomial(2, 0.4, size=(60, 32)).astype(float)
+    dosage[0, 0] = np.nan
+    y = rng.normal(size=60)
+    s = SpikeSlabSampler(dosage, y, CVA, BayesRConfig(block_size=16),
+                         x_dtype="int8", dtype=jnp.float32)
+    assert s._x_fold is False
+    st = s.step(s.init(jax.random.PRNGKey(14)))
+    assert np.isfinite(np.asarray(st.beta)).all()

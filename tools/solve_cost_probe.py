@@ -40,14 +40,19 @@ def main():
     N = int(os.environ.get("MEM_N", 98304))
     M = int(os.environ.get("MEM_M", 153600))
     B = int(os.environ.get("MEM_B", 512))
+    from bayesrrcpp_tpu.simulate import packed_word_stats, random_packed_words
+
     kx, ky = jax.random.split(jax.random.PRNGKey(0))
-    XT = jax.random.randint(kx, (M, N // 16), -(2 ** 31), 2 ** 31 - 1,
-                            jnp.int32)
+    if os.environ.get("WITH_MISSING") == "1":   # legacy decode-kernel path
+        XT = jax.random.randint(kx, (M, N // 16), -(2 ** 31), 2 ** 31 - 1,
+                                jnp.int32)
+    else:                                       # fold-affine path
+        XT = random_packed_words(kx, M, N // 16)
     Y = jax.random.normal(ky, (N,), jnp.float32)
     s = SpikeSlabSampler(XT, Y, np.array([1e-4, 1e-3, 1e-2]),
                          BayesRConfig(block_size=B), transposed=True,
-                         x_dtype="2bit",
-                         x_stats=(np.full(M, 1.0), np.full(M, 0.8165)))
+                         x_dtype="2bit", x_stats=packed_word_stats(M))
+    print(f"fold_affine={s._x_fold}", flush=True)
     state = s.init(jax.random.PRNGKey(1))
     fn = jax.jit(s._run_steps_impl, static_argnums=(2,), donate_argnums=(0,))
     compiled = fn.lower(state, s.data, 1).compile()
