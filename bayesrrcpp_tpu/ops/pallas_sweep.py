@@ -163,8 +163,8 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
         grow = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
         gcol = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
         kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        kcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, K - 1), 1)
         f32 = jnp.float32
+        half_invsE = 0.5 / sE
 
         # ---- per-block precompute (vectorised over the B markers), column
         # layout (B, k): group-gathered prior quantities so the sequential
@@ -180,8 +180,13 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
             sigmaG_c += sgg_ref[g] * mg
             cva_m += cva_ref[g:g + 1, :] * mg    # (1,K-1)x(B,1) -> (B,K-1)
             logpi_m += jnp.log(jnp.maximum(pi_ref[g:g + 1, :], tiny)) * mg
-        denom_sc[...] = xsq_c + (sE / sigmaG_c) / cva_m            # (B, K-1)
-        sd_sc[...] = jnp.sqrt(sE / denom_sc[...])                  # (B, K-1)
+        denom = xsq_c + (sE / sigmaG_c) / cva_m                    # (B, K-1)
+        # spike column prepended as exact 0: muk/sd gathers then need no
+        # lane concat or k-1 remap in the sequential loop, and the two
+        # divides per marker step become multiplies (reciprocals hoisted)
+        zcol = jnp.zeros((B, 1), f32)
+        denom_sc[...] = jnp.concatenate([zcol, 1.0 / denom], axis=1)
+        sd_sc[...] = jnp.concatenate([zcol, jnp.sqrt(sE / denom)], axis=1)
         # slab log-prior minus the 0.5*log(...) penalty, precombined
         lp_sc[...] = jnp.concatenate([
             logpi_m[:, 0:1],
@@ -205,10 +210,8 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
             r_jl = jnp.sum(r_sc[...] * maskf, axis=1, keepdims=True)  # (1,1)
 
             num = r_jl + beta_old * xsq_j                   # (1, 1)
-            denom_row = denom_sc[dsj, :]                    # (1, K-1)
-            muk = num / denom_row                           # (1, K-1)
-            logL = lp_sc[dsj, :] + jnp.concatenate(
-                [jnp.zeros((1, 1), f32), 0.5 * muk * num / sE], axis=1)
+            muk = num * denom_sc[dsj, :]                    # (1, K), col0=0
+            logL = lp_sc[dsj, :] + (half_invsE * num) * muk
             logLs = logL[:, 1:]                             # (1, K-1)
 
             # categorical draw with the reference overflow guard, unrolled
@@ -226,12 +229,11 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
                 k_sel = jnp.where(hit, jnp.int32(k), k_sel)
             any_hit = k_sel < K
 
-            selm = (kcol1 == (k_sel - 1)).astype(f32)       # (1, K-1)
+            selm = (kcol == k_sel).astype(f32)              # (1, K)
             mu_sel = jnp.sum(muk * selm, axis=1, keepdims=True)
             sd_sel = jnp.sum(sd_sc[dsj, :] * selm, axis=1, keepdims=True)
-            beta_drawn = mu_sel + sd_sel * z_s
-            beta_new = jnp.where(k_sel == 0, jnp.zeros((1, 1), f32),
-                                 jnp.where(any_hit, beta_drawn, beta_old))
+            beta_drawn = mu_sel + sd_sel * z_s              # spike: exactly 0
+            beta_new = jnp.where(any_hit, beta_drawn, beta_old)
             d = okf * (beta_new - beta_old)                 # (1, 1)
 
             r_sc[...] -= gram_ref[0, dsj, :] * d
@@ -376,8 +378,8 @@ def _sweep_call(border, inner, xt, gram, xsq, gas, valid, p, z,
         scratch_shapes=[
             pltpu.VMEM((1, B), jnp.float32),                    # r
             pltpu.VMEM((1, B), jnp.float32),                    # delta
-            pltpu.VMEM((B, K - 1), jnp.float32),                # denom
-            pltpu.VMEM((B, K - 1), jnp.float32),                # sd
+            pltpu.VMEM((B, K), jnp.float32),                    # 1/denom
+            pltpu.VMEM((B, K), jnp.float32),                    # sd
             pltpu.VMEM((B, K), jnp.float32),                    # log-prior
         ] + ([pltpu.VMEM((1, 1), jnp.float32),                  # sum(eps)
               pltpu.VMEM((1, 1), jnp.float32)]                  # delta.(m*s)
