@@ -240,6 +240,17 @@ class SpikeSlabSampler:
             static_argnums=(2,), donate_argnums=(0,))
         self._vemit_chunk = jax.jit(self._vemit_chunk_impl,
                                     static_argnums=(2, 3), donate_argnums=(0,))
+        # fused multi-chain: ONE pallas kernel sweeps all chains per
+        # iteration (ops/pallas_multichain.py), ~C-fold cheaper than the
+        # vmapped fallback whose chains each re-stream X
+        self._mc_step = jax.jit(self._mc_step_impl, donate_argnums=(0,))
+        self._mc_run_steps = jax.jit(
+            lambda s, d, n: lax.fori_loop(
+                0, n, lambda i, st: self._mc_step_impl(st, d), s),
+            static_argnums=(2,), donate_argnums=(0,))
+        self._mc_emit_chunk = jax.jit(self._mc_emit_chunk_impl,
+                                      static_argnums=(2, 3),
+                                      donate_argnums=(0,))
 
     # ------------------------------------------------------------------ init
 
@@ -533,12 +544,14 @@ class SpikeSlabSampler:
 
     # ------------------------------------------------------------------ step
 
-    def _step_impl(self, state: SpikeSlabState, data: MarkerData) -> SpikeSlabState:
-        cfg = self.config
-        N, F, G = self.N, self.F, self.G
+    def _pre_sweep(self, state: SpikeSlabState, data: MarkerData):
+        """Key split + intercept + fixed-effect sweep (everything before the
+        marker sweep); shared by the single-chain and fused multi-chain
+        steps (the latter vmaps this over the chain axis)."""
+        N, F = self.N, self.F
         dt = self.dtype
-        (key, kmu, kforder, kfz, korder, kp, kz,
-         ksE, ksF, ksG, kpi) = jax.random.split(state.key, 11)
+        keys = jax.random.split(state.key, 11)
+        (key, kmu, kforder, kfz, korder, kp, kz, ksE, ksF, ksG, kpi) = keys
 
         # ---- intercept (src/BayesRv2.cpp:177-179); sigma0 is accepted but
         # unused, exactly like the reference (vignettes/BayesRR.Rmd:93).
@@ -570,6 +583,49 @@ class SpikeSlabSampler:
                 return (eps, alpha), None
 
             (eps, alpha), _ = lax.scan(fbody, (eps, alpha), (forder, zf))
+        return keys, mu, eps, alpha, sigmaF
+
+    def _hyper_block(self, keys, eps, alpha, sigmaF, beta, v, bacc):
+        """Post-sweep hyperparameter draws (src/BayesRv2.cpp:247-255,
+        src/BayesRv2Groups.cpp:301-312)."""
+        cfg = self.config
+        N, F, G = self.N, self.F, self.G
+        dt = self.dtype
+        ksE, ksF, ksG, kpi = keys[7], keys[8], keys[9], keys[10]
+        if F > 0:
+            # note the reference reuses the residual prior (v0E, s02E) for
+            # sigmaF (src/BayesRv2Groups.cpp:301)
+            sigmaF = dist.inv_scaled_chisq_rng(
+                ksF, cfg.v0E + F,
+                (jnp.sum(alpha * alpha) + cfg.v0E * cfg.s02E) / (cfg.v0E + F)
+            ).astype(dt)
+        sigmaE = dist.inv_scaled_chisq_rng(
+            ksE, cfg.v0E + N,
+            (jnp.sum(eps * eps) + cfg.v0E * cfg.s02E) / (cfg.v0E + N)
+        ).astype(dt)
+
+        m0 = jnp.sum(v, axis=1) - v[:, 0]                       # (G,)
+        if self.variant == "bayesr":
+            # C1 uses the full |beta|^2, not the per-sweep accumulator
+            # (src/BayesRv2.cpp:248); padding betas are identically 0.
+            ss = jnp.broadcast_to(jnp.sum(beta * beta), (G,))
+        else:
+            ss = bacc                                            # (G,)
+        if cfg.reference_sigma_g_scaling:
+            scale_g = (ss * m0 + cfg.v0G * cfg.s02G) / (cfg.v0G + m0)
+        else:
+            scale_g = (ss + cfg.v0G * cfg.s02G) / (cfg.v0G + m0)
+        sigmaGG = jax.vmap(dist.inv_scaled_chisq_rng)(
+            jax.random.split(ksG, G), cfg.v0G + m0, scale_g)
+        pi = jax.vmap(dist.dirichlet_rng)(
+            jax.random.split(kpi, G), v + 1.0)
+        return sigmaE, sigmaF, sigmaGG.astype(dt), pi.astype(dt)
+
+    def _step_impl(self, state: SpikeSlabState, data: MarkerData) -> SpikeSlabState:
+        dt = self.dtype
+        keys, mu, eps, alpha, sigmaF = self._pre_sweep(state, data)
+        (key, kmu, kforder, kfz, korder, kp, kz,
+         ksE, ksF, ksG, kpi) = keys
 
         # ---- marker sweep (the hot loop, src/BayesRv2.cpp:186-245)
         Mpad, B, nb = self.Mpad, self.B, self.nb
@@ -609,40 +665,71 @@ class SpikeSlabSampler:
                 state.sigmaGG, data.g_assign, data.valid)
         eps, beta, labels, v, bacc = res
 
-        # ---- hyperparameters
-        if F > 0:
-            # note the reference reuses the residual prior (v0E, s02E) for
-            # sigmaF (src/BayesRv2Groups.cpp:301)
-            sigmaF = dist.inv_scaled_chisq_rng(
-                ksF, cfg.v0E + F,
-                (jnp.sum(alpha * alpha) + cfg.v0E * cfg.s02E) / (cfg.v0E + F)
-            ).astype(dt)
-        sigmaE = dist.inv_scaled_chisq_rng(
-            ksE, cfg.v0E + N,
-            (jnp.sum(eps * eps) + cfg.v0E * cfg.s02E) / (cfg.v0E + N)
-        ).astype(dt)
-
-        m0 = jnp.sum(v, axis=1) - v[:, 0]                       # (G,)
-        if self.variant == "bayesr":
-            # C1 uses the full |beta|^2, not the per-sweep accumulator
-            # (src/BayesRv2.cpp:248); padding betas are identically 0.
-            ss = jnp.broadcast_to(jnp.sum(beta * beta), (G,))
-        else:
-            ss = bacc                                            # (G,)
-        if cfg.reference_sigma_g_scaling:
-            scale_g = (ss * m0 + cfg.v0G * cfg.s02G) / (cfg.v0G + m0)
-        else:
-            scale_g = (ss + cfg.v0G * cfg.s02G) / (cfg.v0G + m0)
-        sigmaGG = jax.vmap(dist.inv_scaled_chisq_rng)(
-            jax.random.split(ksG, G), cfg.v0G + m0, scale_g)
-        pi = jax.vmap(dist.dirichlet_rng)(
-            jax.random.split(kpi, G), v + 1.0)
-
+        sigmaE, sigmaF, sigmaGG, pi = self._hyper_block(
+            keys, eps, alpha, sigmaF, beta, v, bacc)
         return SpikeSlabState(
             key=key, iteration=state.iteration + 1, mu=mu, beta=beta,
             labels=labels, eps=eps, sigmaE=sigmaE,
-            sigmaGG=sigmaGG.astype(dt), pi=pi.astype(dt),
+            sigmaGG=sigmaGG, pi=pi, alpha=alpha, sigmaF=sigmaF)
+
+    def _mc_step_impl(self, state: SpikeSlabState,
+                      data: MarkerData) -> SpikeSlabState:
+        """Fused multi-chain Gibbs iteration: state leaves carry a leading
+        chain axis C; the marker sweep runs all chains in ONE pallas kernel
+        (see ops/pallas_multichain.py), sharing the X stream and Gram blocks
+        and batching the sequential per-marker math on sublanes.
+
+        The marker visit order is shared across chains (drawn from chain
+        0's order key); p/z streams are independent per chain and
+        MARKER-indexed.
+        """
+        from ..ops.pallas_multichain import bayesr_sweep_pallas_mc
+
+        dt = self.dtype
+        Mpad, B, nb = self.Mpad, self.B, self.nb
+        keys, mu, eps, alpha, sigmaF = jax.vmap(
+            self._pre_sweep, in_axes=(0, None))(state, data)
+        # keys is (C, 11, 2): per-chain key rows in _pre_sweep's order
+        key, korder = keys[:, 0], keys[:, 4]
+        kp, kz = keys[:, 5], keys[:, 6]
+
+        border, inner = bs.block_orders(korder[0], nb, B)
+        p_arr = jax.vmap(
+            lambda k: jax.random.uniform(k, (Mpad,), dtype=dt))(kp)
+        z_arr = jax.vmap(
+            lambda k: jax.random.normal(k, (Mpad,), dtype=dt))(kz)
+
+        res = bayesr_sweep_pallas_mc(
+            data.XT, data.gram, data.xsq, eps, state.beta, state.labels,
+            border, inner, p_arr, z_arr, state.pi, data.cva,
+            state.sigmaE, state.sigmaGG, data.g_assign, data.valid,
+            interpret=self._pallas_interpret,
+            x_mean=data.x_mean if self.x_quantized else None,
+            x_scale=data.x_scale if self.x_quantized else None,
+            fold_affine=self._x_fold,
+            x_xsum=data.x_colsum if self.x_quantized else None,
+            row_valid=data.row_valid if self.x_packed else None)
+        eps, beta, labels, v, bacc = res
+
+        sigmaE, sigmaF, sigmaGG, pi = jax.vmap(self._hyper_block)(
+            keys, eps, alpha, sigmaF, beta, v, bacc)
+        return SpikeSlabState(
+            key=key, iteration=state.iteration + 1, mu=mu,
+            beta=beta.astype(dt), labels=labels, eps=eps.astype(dt),
+            sigmaE=sigmaE, sigmaGG=sigmaGG, pi=pi,
             alpha=alpha, sigmaF=sigmaF)
+
+    @property
+    def supports_fused_chains(self) -> bool:
+        """The fused multi-chain kernel covers dense X and missing-free
+        quantized X (fold-affine); quantized-with-missing falls back to the
+        vmapped single-chain path."""
+        return (self.backend == "pallas"
+                and (not self.x_quantized or self._x_fold))
+
+    def step_chains(self, state: SpikeSlabState) -> SpikeSlabState:
+        """One fused multi-chain iteration (state leaves batched over C)."""
+        return self._mc_step(state, self.data)
 
     def step(self, state: SpikeSlabState) -> SpikeSlabState:
         return self._step(state, self.data)
@@ -693,6 +780,14 @@ class SpikeSlabSampler:
 
         return lax.scan(body, state, None, length=n_emits)
 
+    def _mc_emit_chunk_impl(self, state, data, n_emits, thinning):
+        def body(state, _):
+            state = lax.fori_loop(
+                0, thinning, lambda i, st: self._mc_step_impl(st, data), state)
+            return state, jax.vmap(lambda st: self._emit_one(st, data))(state)
+
+        return lax.scan(body, state, None, length=n_emits)
+
     def run(self, key_or_state, chain: ChainConfig, *, sink=None,
             collect: bool = True, emit_chunk: int = 32, progress=None):
         """Run a full chain, emitting thinned post-burn-in samples.
@@ -713,20 +808,38 @@ class SpikeSlabSampler:
             start_iteration=int(state.iteration), progress=progress)
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
-                   collect: bool = True, emit_chunk: int = 32):
-        """Run ``n_chains`` independent chains batched on one device (vmap).
+                   collect: bool = True, emit_chunk: int = 32,
+                   fused: Optional[bool] = None):
+        """Run ``n_chains`` independent chains batched on one device.
+
+        ``fused=True`` (default where supported) sweeps all chains inside
+        ONE pallas kernel per iteration -- X is streamed from HBM once for
+        all chains and the sequential marker updates batch on the VPU's
+        sublane axis, so total wall time is close to a single chain's.
+        ``fused=False`` falls back to vmapping the single-chain step (the
+        only option for quantized X with missing calls).
 
         Collected arrays gain a chain axis after the emission axis, e.g.
         beta is (n_emits, n_chains, M).
         """
         from .driver import run_chain
 
+        if fused is None:
+            fused = self.supports_fused_chains
+        if fused and not self.supports_fused_chains:
+            raise ValueError("fused multi-chain needs the pallas backend "
+                             "and dense or missing-free quantized X")
         keys = jax.random.split(key, n_chains)
         state = jax.vmap(self.init)(keys)
+        if fused:
+            steps_fn = lambda st, n: self._mc_run_steps(st, self.data, n)
+            emit_fn = lambda st, n, t: self._mc_emit_chunk(st, self.data, n, t)
+        else:
+            steps_fn = lambda st, n: self._vrun_steps(st, self.data, n)
+            emit_fn = lambda st, n, t: self._vemit_chunk(st, self.data, n, t)
         return run_chain(
             state, chain,
-            steps_fn=lambda st, n: self._vrun_steps(st, self.data, n),
-            emit_fn=lambda st, n, t: self._vemit_chunk(st, self.data, n, t),
+            steps_fn=steps_fn, emit_fn=emit_fn,
             collect=collect, emit_chunk=emit_chunk)
 
     @staticmethod

@@ -95,20 +95,31 @@ def main():
     jax.block_until_ready(sampler.data.gram)
     setup_s = time.perf_counter() - t0
 
-    state = sampler.init(jax.random.PRNGKey(1))
+    # BENCH_CHAINS > 1: fused multi-chain kernel (all chains share one X
+    # stream; SNP-updates count multiplies by the chain count)
+    n_chains = int(os.environ.get("BENCH_CHAINS", 1))
+    if n_chains > 1:
+        state = jax.vmap(sampler.init)(
+            jax.random.split(jax.random.PRNGKey(1), n_chains))
+        run = lambda st: sampler._mc_run_steps(st, sampler.data, iters)
+        sync = lambda st: float(st.sigmaE[0])
+    else:
+        state = sampler.init(jax.random.PRNGKey(1))
+        run = lambda st: sampler._run_steps(st, sampler.data, iters)
+        sync = lambda st: float(st.sigmaE)
     # warmup / compile with the SAME static iteration count as the timed
     # call (a different count would recompile inside the timed region)
     t0 = time.perf_counter()
-    state = sampler._run_steps(state, sampler.data, iters)
-    float(state.sigmaE)  # hard host sync
+    state = run(state)
+    sync(state)  # hard host sync
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    state = sampler._run_steps(state, sampler.data, iters)
-    float(state.sigmaE)  # hard host sync
+    state = run(state)
+    sync(state)  # hard host sync
     elapsed = time.perf_counter() - t0
 
-    rate = M * iters / elapsed
+    rate = M * iters * n_chains / elapsed
     base = cpu_reference_rate(N)
     print(json.dumps({
         "metric": "snp_updates_per_sec",
@@ -116,7 +127,7 @@ def main():
         "unit": "SNP-updates/s",
         "vs_baseline": round(rate / base, 2),
         "config": {"N": N, "M": M, "iters": iters, "block": B,
-                   "x_dtype": x_dtype,
+                   "x_dtype": x_dtype, "chains": n_chains,
                    "platform": platform,
                    "iter_ms": round(1e3 * elapsed / iters, 1),
                    "gibbs_iters_per_min": round(60 * iters / elapsed, 2),

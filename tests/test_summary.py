@@ -67,3 +67,28 @@ def test_chain_timer():
     assert d["snp_updates_per_sec"] > 0
     with trace(None):  # no-op path
         pass
+
+
+def test_split_rhat_and_ess():
+    rng = np.random.default_rng(0)
+    # well-mixed iid chains: rhat ~ 1, ess ~ total draws
+    x = rng.normal(size=(400, 4))
+    r = summary.split_rhat(x)
+    assert abs(r - 1.0) < 0.05
+    e = summary.ess(x)
+    assert e > 0.5 * 400 * 4
+    # divergent chain means: rhat far above 1
+    y = x + np.array([0.0, 0.0, 5.0, 0.0])
+    assert summary.split_rhat(y) > 1.5
+    # AR(1) autocorrelation cuts ess well below the draw count
+    z = np.empty((400, 4))
+    z[0] = rng.normal(size=4)
+    for t in range(1, 400):
+        z[t] = 0.9 * z[t - 1] + rng.normal(size=4) * np.sqrt(1 - 0.81)
+    assert summary.ess(z) < 0.3 * 400 * 4
+    # trailing parameter axes broadcast
+    xb = rng.normal(size=(200, 4, 3))
+    rb = summary.split_rhat(xb)
+    assert rb.shape == (3,) and np.all(np.abs(rb - 1) < 0.1)
+    eb = summary.ess(xb)
+    assert eb.shape == (3,)

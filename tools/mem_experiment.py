@@ -49,7 +49,7 @@ def main():
             return (words, jnp.full((Mpad,), float(N), jnp.float32),
                     jnp.zeros((nb, B, B), jnp.float32), mean, scale,
                     jnp.ones((Npad,), bool), jnp.asarray(perm, jnp.int32),
-                    Npad)
+                    Npad, jnp.zeros((Mpad,), jnp.float32), False)
 
         SpikeSlabSampler._prepacked_setup = fake
 
