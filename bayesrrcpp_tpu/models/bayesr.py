@@ -375,30 +375,59 @@ class SpikeSlabSampler:
         n_perm = jnp.asarray(perm.astype(np.int32))
 
         nb = Mpad // B
+        Nw = Npad // 16
 
         def per_block(args):
             w, m, sc = args          # (B, Npad/16) int32, (B,), (B,)
-            xsq = jnp.zeros((B,), jnp.float32)
-            g_acc = jnp.zeros((B, B), jnp.float32)
-            xsum = jnp.zeros((B,), jnp.float32)
-            miss = jnp.zeros((B,), bool)
-            for k in range(16):      # order-agnostic sums over individuals
+
+            # bit planes decoded under fori_loop (an unrolled loop lets XLA
+            # keep many (B, Npad/16) f32 decode temps alive at once)
+            def plane(k, carry):
+                xsq, g_acc, xsum, miss = carry
                 c = ((w >> (2 * k)) & 3).astype(jnp.float32)
                 miss |= jnp.any(c == float(MISSING_CODE), axis=1)
                 x = (c - m[:, None]) * sc[:, None]
                 x = jnp.where(c == float(MISSING_CODE), 0.0, x)
-                xsq += jnp.sum(x * x, axis=1)
-                g_acc += x @ x.T
-                xsum += jnp.sum(x, axis=1)
-            return xsq, g_acc, xsum, miss
+                return (xsq + jnp.sum(x * x, axis=1), g_acc + x @ x.T,
+                        xsum + jnp.sum(x, axis=1), miss)
 
-        xsq_b, gram, xsum_b, miss_b = jax.lax.map(
-            per_block, (words.reshape(nb, B, Npad // 16),
-                        mean.reshape(nb, B), scale.reshape(nb, B)))
-        # padded markers are all-missing words by construction but inert in
-        # every mode (scale 0); only REAL markers decide whether the
-        # fold-affine kernel is usable
-        has_missing = bool(jax.device_get(jnp.any(miss_b.reshape(Mpad)[:M])))
+            return lax.fori_loop(0, 16, plane, (
+                jnp.zeros((B,), jnp.float32), jnp.zeros((B, B), jnp.float32),
+                jnp.zeros((B,), jnp.float32), jnp.zeros((B,), bool)))
+
+        # chunked build with DONATED accumulators: a single lax.map over all
+        # nb blocks materializes a second stacked copy of the whole word
+        # array inside the scan (measured on v5e: the biobank 11.8 GiB input
+        # silently fails at 2x HBM; block_until_ready does not surface the
+        # async error, the first d2h transfer does).  8-block chunks keep
+        # the scan copy at ~100 MB and dynamic-update-slice writes in place.
+        CH = min(8, nb)
+        while nb % CH:
+            CH -= 1
+
+        import functools as _ft
+
+        @_ft.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def chunk_update(gram_a, xsq_a, xsum_a, miss_a, wc, mc, sc, i0):
+            xs_b, g_b, xm_b, ms_b = jax.lax.map(
+                per_block, (wc.reshape(CH, B, Nw), mc.reshape(CH, B),
+                            sc.reshape(CH, B)))
+            z0 = jnp.zeros((), jnp.int32)
+            return (lax.dynamic_update_slice(gram_a, g_b, (i0, z0, z0)),
+                    lax.dynamic_update_slice(xsq_a, xs_b, (i0, z0)),
+                    lax.dynamic_update_slice(xsum_a, xm_b, (i0, z0)),
+                    lax.dynamic_update_slice(miss_a, ms_b, (i0, z0)))
+
+        f32 = jnp.float32
+        accs = (jnp.zeros((nb, B, B), f32), jnp.zeros((nb, B), f32),
+                jnp.zeros((nb, B), f32), jnp.zeros((nb, B), bool))
+        for i in range(0, nb, CH):
+            a = i * B
+            accs = chunk_update(*accs, words[a:a + CH * B],
+                                mean[a:a + CH * B], scale[a:a + CH * B],
+                                jnp.int32(i))
+        gram, xsq_b, xsum_b, miss_b = accs
+        has_missing = bool(np.asarray(miss_b).reshape(Mpad)[:M].any())
         return (words, xsq_b.reshape(Mpad), gram, mean, scale,
                 row_valid, n_perm, Npad, xsum_b.reshape(Mpad), has_missing)
 

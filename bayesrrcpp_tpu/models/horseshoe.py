@@ -99,6 +99,15 @@ class HorseshoeSampler:
             static_argnums=(2,), donate_argnums=(0,))
         self._vemit_chunk = jax.jit(self._vemit_chunk_impl,
                                     static_argnums=(2, 3), donate_argnums=(0,))
+        # fused multi-chain (one kernel sweeps all chains per iteration)
+        self._mc_step = jax.jit(self._mc_step_impl, donate_argnums=(0,))
+        self._mc_run_steps = jax.jit(
+            lambda s, d, n: lax.fori_loop(
+                0, n, lambda i, st: self._mc_step_impl(st, d), s),
+            static_argnums=(2,), donate_argnums=(0,))
+        self._mc_emit_chunk = jax.jit(self._mc_emit_chunk_impl,
+                                      static_argnums=(2, 3),
+                                      donate_argnums=(0,))
 
     # ------------------------------------------------------------------ init
 
@@ -129,12 +138,14 @@ class HorseshoeSampler:
 
     # ------------------------------------------------------------------ step
 
-    def _step_impl(self, state: HorseshoeState, data: HorseshoeData) -> HorseshoeState:
+    def _pre_sweep(self, state: HorseshoeState, data: HorseshoeData):
+        """Key split + intercept + eta/v auxiliary draws (everything before
+        the marker sweep); shared by single-chain and fused multi-chain."""
         cfg = self.config
-        N, M, Mpad, B, nb = self.N, self.M, self.Mpad, self.B, self.nb
+        N, Mpad = self.N, self.Mpad
         dt = self.dtype
-        (key, kmu, keta, kv, korder, kz, klam, ktau, kc2, ksE) = \
-            jax.random.split(state.key, 10)
+        keys = jax.random.split(state.key, 10)
+        (key, kmu, keta, kv, korder, kz, klam, ktau, kc2, ksE) = keys
 
         # ---- intercept
         eps = state.eps + state.mu
@@ -148,6 +159,36 @@ class HorseshoeSampler:
         gv = jax.random.gamma(kv, jnp.full((Mpad,), 0.5 + 0.5 * cfg.vL, dt),
                               dtype=dt)
         v = (cfg.vL / state.lam + 1.0) / gv
+        return keys, mu, eps, eta, v
+
+    def _hyper_block(self, keys, eta, v, beta, eps, tau_old, valid):
+        """Post-sweep lambda/tau/c2/sigmaE draws (src/HorseshoeR.cpp:242-253);
+        shared by single-chain and fused multi-chain (vmapped)."""
+        cfg = self.config
+        N, M, Mpad = self.N, self.M, self.Mpad
+        dt = self.dtype
+        klam, ktau, kc2, ksE = keys[6], keys[7], keys[8], keys[9]
+        glam = jax.random.gamma(klam, jnp.full((Mpad,), 0.5 + 0.5 * cfg.vL, dt),
+                                dtype=dt)
+        lam = (cfg.vL / v + 0.5 * beta * beta / tau_old) / glam
+        bl = jnp.where(valid, beta * beta / lam, 0.0)
+        tau = dist.inv_gamma_rate_rng(
+            ktau, 0.5 * (M + cfg.vT), cfg.vT / eta + 0.5 * jnp.sum(bl))
+        bsq = jnp.sum(beta * beta)
+        c2 = dist.inv_gamma_rate_rng(
+            kc2, 0.5 * cfg.vC + 0.5 * M, 0.5 * cfg.vC * cfg.sC + 0.5 * bsq)
+        sigmaE = dist.inv_scaled_chisq_rng(
+            ksE, cfg.v0E + N,
+            (jnp.sum(eps * eps) + cfg.v0E * cfg.s02E) / (cfg.v0E + N)
+        ).astype(dt)
+        return lam, tau.astype(dt), c2.astype(dt), sigmaE
+
+    def _step_impl(self, state: HorseshoeState, data: HorseshoeData) -> HorseshoeState:
+        cfg = self.config
+        N, M, Mpad, B, nb = self.N, self.M, self.Mpad, self.B, self.nb
+        dt = self.dtype
+        keys, mu, eps, eta, v = self._pre_sweep(state, data)
+        (key, kmu, keta, kv, korder, kz, klam, ktau, kc2, ksE) = keys
 
         # ---- dense marker sweep
         z_arr = jax.random.normal(kz, (Mpad,), dt)
@@ -178,24 +219,51 @@ class HorseshoeSampler:
                 state.lam, state.tau, state.c2, state.sigmaE, data.valid)
 
         # ---- local/global scale updates (post-sweep)
-        glam = jax.random.gamma(klam, jnp.full((Mpad,), 0.5 + 0.5 * cfg.vL, dt),
-                                dtype=dt)
-        lam = (cfg.vL / v + 0.5 * beta * beta / state.tau) / glam
-        bl = jnp.where(data.valid, beta * beta / lam, 0.0)
-        tau = dist.inv_gamma_rate_rng(
-            ktau, 0.5 * (M + cfg.vT), cfg.vT / eta + 0.5 * jnp.sum(bl))
-        bsq = jnp.sum(beta * beta)
-        c2 = dist.inv_gamma_rate_rng(
-            kc2, 0.5 * cfg.vC + 0.5 * M, 0.5 * cfg.vC * cfg.sC + 0.5 * bsq)
-        sigmaE = dist.inv_scaled_chisq_rng(
-            ksE, cfg.v0E + N,
-            (jnp.sum(eps * eps) + cfg.v0E * cfg.s02E) / (cfg.v0E + N)
-        ).astype(dt)
+        lam, tau, c2, sigmaE = self._hyper_block(
+            keys, eta, v, beta, eps, state.tau, data.valid)
 
         return HorseshoeState(
             key=key, iteration=state.iteration + 1, mu=mu, beta=beta, eps=eps,
-            sigmaE=sigmaE, lam=lam, v=v, tau=tau.astype(dt),
-            eta=eta.astype(dt), c2=c2.astype(dt))
+            sigmaE=sigmaE, lam=lam, v=v, tau=tau,
+            eta=eta.astype(dt), c2=c2)
+
+    def _mc_step_impl(self, state: HorseshoeState,
+                      data: HorseshoeData) -> HorseshoeState:
+        """Fused multi-chain iteration: all chains swept by ONE pallas
+        kernel (ops/pallas_multichain.horseshoe_sweep_pallas_mc); marker
+        order shared across chains, z streams independent + MARKER-indexed."""
+        from ..ops.pallas_multichain import horseshoe_sweep_pallas_mc
+
+        dt = self.dtype
+        Mpad, B, nb = self.Mpad, self.B, self.nb
+        keys, mu, eps, eta, v = jax.vmap(
+            self._pre_sweep, in_axes=(0, None))(state, data)
+        key, korder, kz = keys[:, 0], keys[:, 4], keys[:, 5]
+
+        border, inner = bs.block_orders(korder[0], nb, B)
+        z_arr = jax.vmap(
+            lambda k: jax.random.normal(k, (Mpad,), dtype=dt))(kz)
+        eps, beta = horseshoe_sweep_pallas_mc(
+            data.XT, data.gram, data.xsq, eps, state.beta,
+            border, inner, z_arr, state.lam, state.tau, state.c2,
+            state.sigmaE, data.valid, interpret=self._pallas_interpret)
+        eps = eps.astype(dt)
+        beta = beta.astype(dt)
+
+        lam, tau, c2, sigmaE = jax.vmap(
+            self._hyper_block, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            keys, eta, v, beta, eps, state.tau, data.valid)
+        return HorseshoeState(
+            key=key, iteration=state.iteration + 1, mu=mu, beta=beta, eps=eps,
+            sigmaE=sigmaE, lam=lam, v=v, tau=tau,
+            eta=eta.astype(dt), c2=c2)
+
+    @property
+    def supports_fused_chains(self) -> bool:
+        return self.backend == "pallas"
+
+    def step_chains(self, state: HorseshoeState) -> HorseshoeState:
+        return self._mc_step(state, self.data)
 
     def step(self, state: HorseshoeState) -> HorseshoeState:
         return self._step(state, self.data)
@@ -236,6 +304,14 @@ class HorseshoeSampler:
 
         return lax.scan(body, state, None, length=n_emits)
 
+    def _mc_emit_chunk_impl(self, state, data, n_emits, thinning):
+        def body(state, _):
+            state = lax.fori_loop(
+                0, thinning, lambda i, st: self._mc_step_impl(st, data), state)
+            return state, jax.vmap(self._emit_one)(state)
+
+        return lax.scan(body, state, None, length=n_emits)
+
     def run(self, key_or_state, chain: ChainConfig, *, sink=None,
             collect: bool = True, emit_chunk: int = 32, progress=None):
         """Run a full chain; see SpikeSlabSampler.run for the emission model."""
@@ -251,16 +327,28 @@ class HorseshoeSampler:
             start_iteration=int(state.iteration), progress=progress)
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
-                   collect: bool = True, emit_chunk: int = 32):
-        """Run ``n_chains`` independent horseshoe chains batched on one device."""
+                   collect: bool = True, emit_chunk: int = 32,
+                   fused: Optional[bool] = None):
+        """Run ``n_chains`` independent horseshoe chains batched on one
+        device; ``fused=True`` (default on the pallas backend) sweeps all
+        chains inside one kernel per iteration."""
         from .driver import run_chain
 
+        if fused is None:
+            fused = self.supports_fused_chains
+        if fused and not self.supports_fused_chains:
+            raise ValueError("fused multi-chain needs the pallas backend")
         keys = jax.random.split(key, n_chains)
         state = jax.vmap(self.init)(keys)
+        if fused:
+            steps_fn = lambda st, n: self._mc_run_steps(st, self.data, n)
+            emit_fn = lambda st, n, t: self._mc_emit_chunk(st, self.data, n, t)
+        else:
+            steps_fn = lambda st, n: self._vrun_steps(st, self.data, n)
+            emit_fn = lambda st, n, t: self._vemit_chunk(st, self.data, n, t)
         return run_chain(
             state, chain,
-            steps_fn=lambda st, n: self._vrun_steps(st, self.data, n),
-            emit_fn=lambda st, n, t: self._vemit_chunk(st, self.data, n, t),
+            steps_fn=steps_fn, emit_fn=emit_fn,
             collect=collect, emit_chunk=emit_chunk)
 
     @staticmethod

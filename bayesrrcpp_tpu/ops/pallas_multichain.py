@@ -478,3 +478,191 @@ def bayesr_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         v=v_tot.reshape(C, G, K).astype(eps.dtype),
         beta_acum=bacc_tot.astype(eps.dtype),
     )
+
+
+# --------------------------------------------------------------- horseshoe MC
+
+def build_pkg_hs(xsq, lam, tau, c2, sigmaE, z, *, B):
+    """Horseshoe packed operand (nb, B*C, 3): [1/denom, sd, z] per
+    (marker, chain); denom = |X_j|^2 + sigmaE / (tau*c2*lam/(tau*lam+c2))
+    with lambda fixed during the sweep (src/HorseshoeR.cpp:234, 242)."""
+    f32 = jnp.float32
+    C, Mpad = lam.shape
+    xsq = xsq.astype(f32)
+    lamf = lam.astype(f32)
+    tauf = tau.astype(f32)[:, None]
+    c2f = c2.astype(f32)[:, None]
+    sE = sigmaE.astype(f32)[:, None]
+    s_j = tauf * c2f * lamf / (tauf * lamf + c2f)          # (C, Mpad)
+    denom = xsq[None, :] + sE / s_j
+    pkg = jnp.stack([1.0 / denom, jnp.sqrt(sE / denom), z.astype(f32)],
+                    axis=2)                                 # (C, Mpad, 3)
+    nb = Mpad // B
+    return pkg.transpose(1, 0, 2).reshape(nb, B * C, 3)
+
+
+def _hs_mc_kernel(border_ref, inner_ref,
+                  xt_ref, pkg_ref, gram_ref, xsq_ref, valid_ref,
+                  beta_ref, eps_ref,
+                  eps_out, beta_out, r_sc, delta_sc, *, B, TN, C):
+    b = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+    f32 = jnp.float32
+
+    @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
+    def _init():
+        eps_out[...] = eps_ref[...]
+
+    @pl.when(ph == 0)
+    def _accumulate_r():
+        @pl.when(t == 0)
+        def _():
+            r_sc[...] = jnp.zeros_like(r_sc)
+
+        eps_t = eps_out[:, pl.ds(t * TN, TN)]               # (C, TN)
+        r_sc[...] += jax.lax.dot_general(
+            eps_t, xt_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    @pl.when(jnp.logical_and(ph == 1, t == 0))
+    def _solve():
+        delta_sc[...] = jnp.zeros_like(delta_sc)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+        def body(s, _):
+            jl = inner_ref[b, s]
+            dsj = pl.ds(jl, 1)
+            row = pkg_ref[0, pl.ds(jl * C, C), :]           # (C, 3)
+            invd = row[:, 0:1]
+            sdv = row[:, 1:2]
+            z_s = row[:, 2:3]
+            okf = valid_ref[0, dsj, :]                      # (1, 1) f32
+            xsq_j = xsq_ref[0, dsj, :]
+
+            maskf = (lane == jl).astype(f32)
+            beta_old = jnp.sum(beta_ref[...] * maskf, axis=1, keepdims=True)
+            r_jl = jnp.sum(r_sc[...] * maskf, axis=1, keepdims=True)
+
+            num = r_jl + beta_old * xsq_j
+            beta_new = num * invd + sdv * z_s               # (C, 1)
+            d = okf * (beta_new - beta_old)
+
+            r_sc[...] -= gram_ref[0, dsj, :] * d
+            delta_sc[...] += maskf * d
+            return ()
+
+        lax.fori_loop(0, B, body, (), unroll=False)
+        beta_out[0] = beta_ref[...] + delta_sc[...]
+
+    @pl.when(ph == 1)
+    def _apply_update():
+        upd = jax.lax.dot_general(
+            delta_sc[...], xt_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        eps_out[:, pl.ds(t * TN, TN)] -= upd
+
+
+def horseshoe_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
+                              block_order, inner_perm, z_arr,
+                              lam, tau, c2, sigmaE, valid_pad,
+                              *, tile_n: int = 512, interpret: bool = False,
+                              max_call_blocks=None):
+    """C-chain fused horseshoe sweep; eps (C, N), beta/lam/z (C, Mpad),
+    tau/c2/sigmaE (C,).  Dense X only (like the single-chain kernel)."""
+    Mpad, N = XT_pad.shape
+    nb, B, _ = gram.shape
+    f32 = jnp.float32
+    C = eps.shape[0]
+    TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+    Npad = -(-N // TN) * TN
+    nt = Npad // TN
+
+    eps2 = jnp.zeros((C, Npad), f32).at[:, :N].set(eps.astype(f32))
+    xt = XT_pad if Npad == N else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)))
+    inner_by_pos = inner_perm[block_order]
+    pkg = build_pkg_hs(xsq_pad, lam, tau, c2, sigmaE, z_arr, B=B)
+    xsq3 = xsq_pad.astype(f32).reshape(nb, B, 1)
+    valid3 = valid_pad.astype(f32).reshape(nb, B, 1)
+    beta2 = beta_pad.astype(f32)
+
+    border_i = block_order.astype(jnp.int32)
+    inner_i = inner_by_pos.astype(jnp.int32)
+    n_rounds = block_order.shape[0]
+    CB = max(1, min(n_rounds, max_call_blocks or (65536 // B)))
+    lane = jnp.arange(B, dtype=border_i.dtype)
+
+    def im_b3(b, ph, t, border_ref, inner_ref):
+        return (border_ref[b], 0, 0)
+
+    def im_cb(b, ph, t, border_ref, inner_ref):
+        return (0, border_ref[b])
+
+    def im_xt(b, ph, t, border_ref, inner_ref):
+        return (border_ref[b], t)
+
+    def im_full(b, ph, t, border_ref, inner_ref):
+        return (0, 0)
+
+    def im_pos3(b, ph, t, border_ref, inner_ref):
+        return (b, 0, 0)
+
+    def call(border_c, inner_c, beta2, eps2):
+        cb = border_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(cb, 2, nt),
+            in_specs=[
+                pl.BlockSpec((B, TN), im_xt),
+                pl.BlockSpec((1, B * C, 3), im_b3),
+                pl.BlockSpec((1, B, B), im_b3),
+                pl.BlockSpec((1, B, 1), im_b3),
+                pl.BlockSpec((1, B, 1), im_b3),
+                pl.BlockSpec((C, B), im_cb),
+                pl.BlockSpec((C, Npad), im_full),
+            ],
+            out_specs=[
+                pl.BlockSpec((C, Npad), im_full),
+                pl.BlockSpec((1, C, B), im_pos3),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((C, B), jnp.float32),
+                pltpu.VMEM((C, B), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_hs_mc_kernel, B=B, TN=TN, C=C),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((C, Npad), jnp.float32),
+                jax.ShapeDtypeStruct((cb, C, B), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) * 3,
+            ),
+        )(border_c, inner_c, xt, pkg, gram, xsq3, valid3, beta2, eps2)
+
+    def run_chunk(carry, xs):
+        eps2, beta2 = carry
+        border_c, inner_c = xs
+        cb = border_c.shape[0]
+        eps2, beta_c = call(border_c, inner_c, beta2, eps2)
+        idx = (border_c[:, None] * B + lane[None, :]).reshape(-1)
+        beta2 = beta2.at[:, idx].set(
+            beta_c.transpose(1, 0, 2).reshape(C, cb * B))
+        return (eps2, beta2), None
+
+    carry = (eps2, beta2)
+    rem = n_rounds % CB
+    if rem:
+        carry, _ = run_chunk(carry, (border_i[:rem], inner_i[:rem]))
+    n_uniform = (n_rounds - rem) // CB
+    if n_uniform == 1:
+        carry, _ = run_chunk(carry, (border_i[rem:], inner_i[rem:]))
+    elif n_uniform > 1:
+        xs = (border_i[rem:].reshape(n_uniform, CB),
+              inner_i[rem:].reshape(n_uniform, CB, B))
+        carry, _ = lax.scan(run_chunk, carry, xs)
+    eps2, beta2 = carry
+    return eps2[:, :N].astype(eps.dtype), beta2.astype(beta_pad.dtype)

@@ -181,3 +181,60 @@ def test_mc_quantized_missing_falls_back():
     _, out = s.run_chains(jax.random.PRNGKey(0), 2, ChainConfig(6, 2, 2),
                           fused=None)  # auto-falls back to vmap
     assert np.isfinite(np.asarray(out["beta"])).all()
+
+
+def test_hs_mc_equals_single():
+    """Fused multi-chain horseshoe == C single-chain horseshoe sweeps."""
+    from bayesrrcpp_tpu import HorseshoeConfig, HorseshoeSampler
+    from bayesrrcpp_tpu.ops.pallas_multichain import horseshoe_sweep_pallas_mc
+    from bayesrrcpp_tpu.ops.pallas_sweep import horseshoe_sweep_pallas
+
+    sim = simulate.simulate_bayesr(seed=86, N=140, M=64, n_causal=8, h2=0.5)
+    s = HorseshoeSampler(sim.X, sim.Y, HorseshoeConfig(A=0.05, block_size=32),
+                         backend="pallas", dtype=jnp.float32)
+    d = s.data
+    B, nb, Mpad = s.B, s.nb, s.Mpad
+    C = 3
+    rng = np.random.default_rng(1)
+    eps = np.stack([np.asarray(s.init(jax.random.PRNGKey(c)).eps)
+                    for c in range(C)])
+    beta = rng.normal(0, 0.05, (C, Mpad)).astype(np.float32)
+    beta[:, s.M:] = 0.0
+    lam = rng.uniform(0.5, 2.0, (C, Mpad)).astype(np.float32)
+    tau = rng.uniform(0.01, 0.1, C).astype(np.float32)
+    c2 = rng.uniform(0.5, 2.0, C).astype(np.float32)
+    sE = rng.uniform(0.3, 0.8, C).astype(np.float32)
+    z_m = rng.normal(size=(C, Mpad)).astype(np.float32)
+
+    border, inner = bs.block_orders(jax.random.PRNGKey(11), nb, B)
+    eps_mc, beta_mc = horseshoe_sweep_pallas_mc(
+        d.XT, d.gram, d.xsq, jnp.asarray(eps), jnp.asarray(beta),
+        border, inner, jnp.asarray(z_m), jnp.asarray(lam),
+        jnp.asarray(tau), jnp.asarray(c2), jnp.asarray(sE), d.valid,
+        interpret=True)
+    inner_np = np.asarray(inner)
+    for c in range(C):
+        z_pos = _pos_from_marker(z_m[c], border, inner_np, B)
+        eps_1, beta_1 = horseshoe_sweep_pallas(
+            d.XT, d.gram, d.xsq, jnp.asarray(eps[c]), jnp.asarray(beta[c]),
+            border, inner, jnp.asarray(z_pos), jnp.asarray(lam[c]),
+            jnp.asarray(tau[c]), jnp.asarray(c2[c]), jnp.asarray(sE[c]),
+            d.valid, interpret=True)
+        np.testing.assert_allclose(np.asarray(beta_mc)[c], np.asarray(beta_1),
+                                   rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(eps_mc)[c], np.asarray(eps_1),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_hs_mc_full_chain():
+    from bayesrrcpp_tpu import HorseshoeConfig, HorseshoeSampler
+
+    sim = simulate.simulate_bayesr(seed=87, N=200, M=64, n_causal=8, h2=0.6)
+    s = HorseshoeSampler(sim.X, sim.Y, HorseshoeConfig(A=0.05, block_size=32),
+                         backend="pallas", dtype=jnp.float32)
+    assert s.supports_fused_chains
+    _, out = s.run_chains(jax.random.PRNGKey(4), 3, ChainConfig(80, 40, 4),
+                          fused=True)
+    beta = np.asarray(out["beta"])
+    assert beta.shape[1] == 3 and np.isfinite(beta).all()
+    assert not np.allclose(beta[:, 0], beta[:, 1])

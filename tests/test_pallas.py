@@ -275,3 +275,46 @@ def test_missing_data_disables_fold():
     assert s._x_fold is False
     st = s.step(s.init(jax.random.PRNGKey(14)))
     assert np.isfinite(np.asarray(st.beta)).all()
+
+
+def test_prepacked_words_equal_host_packed():
+    """Device-resident pre-packed words (the chunked Gram/stats build) must
+    reproduce the host-packed 2-bit path exactly: same gram/xsq/colsums and
+    identical chain steps."""
+    rng = np.random.default_rng(71)
+    N, M = 2048, 64
+    dosage = rng.binomial(2, rng.uniform(0.2, 0.8, M), size=(N, M)).astype(float)
+    means = dosage.mean(axis=0)
+    sds = dosage.std(axis=0, ddof=1)
+    y = rng.normal(size=N)
+
+    cfg = BayesRConfig(block_size=32)
+    s_h = SpikeSlabSampler(dosage, y, CVA, cfg, x_dtype="2bit",
+                           dtype=jnp.float32)
+    # pack on the test side: 16 consecutive codes per int32 word along N
+    codes = dosage.T.astype(np.uint64)           # (M, N)
+    shifts = (2 * np.arange(16, dtype=np.uint64))[None, None, :]
+    words = (codes.reshape(M, N // 16, 16) << shifts).sum(axis=2)
+    words = jnp.asarray(words.astype(np.uint32).view(np.int32))
+    s_p = SpikeSlabSampler(words, y, CVA, cfg, x_dtype="2bit",
+                           transposed=True, x_stats=(means, sds),
+                           dtype=jnp.float32)
+    assert s_p._prepacked
+    # f32 with different summation orders (whole-N matmul vs 16 bit-plane
+    # matmuls): agreement to ~1e-4 relative
+    np.testing.assert_allclose(np.asarray(s_h.data.gram),
+                               np.asarray(s_p.data.gram), rtol=2e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s_h.data.xsq),
+                               np.asarray(s_p.data.xsq), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_h.data.x_colsum),
+                               np.asarray(s_p.data.x_colsum),
+                               rtol=1e-3, atol=1e-3)
+    assert s_h._x_fold == s_p._x_fold
+    key = jax.random.PRNGKey(15)
+    st_h, st_p = s_h.init(key), s_p.init(key)
+    for _ in range(2):
+        st_h, st_p = s_h.step(st_h), s_p.step(st_p)
+    np.testing.assert_array_equal(np.asarray(st_h.labels),
+                                  np.asarray(st_p.labels))
+    np.testing.assert_allclose(np.asarray(st_h.beta), np.asarray(st_p.beta),
+                               rtol=2e-4, atol=2e-6)
