@@ -42,6 +42,9 @@ def _add_common(p):
     p.add_argument("--no-epsilon", action="store_true",
                    help="omit the per-sample residual vector from the output")
     p.add_argument("--no-standardize", action="store_true")
+    p.add_argument("--chains", type=int, default=1,
+                   help="run N chains fused in one kernel (one CSV per "
+                        "chain, '.chainK' inserted before the extension)")
 
 
 def _add_mixture(p):
@@ -119,6 +122,22 @@ def _run(sampler, args, chain, sink, extra_sinks):
     return state
 
 
+def _run_chains(sampler, args, chain, schema, **sink_kw):
+    import jax
+
+    from .io.sink import ChainFanoutSink
+
+    sink = ChainFanoutSink.csv(args.out, args.chains, schema, **sink_kw)
+    state, _ = sampler.run_chains(jax.random.PRNGKey(args.seed), args.chains,
+                                  chain, sink=sink, collect=False)
+    sink.close()
+    if args.checkpoint_out:
+        from .io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_out, state)
+    return state
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bayesrrcpp_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -174,8 +193,13 @@ def main(argv=None):
                            v0G=args.v0G, s02G=args.s02G,
                            block_size=args.block_size, emit_epsilon=emit_eps)
         s = SpikeSlabSampler(X, Y, cva, cfg, backend=_backend(args), dtype=dt)
-        sink = CSVSink(args.out, "bayesr", M=s.M, N=s.N, emit_epsilon=emit_eps)
-        _run(s, args, chain, sink, [])
+        if args.chains > 1:
+            _run_chains(s, args, chain, "bayesr", M=s.M, N=s.N,
+                        emit_epsilon=emit_eps)
+        else:
+            sink = CSVSink(args.out, "bayesr", M=s.M, N=s.N,
+                           emit_epsilon=emit_eps)
+            _run(s, args, chain, sink, [])
     elif args.cmd == "groups":
         g_assign = np.loadtxt(args.groups_file, dtype=np.int32).reshape(-1)
         G = int(g_assign.max()) + 1
@@ -187,18 +211,26 @@ def main(argv=None):
                            block_size=args.block_size, emit_epsilon=emit_eps)
         s = SpikeSlabSampler(X, Y, cva, cfg, g_assign=g_assign, fixed=fixed,
                              backend=_backend(args), dtype=dt)
-        sink = CSVSink(args.out, "groups", M=s.M, N=s.N, groups=G, F=s.F,
-                       emit_epsilon=emit_eps)
-        _run(s, args, chain, sink, [])
+        if args.chains > 1:
+            _run_chains(s, args, chain, "groups", M=s.M, N=s.N, groups=G,
+                        F=s.F, emit_epsilon=emit_eps)
+        else:
+            sink = CSVSink(args.out, "groups", M=s.M, N=s.N, groups=G, F=s.F,
+                           emit_epsilon=emit_eps)
+            _run(s, args, chain, sink, [])
     elif args.cmd == "horseshoe":
         cfg = HorseshoeConfig(A=args.A, v0E=args.v0E, s02E=args.s02E,
                               vL=args.vL, vT=args.vT, c2=args.c2, vC=args.vC,
                               sC=args.sC, block_size=args.block_size,
                               emit_epsilon=emit_eps)
         s = HorseshoeSampler(X, Y, cfg, backend=_backend(args), dtype=dt)
-        sink = CSVSink(args.out, "horseshoe", M=s.M, N=s.N,
-                       emit_epsilon=emit_eps)
-        _run(s, args, chain, sink, [])
+        if args.chains > 1:
+            _run_chains(s, args, chain, "horseshoe", M=s.M, N=s.N,
+                        emit_epsilon=emit_eps)
+        else:
+            sink = CSVSink(args.out, "horseshoe", M=s.M, N=s.N,
+                           emit_epsilon=emit_eps)
+            _run(s, args, chain, sink, [])
     elif args.cmd == "resume":
         from .io.checkpoint import load_checkpoint
 

@@ -233,3 +233,39 @@ class MemorySink(_AsyncWriterMixin):
         self.flush()
         return {k: np.concatenate([c[k] for c in self.rows], axis=0)
                 for k in self.rows[0]} if self.rows else {}
+
+
+class ChainFanoutSink:
+    """Split a multi-chain sample stream (fields shaped (emits, chains, ...))
+    into one per-chain sink, e.g. one CSV file per chain.
+
+    ``make_sink(c)`` builds the sink for chain c; with a path template use
+    ``ChainFanoutSink.csv(path, n_chains, schema, **kw)`` which writes
+    ``path`` with ``.chain{c}`` inserted before the extension.
+    """
+
+    def __init__(self, make_sink, n_chains: int):
+        self.sinks = [make_sink(c) for c in range(n_chains)]
+
+    @classmethod
+    def csv(cls, path, n_chains, schema, **kw):
+        import os
+
+        root, ext = os.path.splitext(path)
+
+        def make(c):
+            return CSVSink(f"{root}.chain{c}{ext or '.csv'}", schema, **kw)
+
+        return cls(make, n_chains)
+
+    def write(self, rows):
+        for c, s in enumerate(self.sinks):
+            s.write({k: v[:, c] for k, v in rows.items()})
+
+    def flush(self):
+        for s in self.sinks:
+            s.flush()
+
+    def close(self):
+        for s in self.sinks:
+            s.close()

@@ -838,7 +838,7 @@ class SpikeSlabSampler:
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
                    collect: bool = True, emit_chunk: int = 32,
-                   fused: Optional[bool] = None):
+                   fused: Optional[bool] = None, sink=None):
         """Run ``n_chains`` independent chains batched on one device.
 
         ``fused=True`` (default where supported) sweeps all chains inside
@@ -868,7 +868,7 @@ class SpikeSlabSampler:
             emit_fn = lambda st, n, t: self._vemit_chunk(st, self.data, n, t)
         return run_chain(
             state, chain,
-            steps_fn=steps_fn, emit_fn=emit_fn,
+            steps_fn=steps_fn, emit_fn=emit_fn, sink=sink,
             collect=collect, emit_chunk=emit_chunk)
 
     @staticmethod

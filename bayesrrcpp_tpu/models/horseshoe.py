@@ -328,7 +328,7 @@ class HorseshoeSampler:
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
                    collect: bool = True, emit_chunk: int = 32,
-                   fused: Optional[bool] = None):
+                   fused: Optional[bool] = None, sink=None):
         """Run ``n_chains`` independent horseshoe chains batched on one
         device; ``fused=True`` (default on the pallas backend) sweeps all
         chains inside one kernel per iteration."""
@@ -348,7 +348,7 @@ class HorseshoeSampler:
             emit_fn = lambda st, n, t: self._vemit_chunk(st, self.data, n, t)
         return run_chain(
             state, chain,
-            steps_fn=steps_fn, emit_fn=emit_fn,
+            steps_fn=steps_fn, emit_fn=emit_fn, sink=sink,
             collect=collect, emit_chunk=emit_chunk)
 
     @staticmethod

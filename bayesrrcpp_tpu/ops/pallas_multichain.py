@@ -70,10 +70,11 @@ class MCSweepResult(NamedTuple):
     beta_acum: jax.Array  # (C, G)
 
 
-def build_pkg(xsq, gas, p, z, pi, cva, sigmaE, sigmaGG, *, B):
-    """Per-iteration packed operand (nb, B*C, 3K+3), row j*C + c =
-    [lp(K), 1/denom(K, spike col 0), sd(K, spike col 0), 0.5/sigmaE, p, z]
-    for marker j (within-block), chain c.
+def build_pkg(xsq, gas, p, z, pi, cva, sigmaE, sigmaGG, valid, *, B):
+    """Per-iteration packed operand (nb, B*C, 3K+5), row j*C + c =
+    [lp(K), 1/denom(K, spike col 0), sd(K, spike col 0), 0.5/sigmaE, p, z,
+    xsq, okf] for marker j (within-block), chain c -- EVERYTHING the
+    sequential loop reads lands in one dynamic-sublane slice per step.
 
     Same formulas as the single-chain kernel's per-block precompute
     (denominators: src/BayesRv2.cpp:199; log-marginals: :207-211)."""
@@ -101,15 +102,18 @@ def build_pkg(xsq, gas, p, z, pi, cva, sigmaE, sigmaGG, *, B):
     hse = jnp.broadcast_to(0.5 / sE, (C, Mpad, 1))
     pkg = jnp.concatenate([
         lp, invd, sd, hse,
-        p.astype(f32)[..., None], z.astype(f32)[..., None]], axis=2)
-    F = 3 * K + 3
+        p.astype(f32)[..., None], z.astype(f32)[..., None],
+        jnp.broadcast_to(xsq[None, :, None], (C, Mpad, 1)),
+        jnp.broadcast_to(valid.astype(f32)[None, :, None], (C, Mpad, 1)),
+    ], axis=2)
+    F = 3 * K + 5
     nb = Mpad // B
     # (C, Mpad, F) -> (nb, B*C, F) with row j*C + c
     return pkg.transpose(1, 0, 2).reshape(nb, B * C, F)
 
 
 def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
-               xt_ref, pkg_ref, gram_ref, xsq_ref, gasr_ref, valid_ref,
+               xt_ref, pkg_ref, gram_ref, gasr_ref,
                beta_ref, labels_ref, eps_ref,
                eps_out, beta_out, labels_out, v_out, bacc_out,
                r_sc, delta_sc, krec_sc, *, B, TN, K, G, C, packed=False,
@@ -145,11 +149,11 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
     def _accumulate_r():
         @pl.when(t == 0)
         def _():
-            r_sc[...] = jnp.zeros_like(r_sc)
+            r_sc[0:C, :] = jnp.zeros((C, B), f32)
 
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
-            r_sc[...] += jax.lax.dot_general(
+            r_sc[0:C, :] += jax.lax.dot_general(
                 eps_t, x_sub(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, B)
 
@@ -158,8 +162,12 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
         delta_sc[...] = jnp.zeros_like(delta_sc)
         krec_sc[...] = jnp.full((C, B), -1.0, f32)
         if fold:
-            r_sc[...] = (r_sc[...] * srow_ref[0]
-                         - msrow_ref[0] * esum_sc[...])
+            r_sc[0:C, :] = (r_sc[0:C, :] * srow_ref[0]
+                            - msrow_ref[0] * esum_sc[...])
+        # r and the pre-block betas stacked in ONE (2C, B) scratch: the
+        # per-step gathers of r_jl and beta_old fuse into a single
+        # mask-multiply + lane reduction
+        r_sc[C:2 * C, :] = beta_ref[...]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
         kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         Kf = jnp.float32(K)
@@ -167,20 +175,20 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
         def body(s, _):
             jl = inner_ref[b, s]
             dsj = pl.ds(jl, 1)
-            row = pkg_ref[0, pl.ds(jl * C, C), :]           # (C, 3K+3)
+            row = pkg_ref[0, pl.ds(jl * C, C), :]           # (C, 3K+5)
             lp = row[:, 0:K]
             invd = row[:, K:2 * K]
             sd = row[:, 2 * K:3 * K]
             hse = row[:, 3 * K:3 * K + 1]                   # (C, 1)
             p_s = row[:, 3 * K + 1:3 * K + 2]
             z_s = row[:, 3 * K + 2:3 * K + 3]
-            okf = valid_ref[0, dsj, :]                      # (1, 1) f32
-            xsq_j = xsq_ref[0, dsj, :]                      # (1, 1)
+            xsq_j = row[:, 3 * K + 3:3 * K + 4]             # (C, 1)
+            okf = row[:, 3 * K + 4:3 * K + 5]               # (C, 1)
 
             maskf = (lane == jl).astype(f32)                # (1, B)
-            beta_old = jnp.sum(beta_ref[...] * maskf, axis=1,
-                               keepdims=True)               # (C, 1)
-            r_jl = jnp.sum(r_sc[...] * maskf, axis=1, keepdims=True)
+            both = jnp.sum(r_sc[...] * maskf, axis=1, keepdims=True)
+            r_jl = both[0:C, :]                             # (C, 1)
+            beta_old = both[C:2 * C, :]
 
             num = r_jl + beta_old * xsq_j                   # (C, 1)
             muk = num * invd                                # (C, K), col0=0
@@ -209,7 +217,7 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
             beta_new = jnp.where(hitm, beta_drawn, beta_old)
             d = okf * (beta_new - beta_old)                 # (C, 1)
 
-            r_sc[...] -= gram_ref[0, dsj, :] * d            # (1,B)x(C,1)
+            r_sc[0:C, :] -= gram_ref[0, dsj, :] * d         # (1,B)x(C,1)
             delta_sc[...] += maskf * d
             take = okf * hitm.astype(f32)
             kv = jnp.where(take > 0, k_sel, jnp.float32(-1.0))
@@ -254,7 +262,7 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
-def _mc_call(border, inner, xt, pkg, gram, xsq3, gasr3, valid3,
+def _mc_call(border, inner, xt, pkg, gram, gasr3,
              beta2, labels2, eps2, *, B, TN, K, G, C, interpret,
              packed=False, fold=False, srow3=None, msrow3=None, xsum3=None,
              esum0=None):
@@ -279,19 +287,17 @@ def _mc_call(border, inner, xt, pkg, gram, xsq3, gasr3, valid3,
         return (b, 0, 0)
 
     x_tile_w = TN // 16 if packed else TN
-    F = 3 * K + 3
+    F = 3 * K + 5
     in_specs = [
         pl.BlockSpec((B, x_tile_w), im_xt),                 # xt
         pl.BlockSpec((1, B * C, F), im_b3),                 # pkg
         pl.BlockSpec((1, B, B), im_b3),                     # gram
-        pl.BlockSpec((1, B, 1), im_b3),                     # xsq (col)
         pl.BlockSpec((1, 1, B), im_b3),                     # gas (row)
-        pl.BlockSpec((1, B, 1), im_b3),                     # valid (col f32)
         pl.BlockSpec((C, B), im_cb),                        # beta
         pl.BlockSpec((C, B), im_cb),                        # labels
         pl.BlockSpec((C, Npad), im_full),                   # eps
     ]
-    args = [xt, pkg, gram, xsq3, gasr3, valid3, beta2, labels2, eps2]
+    args = [xt, pkg, gram, gasr3, beta2, labels2, eps2]
     if fold:
         row_b = functools.partial(pl.BlockSpec, (1, 1, B), im_b3)
         in_specs += [row_b(), row_b(), row_b(),             # srow, msrow, xsum
@@ -312,7 +318,7 @@ def _mc_call(border, inner, xt, pkg, gram, xsq3, gasr3, valid3,
         jax.ShapeDtypeStruct((C, G), jnp.float32),
     ]
     scratch = [
-        pltpu.VMEM((C, B), jnp.float32),                    # r
+        pltpu.VMEM((2 * C, B), jnp.float32),                # r ; beta0
         pltpu.VMEM((C, B), jnp.float32),                    # delta
         pltpu.VMEM((C, B), jnp.float32),                    # krec
     ] + ([pltpu.VMEM((C, 1), jnp.float32),                  # sum(eps)/chain
@@ -331,14 +337,14 @@ def _mc_call(border, inner, xt, pkg, gram, xsq3, gasr3, valid3,
         kernel = functools.partial(
             _mc_kernel, B=B, TN=TN, K=K, G=G, C=C, packed=packed)
 
-        def kernel(border_ref, inner_ref, xt_ref, pkg_ref, gram_ref, xsq_ref,
-                   gasr_ref, valid_ref, beta_ref, labels_ref, eps_ref,
+        def kernel(border_ref, inner_ref, xt_ref, pkg_ref, gram_ref,
+                   gasr_ref, beta_ref, labels_ref, eps_ref,
                    srow_ref, msrow_ref, xsum_ref, esum0_ref,
                    eps_out, beta_out, labels_out, v_out, bacc_out,
                    r_sc, delta_sc, krec_sc, esum_sc, dms_sc):
             return _mc_kernel(
-                border_ref, inner_ref, xt_ref, pkg_ref, gram_ref, xsq_ref,
-                gasr_ref, valid_ref, beta_ref, labels_ref, eps_ref,
+                border_ref, inner_ref, xt_ref, pkg_ref, gram_ref,
+                gasr_ref, beta_ref, labels_ref, eps_ref,
                 eps_out, beta_out, labels_out, v_out, bacc_out,
                 r_sc, delta_sc, krec_sc, B=B, TN=TN, K=K, G=G, C=C,
                 packed=packed, srow_ref=srow_ref, msrow_ref=msrow_ref,
@@ -408,11 +414,9 @@ def bayesr_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         raise ValueError("multi-chain p/z must be (C, Mpad), marker-indexed")
 
     pkg = build_pkg(xsq_pad, g_assign_pad, p_arr, z_arr, pi, cva,
-                    sigmaE, sigmaGG, B=B)
+                    sigmaE, sigmaGG, valid_pad, B=B)
 
-    xsq3 = xsq_pad.astype(f32).reshape(nb, B, 1)
     gasr3 = g_assign_pad.astype(jnp.int32).reshape(nb, 1, B)
-    valid3 = valid_pad.astype(f32).reshape(nb, B, 1)
     beta2 = beta_pad.astype(f32)                            # (C, Mpad)
     labels2 = labels_pad.astype(jnp.int32)
     if fold:
@@ -444,7 +448,7 @@ def bayesr_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         border_c, inner_c = xs
         cb = border_c.shape[0]
         esum0 = (jnp.sum(eps2, axis=1, keepdims=True) if fold else None)
-        out = call(border_c, inner_c, xt, pkg, gram, xsq3, gasr3, valid3,
+        out = call(border_c, inner_c, xt, pkg, gram, gasr3,
                    beta2, labels2, eps2, srow3=srow3, msrow3=msrow3,
                    xsum3=xsum3, esum0=esum0)
         eps2, beta_c, labels_c, v_c, bacc_c = out

@@ -97,3 +97,33 @@ def test_cli_horseshoe_npy(tmp_path):
     assert rc == 0
     hdr = open(out).readline().split(",")
     assert "tau" in hdr
+
+
+def test_cli_multichain_csv(tmp_path):
+    """--chains N writes one reference-schema CSV per chain."""
+    from bayesrrcpp_tpu import cli, simulate
+
+    sim = simulate.simulate_bayesr(seed=31, N=120, M=48, n_causal=6, h2=0.5)
+    x = tmp_path / "X.npy"
+    y = tmp_path / "y.npy"
+    np.save(x, sim.X)
+    np.save(y, sim.Y)
+    out = tmp_path / "mc.csv"
+    rc = cli.main(["bayesr", "--x", str(x), "--y", str(y),
+                   "--out", str(out), "--iterations", "30",
+                   "--burn-in", "10", "--thinning", "5",
+                   "--block-size", "16", "--chains", "2"])
+    assert rc == 0
+    rows = []
+    for c in range(2):
+        f = tmp_path / "mc.chain0.csv", tmp_path / "mc.chain1.csv"
+        path = f[c]
+        assert path.exists()
+        lines = path.read_text().strip().split("\n")
+        header = lines[0].split(",")
+        body = [ln.split(",") for ln in lines[1:]]
+        assert len(body) >= 4
+        assert all(len(r) == len(header) for r in body)
+        rows.append(np.array(body[-1], dtype=float))
+    # chains are distinct draws
+    assert not np.allclose(rows[0], rows[1])
