@@ -70,11 +70,13 @@ class MCSweepResult(NamedTuple):
     beta_acum: jax.Array  # (C, G)
 
 
-def build_pkg(xsq, gas, p, z, pi, cva, sigmaE, sigmaGG, valid, *, B):
-    """Per-iteration packed operand (nb, B*C, 3K+5), row j*C + c =
-    [lp(K), 1/denom(K, spike col 0), sd(K, spike col 0), 0.5/sigmaE, p, z,
-    xsq, okf] for marker j (within-block), chain c -- EVERYTHING the
-    sequential loop reads lands in one dynamic-sublane slice per step.
+def build_pkg(xsq, gas, p, z, pi, cva, sigmaE, sigmaGG, *, B):
+    """Per-iteration packed operand (nb, B*C, 3K+2), row j*C + c =
+    [lp(K), 1/denom(K, spike col 0), sd(K, spike col 0), p, z] for marker j
+    (within-block), chain c.  Marker-shared scalars (xsq, valid) and the
+    chain constant 0.5/sigmaE stay OUT of the row: lane-offset extracts are
+    ~45 cycles each on the VPU, so the serial loop keeps only the five
+    unavoidable per-(marker,chain) slices.
 
     Same formulas as the single-chain kernel's per-block precompute
     (denominators: src/BayesRv2.cpp:199; log-marginals: :207-211)."""
@@ -99,22 +101,19 @@ def build_pkg(xsq, gas, p, z, pi, cva, sigmaE, sigmaGG, valid, *, B):
         logpi[..., 1:] - 0.5 * jnp.log(
             (sG[:, :, None] / sE) * xsq[None, :, None] * cva_m[None] + 1.0),
     ], axis=2)
-    hse = jnp.broadcast_to(0.5 / sE, (C, Mpad, 1))
     pkg = jnp.concatenate([
-        lp, invd, sd, hse,
+        lp, invd, sd,
         p.astype(f32)[..., None], z.astype(f32)[..., None],
-        jnp.broadcast_to(xsq[None, :, None], (C, Mpad, 1)),
-        jnp.broadcast_to(valid.astype(f32)[None, :, None], (C, Mpad, 1)),
     ], axis=2)
-    F = 3 * K + 5
+    F = 3 * K + 2
     nb = Mpad // B
     # (C, Mpad, F) -> (nb, B*C, F) with row j*C + c
     return pkg.transpose(1, 0, 2).reshape(nb, B * C, F)
 
 
 def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
-               xt_ref, pkg_ref, gram_ref, gasr_ref,
-               beta_ref, labels_ref, eps_ref,
+               xt_ref, pkg_ref, gram_ref, xsq_ref, gasr_ref, valid_ref,
+               hse_ref, beta_ref, labels_ref, eps_ref,
                eps_out, beta_out, labels_out, v_out, bacc_out,
                r_sc, delta_sc, krec_sc, *, B, TN, K, G, C, packed=False,
                srow_ref=None, msrow_ref=None, xsum_ref=None,
@@ -168,6 +167,7 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
         # per-step gathers of r_jl and beta_old fuse into a single
         # mask-multiply + lane reduction
         r_sc[C:2 * C, :] = beta_ref[...]
+        hse = hse_ref[...]                                  # (C, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
         kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
         Kf = jnp.float32(K)
@@ -175,15 +175,14 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
         def body(s, _):
             jl = inner_ref[b, s]
             dsj = pl.ds(jl, 1)
-            row = pkg_ref[0, pl.ds(jl * C, C), :]           # (C, 3K+5)
+            row = pkg_ref[0, pl.ds(jl * C, C), :]           # (C, 3K+2)
             lp = row[:, 0:K]
             invd = row[:, K:2 * K]
             sd = row[:, 2 * K:3 * K]
-            hse = row[:, 3 * K:3 * K + 1]                   # (C, 1)
-            p_s = row[:, 3 * K + 1:3 * K + 2]
-            z_s = row[:, 3 * K + 2:3 * K + 3]
-            xsq_j = row[:, 3 * K + 3:3 * K + 4]             # (C, 1)
-            okf = row[:, 3 * K + 4:3 * K + 5]               # (C, 1)
+            p_s = row[:, 3 * K:3 * K + 1]
+            z_s = row[:, 3 * K + 1:3 * K + 2]
+            xsq_j = xsq_ref[0, dsj, :]                      # (1, 1)
+            okf = valid_ref[0, dsj, :]                      # (1, 1) f32
 
             maskf = (lane == jl).astype(f32)                # (1, B)
             both = jnp.sum(r_sc[...] * maskf, axis=1, keepdims=True)
@@ -262,7 +261,7 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
-def _mc_call(border, inner, xt, pkg, gram, gasr3,
+def _mc_call(border, inner, xt, pkg, gram, xsq3, gasr3, valid3, hse2,
              beta2, labels2, eps2, *, B, TN, K, G, C, interpret,
              packed=False, fold=False, srow3=None, msrow3=None, xsum3=None,
              esum0=None):
@@ -287,17 +286,20 @@ def _mc_call(border, inner, xt, pkg, gram, gasr3,
         return (b, 0, 0)
 
     x_tile_w = TN // 16 if packed else TN
-    F = 3 * K + 5
+    F = 3 * K + 2
     in_specs = [
         pl.BlockSpec((B, x_tile_w), im_xt),                 # xt
         pl.BlockSpec((1, B * C, F), im_b3),                 # pkg
         pl.BlockSpec((1, B, B), im_b3),                     # gram
+        pl.BlockSpec((1, B, 1), im_b3),                     # xsq (col)
         pl.BlockSpec((1, 1, B), im_b3),                     # gas (row)
+        pl.BlockSpec((1, B, 1), im_b3),                     # valid (col f32)
+        pl.BlockSpec((C, 1), im_full),                      # 0.5/sigmaE
         pl.BlockSpec((C, B), im_cb),                        # beta
         pl.BlockSpec((C, B), im_cb),                        # labels
         pl.BlockSpec((C, Npad), im_full),                   # eps
     ]
-    args = [xt, pkg, gram, gasr3, beta2, labels2, eps2]
+    args = [xt, pkg, gram, xsq3, gasr3, valid3, hse2, beta2, labels2, eps2]
     if fold:
         row_b = functools.partial(pl.BlockSpec, (1, 1, B), im_b3)
         in_specs += [row_b(), row_b(), row_b(),             # srow, msrow, xsum
@@ -338,13 +340,15 @@ def _mc_call(border, inner, xt, pkg, gram, gasr3,
             _mc_kernel, B=B, TN=TN, K=K, G=G, C=C, packed=packed)
 
         def kernel(border_ref, inner_ref, xt_ref, pkg_ref, gram_ref,
-                   gasr_ref, beta_ref, labels_ref, eps_ref,
+                   xsq_ref, gasr_ref, valid_ref, hse_ref,
+                   beta_ref, labels_ref, eps_ref,
                    srow_ref, msrow_ref, xsum_ref, esum0_ref,
                    eps_out, beta_out, labels_out, v_out, bacc_out,
                    r_sc, delta_sc, krec_sc, esum_sc, dms_sc):
             return _mc_kernel(
                 border_ref, inner_ref, xt_ref, pkg_ref, gram_ref,
-                gasr_ref, beta_ref, labels_ref, eps_ref,
+                xsq_ref, gasr_ref, valid_ref, hse_ref,
+                beta_ref, labels_ref, eps_ref,
                 eps_out, beta_out, labels_out, v_out, bacc_out,
                 r_sc, delta_sc, krec_sc, B=B, TN=TN, K=K, G=G, C=C,
                 packed=packed, srow_ref=srow_ref, msrow_ref=msrow_ref,
@@ -414,9 +418,12 @@ def bayesr_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         raise ValueError("multi-chain p/z must be (C, Mpad), marker-indexed")
 
     pkg = build_pkg(xsq_pad, g_assign_pad, p_arr, z_arr, pi, cva,
-                    sigmaE, sigmaGG, valid_pad, B=B)
+                    sigmaE, sigmaGG, B=B)
 
+    xsq3 = xsq_pad.astype(f32).reshape(nb, B, 1)
     gasr3 = g_assign_pad.astype(jnp.int32).reshape(nb, 1, B)
+    valid3 = valid_pad.astype(f32).reshape(nb, B, 1)
+    hse2 = (0.5 / sigmaE.astype(f32)).reshape(C, 1)
     beta2 = beta_pad.astype(f32)                            # (C, Mpad)
     labels2 = labels_pad.astype(jnp.int32)
     if fold:
@@ -448,8 +455,8 @@ def bayesr_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         border_c, inner_c = xs
         cb = border_c.shape[0]
         esum0 = (jnp.sum(eps2, axis=1, keepdims=True) if fold else None)
-        out = call(border_c, inner_c, xt, pkg, gram, gasr3,
-                   beta2, labels2, eps2, srow3=srow3, msrow3=msrow3,
+        out = call(border_c, inner_c, xt, pkg, gram, xsq3, gasr3, valid3,
+                   hse2, beta2, labels2, eps2, srow3=srow3, msrow3=msrow3,
                    xsum3=xsum3, esum0=esum0)
         eps2, beta_c, labels_c, v_c, bacc_c = out
         if fold:

@@ -98,7 +98,7 @@ def main():
     # BENCH_CHAINS > 1: fused multi-chain kernel (all chains share one X
     # stream; SNP-updates count multiplies by the chain count)
     n_chains = int(os.environ.get("BENCH_CHAINS", 1))
-    if n_chains > 1:
+    if n_chains > 1 or os.environ.get("BENCH_MC") == "1":
         state = jax.vmap(sampler.init)(
             jax.random.split(jax.random.PRNGKey(1), n_chains))
         run = lambda st: sampler._mc_run_steps(st, sampler.data, iters)
