@@ -401,7 +401,7 @@ class SpikeSlabSampler:
         # silently fails at 2x HBM; block_until_ready does not surface the
         # async error, the first d2h transfer does).  8-block chunks keep
         # the scan copy at ~100 MB and dynamic-update-slice writes in place.
-        CH = min(8, nb)
+        CH = min(32, nb)            # scan copy <=0.4 GB/chunk at B=512
         while nb % CH:
             CH -= 1
 
