@@ -42,6 +42,14 @@ def _add_common(p):
     p.add_argument("--no-epsilon", action="store_true",
                    help="omit the per-sample residual vector from the output")
     p.add_argument("--no-standardize", action="store_true")
+    p.add_argument("--x-dtype", choices=["dense", "int8", "2bit"],
+                   default="dense",
+                   help="genotype storage: dense f32, int8 codes, or 2-bit "
+                        "packed words (0.25 B/genotype; biobank scale on "
+                        "one chip).  With --bed, 2bit decodes straight to "
+                        "the packed layout -- no dense X on the host")
+    p.add_argument("--decode-threads", type=int, default=0,
+                   help="threads for the native .bed decoder (0 = all)")
     p.add_argument("--chains", type=int, default=1,
                    help="run N chains fused in one kernel (one CSV per "
                         "chain, '.chainK' inserted before the extension)")
@@ -58,20 +66,37 @@ def _add_mixture(p):
 
 
 def _load_xy(args):
+    """Returns (X, Y, sampler_kwargs).  Quantized x-dtypes standardize
+    inside the kernel, so X stays raw dosage codes (int8) or packed words
+    (2bit); the packed .bed path never densifies on the host."""
     from .io import bed as bedio
 
+    x_dtype = getattr(args, "x_dtype", "dense")
+    kw = {} if x_dtype == "dense" else {"x_dtype": x_dtype}
     if args.bed:
-        data = bedio.read_bed(args.bed, standardize=not args.no_standardize)
-        X = data.X
         if not args.pheno:
             raise SystemExit("--pheno is required with --bed")
         Y = bedio.read_phenotype(args.pheno)
+        if x_dtype == "2bit":
+            import jax.numpy as jnp
+
+            pb = bedio.read_bed_packed(args.bed, n_threads=args.decode_threads)
+            if Y.shape[0] != pb.n:
+                raise SystemExit(f"phenotype length {Y.shape[0]} != N {pb.n}")
+            kw.update(transposed=True, x_stats=(pb.means, pb.sds),
+                      n_individuals=pb.n)
+            return jnp.asarray(pb.words), Y, kw
+        data = bedio.read_bed(
+            args.bed,
+            standardize=x_dtype == "dense" and not args.no_standardize,
+            impute_missing=x_dtype == "dense")
+        X = data.X
     elif args.x and args.y:
         X = np.load(args.x)
         if hasattr(X, "files"):
             X = X[X.files[0]]
         Y = np.load(args.y)
-        if not args.no_standardize:
+        if x_dtype == "dense" and not args.no_standardize:
             sd = X.std(axis=0, ddof=1)
             sd[sd == 0] = 1.0
             X = (X - X.mean(axis=0)) / sd
@@ -79,7 +104,7 @@ def _load_xy(args):
         raise SystemExit("provide either --bed/--pheno or --x/--y")
     if Y.shape[0] != X.shape[0]:
         raise SystemExit(f"phenotype length {Y.shape[0]} != N {X.shape[0]}")
-    return X, Y
+    return X, Y, kw
 
 
 def _dtype(args):
@@ -182,7 +207,9 @@ def main(argv=None):
     from .models.bayesr import SpikeSlabSampler
     from .models.horseshoe import HorseshoeSampler
 
-    X, Y = _load_xy(args)
+    if args.cmd == "horseshoe" and getattr(args, "x_dtype", "dense") != "dense":
+        raise SystemExit("--x-dtype quantization is BayesR-only for now")
+    X, Y, xkw = _load_xy(args)
     chain = ChainConfig(args.iterations, args.burn_in, args.thinning)
     dt = _dtype(args)
     emit_eps = not args.no_epsilon
@@ -192,7 +219,8 @@ def main(argv=None):
         cfg = BayesRConfig(sigma0=args.sigma0, v0E=args.v0E, s02E=args.s02E,
                            v0G=args.v0G, s02G=args.s02G,
                            block_size=args.block_size, emit_epsilon=emit_eps)
-        s = SpikeSlabSampler(X, Y, cva, cfg, backend=_backend(args), dtype=dt)
+        s = SpikeSlabSampler(X, Y, cva, cfg, backend=_backend(args), dtype=dt,
+                             **xkw)
         if args.chains > 1:
             _run_chains(s, args, chain, "bayesr", M=s.M, N=s.N,
                         emit_epsilon=emit_eps)
@@ -210,7 +238,7 @@ def main(argv=None):
                            v0G=args.v0G, s02G=args.s02G,
                            block_size=args.block_size, emit_epsilon=emit_eps)
         s = SpikeSlabSampler(X, Y, cva, cfg, g_assign=g_assign, fixed=fixed,
-                             backend=_backend(args), dtype=dt)
+                             backend=_backend(args), dtype=dt, **xkw)
         if args.chains > 1:
             _run_chains(s, args, chain, "groups", M=s.M, N=s.N, groups=G,
                         F=s.F, emit_epsilon=emit_eps)
@@ -247,7 +275,7 @@ def main(argv=None):
                            block_size=args.block_size, emit_epsilon=emit_eps)
         s = SpikeSlabSampler(X, Y, cva, cfg, g_assign=g_assign,
                              backend=_backend(args), dtype=dt,
-                             variant="groups" if G > 1 else "bayesr")
+                             variant="groups" if G > 1 else "bayesr", **xkw)
         schema = "grstart" if G > 1 else "bayesr"
         sink = CSVSink(args.out, schema, M=s.M, N=s.N, groups=G,
                        emit_epsilon=emit_eps)

@@ -69,6 +69,124 @@ def read_bed(prefix: str, *, standardize: bool = True,
                    np.asarray(fam), means, sds)
 
 
+class PackedBed(NamedTuple):
+    words: np.ndarray      # (M, Npad//16) int32, the sampler's 2-bit word
+                           # layout (16 codes/word, code j at bits 2j);
+                           # Npad = ceil(N/2048)*2048, pad lanes coded 0
+                           # (no missing anywhere) or 3 (missing present)
+    means: np.ndarray      # (M,) missing-aware dosage means
+    sds: np.ndarray        # (M,) missing-aware ddof-1 dosage sds
+    n: int                 # true individual count
+    snp_ids: np.ndarray
+    sample_ids: np.ndarray
+    has_missing: bool
+
+
+def read_bed_packed(prefix: str, *, n_threads: int = 0) -> PackedBed:
+    """Read `{prefix}.bed/.bim/.fam` straight into the sampler's packed
+    2-bit word layout — 0.25 bytes/genotype on the host, no dense X ever
+    (the reference cannot do this at all: it needs a dense f64 R matrix,
+    src/BayesRv2.cpp:60).  Feed the result to ``SpikeSlabSampler`` as::
+
+        pb = read_bed_packed(prefix)
+        s = SpikeSlabSampler(jnp.asarray(pb.words), Y, cva, cfg,
+                             x_dtype="2bit", transposed=True,
+                             x_stats=(pb.means, pb.sds),
+                             n_individuals=pb.n)
+
+    Uses the threaded C++ decoder (native/bedreader.cpp) when built,
+    otherwise a vectorized NumPy byte-LUT fallback.
+    """
+    bim = _read_tsv_col(prefix + ".bim", 1)
+    fam = _read_tsv_col(prefix + ".fam", 1)
+    M, N = len(bim), len(fam)
+    with open(prefix + ".bed", "rb") as f:
+        header = f.read(3)
+        if header[:2] != _MAGIC:
+            raise ValueError(f"{prefix}.bed: bad magic bytes")
+        if header[2] != _SNP_MAJOR:
+            raise ValueError(f"{prefix}.bed: only SNP-major layout supported")
+        raw = np.frombuffer(f.read(), np.uint8)
+    bpm = (N + 3) // 4
+    if raw.size != M * bpm:
+        raise ValueError(
+            f"{prefix}.bed: expected {M * bpm} genotype bytes, got {raw.size}")
+    npad = -(-N // 2048) * 2048
+    wpad = npad // 16
+
+    from .native import get_native_bed
+
+    dec = get_native_bed()
+    if dec is not None:
+        words, means, sds, _, total = dec.decode(raw, M, N, wpad, n_threads)
+        has_missing = total > 0
+    else:
+        words, means, sds, has_missing = _decode_packed_numpy(
+            raw.reshape(M, bpm), N, wpad)
+
+    if has_missing:
+        # the in-kernel decode zeroes MISSING_CODE lanes, so pad individuals
+        # must carry code 3 when the non-fold kernel runs (the no-missing
+        # fold kernel instead wants code 0 + the row_valid lane mask; see
+        # ops/pallas_sweep.py::bayesr_sweep_pallas)
+        by = words.view(np.uint8).reshape(M, wpad * 4)
+        vb, rem = divmod(N, 4)
+        if rem:
+            keep = np.uint8((1 << (2 * rem)) - 1)
+            by[:, vb] = (by[:, vb] & keep) | np.uint8(0xFF & ~keep)
+            vb += 1
+        if vb < by.shape[1]:
+            by[:, vb:] = 0xFF
+    return PackedBed(words, means, sds, N, np.asarray(bim), np.asarray(fam),
+                     bool(has_missing))
+
+
+# per-byte LUTs over PLINK codes (00->2, 01->missing, 10->1, 11->0)
+def _byte_luts():
+    plink = np.arange(256, dtype=np.uint16)
+    codes = np.stack([(plink >> (2 * j)) & 3 for j in range(4)], 1)  # (256,4)
+    dose = np.array([2, 4, 1, 0], np.uint16)[codes]  # 4 == missing sentinel
+    miss = (dose == 4)
+    d = np.where(miss, 0, dose)
+    lut_map = np.zeros(256, np.uint8)
+    for j in range(4):
+        lut_map |= (np.where(miss[:, j], 3, dose[:, j]).astype(np.uint8)
+                    << np.uint8(2 * j))
+    return (lut_map, d.sum(1).astype(np.int64), (d * d).sum(1).astype(np.int64),
+            miss.sum(1).astype(np.int64))
+
+
+def _decode_packed_numpy(raw, N, wpad):
+    """NumPy fallback of native/bedreader.cpp: byte-LUT remap + stats."""
+    lut_map, lut_sum, lut_sq, lut_miss = _byte_luts()
+    M, bpm = raw.shape
+    vb, rem = divmod(N, 4)
+    body = raw if rem == 0 else raw[:, :vb]
+    s = lut_sum[body].sum(1)
+    q = lut_sq[body].sum(1)
+    mi = lut_miss[body].sum(1)
+    out = np.zeros((M, wpad * 4), np.uint8)
+    out[:, :bpm] = lut_map[raw]
+    if rem:
+        # PLINK pads the trailing byte's unused slots with 00 (dosage 2):
+        # force them to missing for the stats, zero them in the words
+        keep = np.uint8((1 << (2 * rem)) - 1)
+        pad_missing = np.uint8(sum(1 << (2 * j) for j in range(rem, 4)))
+        bb = (raw[:, vb] & keep) | pad_missing
+        s += lut_sum[bb]
+        q += lut_sq[bb]
+        mi += lut_miss[bb] - (4 - rem)
+        out[:, vb] = lut_map[raw[:, vb]] & keep
+    cnt = N - mi
+    safe = np.maximum(cnt, 1)
+    means = s / safe
+    var = np.where(cnt > 1, (q - cnt * means * means) / np.maximum(cnt - 1, 1),
+                   0.0)
+    sds = np.sqrt(np.maximum(var, 0.0))
+    return (np.ascontiguousarray(out).view(np.int32).reshape(M, wpad),
+            means, sds, bool(mi.sum() > 0))
+
+
 def write_bed(prefix: str, X_dosage: np.ndarray, snp_ids=None, sample_ids=None):
     """Write integer dosages (N, M) in {0,1,2, nan} to .bed/.bim/.fam
     (testing / export utility)."""

@@ -16,6 +16,13 @@ from typing import Optional
 
 _LIB = None
 _TRIED = False
+_BED = None
+_BED_TRIED = False
+
+
+def _native_so(name: str) -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", name)
 
 
 class NativeWriter:
@@ -48,11 +55,61 @@ def get_native_writer() -> Optional[NativeWriter]:
     if _TRIED:
         return _LIB
     _TRIED = True
-    so = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "native", "libsampsink.so")
+    so = _native_so("libsampsink.so")
     if os.path.exists(so):
         try:
             _LIB = NativeWriter(ctypes.CDLL(so))
         except OSError:
             _LIB = None
     return _LIB
+
+
+class NativeBedDecoder:
+    """ctypes bridge to the threaded PLINK .bed -> packed-2-bit-word decoder
+    (native/bedreader.cpp).  One streaming pass: genotype bytes in, sampler
+    word layout + per-marker standardization stats out."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        self._lib.bed_decode_packed.restype = ctypes.c_longlong
+        self._lib.bed_decode_packed.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_longlong, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+        ]
+
+    def decode(self, raw, m, n, wpad, n_threads=0):
+        """raw: (M*bpm,) uint8 genotype bytes (no 3-byte header).  Returns
+        (words (M, wpad) int32, means, sds, miss_counts, total_missing)."""
+        import numpy as np
+
+        raw = np.ascontiguousarray(raw, np.uint8)
+        words = np.empty((m, wpad), np.int32)
+        means = np.empty((m,), np.float64)
+        sds = np.empty((m,), np.float64)
+        miss = np.empty((m,), np.int64)
+        total = self._lib.bed_decode_packed(
+            raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), m, n,
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), wpad,
+            means.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            sds.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            miss.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), n_threads)
+        if total < 0:
+            raise ValueError("bed_decode_packed: invalid arguments")
+        return words, means, sds, miss, int(total)
+
+
+def get_native_bed() -> Optional[NativeBedDecoder]:
+    global _BED, _BED_TRIED
+    if _BED_TRIED:
+        return _BED
+    _BED_TRIED = True
+    so = _native_so("libbedreader.so")
+    if os.path.exists(so):
+        try:
+            _BED = NativeBedDecoder(ctypes.CDLL(so))
+        except OSError:
+            _BED = None
+    return _BED

@@ -90,7 +90,8 @@ class SpikeSlabSampler:
                  dtype=jnp.float32, backend: Optional[str] = None,
                  permutation: Optional[str] = None,
                  variant: Optional[str] = None, transposed: bool = False,
-                 x_dtype: str = "dense", x_stats=None):
+                 x_dtype: str = "dense", x_stats=None,
+                 n_individuals: Optional[int] = None):
         if x_dtype not in ("dense", "int8", "2bit"):
             raise ValueError(f"unknown x_dtype {x_dtype!r}")
         if backend is None:
@@ -121,11 +122,18 @@ class SpikeSlabSampler:
         self._prepacked = (x_dtype == "2bit" and x_on_device
                            and X.dtype == jnp.int32)
         if self._prepacked:
-            # X is already packed int32 words (M, N/16), marker-major
+            # X is already packed int32 words (M, Npad/16), marker-major
+            # (e.g. from io.bed.read_bed_packed); n_individuals gives the
+            # true N when the word lanes are padded to a 2048 multiple
             if not transposed or x_stats is None:
                 raise ValueError("pre-packed 2-bit input requires "
                                  "transposed=True and x_stats=(means, sds)")
-            M, N = X.shape[0], X.shape[1] * 16
+            M = X.shape[0]
+            N = X.shape[1] * 16 if n_individuals is None else int(n_individuals)
+            if not (X.shape[1] * 16 - 2048 < N <= X.shape[1] * 16):
+                raise ValueError(
+                    f"n_individuals={N} inconsistent with "
+                    f"{X.shape[1]} words/marker (lanes pad to 2048)")
         elif transposed:
             M, N = X.shape
         else:
@@ -352,8 +360,11 @@ class SpikeSlabSampler:
         no host densification, xsq/Gram from in-flight word decodes."""
         from ..ops.pallas_sweep import MISSING_CODE
 
-        if N != Npad:
-            raise ValueError("pre-packed 2-bit input needs N % 2048 == 0")
+        if words.shape[1] * 16 != Npad:
+            raise ValueError(
+                f"pre-packed 2-bit input needs lanes padded to a 2048 "
+                f"multiple: got {words.shape[1]} words/marker for N={N} "
+                f"(want {Npad // 16})")
         M = words.shape[0]
         means = np.asarray(x_stats[0], np.float64)
         scales_np = np.asarray(x_stats[1], np.float64)
@@ -371,11 +382,15 @@ class SpikeSlabSampler:
         rem = np.arange(Npad) % TN
         k_idx, i_idx = rem // W, rem % W
         perm = 16 * (t_idx * W + i_idx) + k_idx
-        row_valid = jnp.ones((Npad,), bool)
+        row_valid = jnp.asarray(perm < N)
         n_perm = jnp.asarray(perm.astype(np.int32))
 
         nb = Mpad // B
         Nw = Npad // 16
+        # lane k of word i is individual 16*i + k; pad lanes (>= N) must not
+        # contribute to the stats nor trip missing detection (read_bed_packed
+        # codes them 0 or 3 depending on the kernel mode)
+        word_base = jnp.arange(Nw) * 16
 
         def per_block(args):
             w, m, sc = args          # (B, Npad/16) int32, (B,), (B,)
@@ -384,10 +399,13 @@ class SpikeSlabSampler:
             # keep many (B, Npad/16) f32 decode temps alive at once)
             def plane(k, carry):
                 xsq, g_acc, xsum, miss = carry
+                lane_ok = word_base + k < N                     # (Nw,)
                 c = ((w >> (2 * k)) & 3).astype(jnp.float32)
-                miss |= jnp.any(c == float(MISSING_CODE), axis=1)
+                miss |= jnp.any((c == float(MISSING_CODE)) & lane_ok[None, :],
+                                axis=1)
                 x = (c - m[:, None]) * sc[:, None]
                 x = jnp.where(c == float(MISSING_CODE), 0.0, x)
+                x = x * lane_ok[None, :]
                 return (xsq + jnp.sum(x * x, axis=1), g_acc + x @ x.T,
                         xsum + jnp.sum(x, axis=1), miss)
 
