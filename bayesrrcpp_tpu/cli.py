@@ -207,8 +207,6 @@ def main(argv=None):
     from .models.bayesr import SpikeSlabSampler
     from .models.horseshoe import HorseshoeSampler
 
-    if args.cmd == "horseshoe" and getattr(args, "x_dtype", "dense") != "dense":
-        raise SystemExit("--x-dtype quantization is BayesR-only for now")
     X, Y, xkw = _load_xy(args)
     chain = ChainConfig(args.iterations, args.burn_in, args.thinning)
     dt = _dtype(args)
@@ -251,7 +249,8 @@ def main(argv=None):
                               vL=args.vL, vT=args.vT, c2=args.c2, vC=args.vC,
                               sC=args.sC, block_size=args.block_size,
                               emit_epsilon=emit_eps)
-        s = HorseshoeSampler(X, Y, cfg, backend=_backend(args), dtype=dt)
+        s = HorseshoeSampler(X, Y, cfg, backend=_backend(args), dtype=dt,
+                             **xkw)
         if args.chains > 1:
             _run_chains(s, args, chain, "horseshoe", M=s.M, N=s.N,
                         emit_epsilon=emit_eps)

@@ -33,6 +33,7 @@ from jax import lax
 from .. import distributions as dist
 from ..config import BayesRConfig, ChainConfig, GroupsConfig
 from ..ops import block_sweep as bs
+from ..ops import genotypes
 from ..ops.sweep import bayesr_sweep_scan
 from .state import SpikeSlabState
 
@@ -184,13 +185,17 @@ class SpikeSlabSampler:
         n_perm = jnp.zeros((0,), jnp.int32)
         has_missing = False
         self.Npad = N
-        if self.x_packed:
-            (XT, xsq, gram, x_mean, x_scale, row_valid, n_perm,
-             self.Npad, x_colsum, has_missing) = self._quantize_packed(
-                 X, transposed, x_stats, B, Mpad, N)
-        elif self.x_quantized:
-            (XT, xsq, gram, x_mean, x_scale, x_colsum,
-             has_missing) = self._quantize(X, transposed, x_stats, B, Mpad)
+        if self.x_quantized:
+            if self.x_packed:
+                q = genotypes.quantize_packed(X, transposed, x_stats, B,
+                                              Mpad, N,
+                                              prepacked=self._prepacked)
+            else:
+                q = genotypes.quantize_int8(X, transposed, x_stats, B, Mpad)
+            XT, xsq, gram = q.XT, q.xsq, q.gram
+            x_mean, x_scale, x_colsum = q.x_mean, q.x_scale, q.x_colsum
+            row_valid, n_perm = q.row_valid, q.n_perm
+            self.Npad, has_missing = q.Npad, q.has_missing
         else:
             if x_on_device:
                 XT = (X if transposed else X.T).astype(self.dtype)
@@ -272,240 +277,6 @@ class SpikeSlabSampler:
         widths[axis] = (0, pad)
         arr = jnp.pad(arr, widths)
         return jnp.take(arr, n_perm, axis=axis)
-
-    def _quantize_packed(self, X, transposed, x_stats, B, Mpad, N):
-        """2-bit packed genotypes: 16 codes per int32 word along the
-        individual axis -- 0.25 bytes/genotype, the layout that fits
-        biobank-scale M on one chip's HBM.
-
-        The kernel decodes word bit-plane k of tile word i to PERMUTED
-        individual position k*W + i within the tile (no in-kernel interleave
-        reshuffle needed); eps/Y/fixed are stored in that permutation, which
-        is statistically and algebraically neutral (every sweep quantity is a
-        sum over individuals).
-        """
-        from ..ops.pallas_sweep import MISSING_CODE
-
-        TN, WORDS = 2048, 16
-        W = TN // WORDS
-        Npad = -(-N // TN) * TN
-
-        if self._prepacked:
-            return self._prepacked_setup(X, x_stats, B, Mpad, N, Npad, TN, W)
-
-        Xh = np.asarray(X)
-        XTh = Xh if transposed else Xh.T
-        if x_stats is not None:
-            means = np.asarray(x_stats[0], np.float64)
-            sds = np.asarray(x_stats[1], np.float64)
-            codes = np.asarray(XTh, np.int8)
-        else:
-            XTh = np.asarray(XTh, np.float64)
-            means = np.nanmean(XTh, axis=1)
-            sds = np.nanstd(XTh, axis=1, ddof=1)
-            ch = np.where(np.isnan(XTh), float(MISSING_CODE), XTh)
-            if not np.isin(np.unique(ch), [0.0, 1.0, 2.0, 3.0]).all():
-                raise ValueError(
-                    "x_dtype='2bit' expects raw dosages in {0,1,2} (+NaN)")
-            codes = ch.astype(np.int8)
-
-        M = codes.shape[0]
-        has_missing = bool(np.any(codes == MISSING_CODE))
-        scales = np.where(sds > 0, 1.0 / np.where(sds > 0, sds, 1.0), 0.0)
-        # fold-affine mode (no missing) needs pad lanes to carry code 0 so
-        # the raw-code dots ignore them; otherwise pads are "missing"
-        pad_code = MISSING_CODE if has_missing else 0
-        codes = np.pad(codes, ((0, Mpad - M), (0, Npad - N)),
-                       constant_values=pad_code)
-        mean = jnp.asarray(np.pad(means, (0, Mpad - M)), jnp.float32)
-        scale = jnp.asarray(np.pad(scales, (0, Mpad - M)), jnp.float32)
-
-        # pack 16 consecutive codes per int32 word, code j at bits 2j
-        cw = codes.reshape(Mpad, Npad // WORDS, WORDS).astype(np.uint64)
-        shifts = (2 * np.arange(WORDS, dtype=np.uint64))[None, None, :]
-        words = (cw << shifts).sum(axis=2).astype(np.uint32)
-        words_dev = jnp.asarray(words.view(np.int32))
-
-        # store->original permutation: position t*TN + k*W + i holds
-        # original individual 16*(t*W + i) + k
-        t_idx = np.arange(Npad) // TN
-        rem = np.arange(Npad) % TN
-        k_idx, i_idx = rem // W, rem % W
-        perm = 16 * (t_idx * W + i_idx) + k_idx
-        row_valid = jnp.asarray(perm < N)
-        n_perm = jnp.asarray(perm.astype(np.int32))
-
-        # xsq / Gram / column sums from decoded blocks (order-agnostic sums
-        # over n); pad columns masked explicitly (their code is 0 in fold
-        # mode, which would otherwise decode to -m*s != 0)
-        nb = Mpad // B
-        codes_dev = jnp.asarray(codes)
-        cmask = jnp.asarray(np.arange(Npad) < N, jnp.float32)
-
-        def per_block(args):
-            blk, m, sc = args
-            g = blk.astype(jnp.float32)
-            x = (g - m[:, None]) * sc[:, None]
-            x = jnp.where(g == float(MISSING_CODE), 0.0, x) * cmask[None, :]
-            return jnp.sum(x * x, axis=1), x @ x.T, jnp.sum(x, axis=1)
-
-        xsq_b, gram, xsum_b = jax.lax.map(
-            per_block, (codes_dev.reshape(nb, B, Npad),
-                        mean.reshape(nb, B), scale.reshape(nb, B)))
-        return (words_dev, xsq_b.reshape(Mpad), gram, mean, scale,
-                row_valid, n_perm, Npad, xsum_b.reshape(Mpad), has_missing)
-
-    def _prepacked_setup(self, words, x_stats, B, Mpad, N, Npad, TN, W):
-        """Device-resident pre-packed words (bench / streaming ingestion):
-        no host densification, xsq/Gram from in-flight word decodes."""
-        from ..ops.pallas_sweep import MISSING_CODE
-
-        if words.shape[1] * 16 != Npad:
-            raise ValueError(
-                f"pre-packed 2-bit input needs lanes padded to a 2048 "
-                f"multiple: got {words.shape[1]} words/marker for N={N} "
-                f"(want {Npad // 16})")
-        M = words.shape[0]
-        means = np.asarray(x_stats[0], np.float64)
-        scales_np = np.asarray(x_stats[1], np.float64)
-        scales_np = np.where(scales_np > 0,
-                             1.0 / np.where(scales_np > 0, scales_np, 1.0), 0.0)
-        # pad markers with all-missing words (0b11... = -1); skip the no-op
-        # pad -- eager jnp.pad would duplicate a biobank-sized array
-        if Mpad != M:
-            words = jnp.pad(words, ((0, Mpad - M), (0, 0)),
-                            constant_values=-1)
-        mean = jnp.asarray(np.pad(means, (0, Mpad - M)), jnp.float32)
-        scale = jnp.asarray(np.pad(scales_np, (0, Mpad - M)), jnp.float32)
-
-        t_idx = np.arange(Npad) // TN
-        rem = np.arange(Npad) % TN
-        k_idx, i_idx = rem // W, rem % W
-        perm = 16 * (t_idx * W + i_idx) + k_idx
-        row_valid = jnp.asarray(perm < N)
-        n_perm = jnp.asarray(perm.astype(np.int32))
-
-        nb = Mpad // B
-        Nw = Npad // 16
-        # lane k of word i is individual 16*i + k; pad lanes (>= N) must not
-        # contribute to the stats nor trip missing detection (read_bed_packed
-        # codes them 0 or 3 depending on the kernel mode)
-        word_base = jnp.arange(Nw) * 16
-
-        def per_block(args):
-            w, m, sc = args          # (B, Npad/16) int32, (B,), (B,)
-
-            # bit planes decoded under fori_loop (an unrolled loop lets XLA
-            # keep many (B, Npad/16) f32 decode temps alive at once)
-            def plane(k, carry):
-                xsq, g_acc, xsum, miss = carry
-                lane_ok = word_base + k < N                     # (Nw,)
-                c = ((w >> (2 * k)) & 3).astype(jnp.float32)
-                miss |= jnp.any((c == float(MISSING_CODE)) & lane_ok[None, :],
-                                axis=1)
-                x = (c - m[:, None]) * sc[:, None]
-                x = jnp.where(c == float(MISSING_CODE), 0.0, x)
-                x = x * lane_ok[None, :]
-                return (xsq + jnp.sum(x * x, axis=1), g_acc + x @ x.T,
-                        xsum + jnp.sum(x, axis=1), miss)
-
-            return lax.fori_loop(0, 16, plane, (
-                jnp.zeros((B,), jnp.float32), jnp.zeros((B, B), jnp.float32),
-                jnp.zeros((B,), jnp.float32), jnp.zeros((B,), bool)))
-
-        # chunked build with DONATED accumulators: a single lax.map over all
-        # nb blocks materializes a second stacked copy of the whole word
-        # array inside the scan (measured on v5e: the biobank 11.8 GiB input
-        # silently fails at 2x HBM; block_until_ready does not surface the
-        # async error, the first d2h transfer does).  8-block chunks keep
-        # the scan copy at ~100 MB and dynamic-update-slice writes in place.
-        CH = min(32, nb)            # scan copy <=0.4 GB/chunk at B=512
-        while nb % CH:
-            CH -= 1
-
-        import functools as _ft
-
-        @_ft.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-        def chunk_update(gram_a, xsq_a, xsum_a, miss_a, wc, mc, sc, i0):
-            xs_b, g_b, xm_b, ms_b = jax.lax.map(
-                per_block, (wc.reshape(CH, B, Nw), mc.reshape(CH, B),
-                            sc.reshape(CH, B)))
-            z0 = jnp.zeros((), jnp.int32)
-            return (lax.dynamic_update_slice(gram_a, g_b, (i0, z0, z0)),
-                    lax.dynamic_update_slice(xsq_a, xs_b, (i0, z0)),
-                    lax.dynamic_update_slice(xsum_a, xm_b, (i0, z0)),
-                    lax.dynamic_update_slice(miss_a, ms_b, (i0, z0)))
-
-        f32 = jnp.float32
-        accs = (jnp.zeros((nb, B, B), f32), jnp.zeros((nb, B), f32),
-                jnp.zeros((nb, B), f32), jnp.zeros((nb, B), bool))
-        for i in range(0, nb, CH):
-            a = i * B
-            accs = chunk_update(*accs, words[a:a + CH * B],
-                                mean[a:a + CH * B], scale[a:a + CH * B],
-                                jnp.int32(i))
-        gram, xsq_b, xsum_b, miss_b = accs
-        has_missing = bool(np.asarray(miss_b).reshape(Mpad)[:M].any())
-        return (words, xsq_b.reshape(Mpad), gram, mean, scale,
-                row_valid, n_perm, Npad, xsum_b.reshape(Mpad), has_missing)
-
-    def _quantize(self, X, transposed, x_stats, B, Mpad):
-        """Quantize dosages to int8 codes {0,1,2, 3=missing} with per-marker
-        standardization stats, and build xsq/Gram from in-flight decodes.
-
-        The decoded value is exactly (g - mean) * (1/sd), with missing calls
-        decoding to 0 (mean imputation); memory per genotype drops 4x vs f32,
-        which is what lets biobank-scale M fit in HBM.
-        """
-        from ..ops.pallas_sweep import MISSING_CODE
-
-        if x_stats is not None:
-            means, sds = (np.asarray(x_stats[0], np.float64),
-                          np.asarray(x_stats[1], np.float64))
-            if isinstance(X, jax.Array) and X.dtype == jnp.int8:
-                codes = X if transposed else X.T
-            else:
-                Xh = np.asarray(X)
-                codes = jnp.asarray(
-                    np.ascontiguousarray(Xh if transposed else Xh.T), jnp.int8)
-        else:
-            Xh = np.asarray(X, np.float64)
-            XTh = np.ascontiguousarray(Xh if transposed else Xh.T)
-            means = np.nanmean(XTh, axis=1)
-            sds = np.nanstd(XTh, axis=1, ddof=1)
-            ch = np.where(np.isnan(XTh), float(MISSING_CODE), XTh)
-            if not np.isin(np.unique(ch), [0.0, 1.0, 2.0, 3.0]).all():
-                raise ValueError(
-                    "x_dtype='int8' expects raw dosages in {0,1,2} (+NaN)")
-            codes = jnp.asarray(ch.astype(np.int8))
-
-        scales = np.where(sds > 0, 1.0 / np.where(sds > 0, sds, 1.0), 0.0)
-        has_missing = bool(jax.device_get(jnp.any(
-            jnp.asarray(codes) == MISSING_CODE)))
-        pad = Mpad - codes.shape[0]
-        codes = jnp.pad(codes, ((0, pad), (0, 0)),
-                        constant_values=MISSING_CODE)
-        mean = jnp.asarray(np.pad(means, (0, pad)), jnp.float32)
-        scale = jnp.asarray(np.pad(scales, (0, pad)), jnp.float32)
-
-        nb = Mpad // B
-        N = codes.shape[1]
-
-        def decode_block(args):
-            blk, m, s = args
-            g = blk.astype(jnp.float32)
-            x = (g - m[:, None]) * s[:, None]
-            return jnp.where(blk == MISSING_CODE, 0.0, x)
-
-        def per_block(args):
-            x = decode_block(args)
-            return jnp.sum(x * x, axis=1), x @ x.T, jnp.sum(x, axis=1)
-
-        xsq_b, gram, xsum_b = jax.lax.map(
-            per_block, (codes.reshape(nb, B, N), mean.reshape(nb, B),
-                        scale.reshape(nb, B)))
-        return (codes, xsq_b.reshape(Mpad), gram, mean, scale,
-                xsum_b.reshape(Mpad), has_missing)
 
     def _prior_pi(self, cva2: np.ndarray) -> np.ndarray:
         G, Km1 = cva2.shape

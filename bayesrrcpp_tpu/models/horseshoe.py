@@ -33,35 +33,71 @@ from jax import lax
 from .. import distributions as dist
 from ..config import ChainConfig, HorseshoeConfig
 from ..ops import block_sweep as bs
+from ..ops import genotypes
 from ..ops.sweep import horseshoe_sweep_scan
 from .state import HorseshoeState
 
 
 class HorseshoeData(NamedTuple):
-    XT: jax.Array    # (Mpad, N)
-    xsq: jax.Array   # (Mpad,)
-    gram: jax.Array  # (nb, B, B)
-    valid: jax.Array # (Mpad,)
+    XT: jax.Array        # (Mpad, N) f32, int8 codes, or int32 packed words
+    xsq: jax.Array       # (Mpad,)
+    gram: jax.Array      # (nb, B, B)
+    valid: jax.Array     # (Mpad,)
+    x_mean: jax.Array    # (Mpad,) dosage means ((0,) when dense)
+    x_scale: jax.Array   # (Mpad,) 1/sd scales ((0,) when dense)
+    row_valid: jax.Array # (Npad,) bool lane mask ((0,) unless packed)
+    n_perm: jax.Array    # (Npad,) packed-layout lane permutation ((0,))
+    x_colsum: jax.Array  # (Mpad,) decoded column sums ((0,) when dense)
 
 
 class HorseshoeSampler:
-    """Regularized-horseshoe sampler over a fixed (X, Y)."""
+    """Regularized-horseshoe sampler over a fixed (X, Y).
+
+    Genotype storage (``x_dtype``: dense f32, int8 dosage codes, or 2-bit
+    packed words incl. pre-packed io.bed.read_bed_packed input) matches
+    SpikeSlabSampler -- the reference HorseshoeR holds a dense f64 Eigen X
+    (src/HorseshoeR.cpp:109), capping it at host RAM.
+    """
 
     def __init__(self, X, Y, config: HorseshoeConfig, *, dtype=jnp.float32,
                  backend: Optional[str] = None,
-                 permutation: Optional[str] = None):
+                 permutation: Optional[str] = None, transposed: bool = False,
+                 x_dtype: str = "dense", x_stats=None,
+                 n_individuals: Optional[int] = None):
+        if x_dtype not in ("dense", "int8", "2bit"):
+            raise ValueError(f"unknown x_dtype {x_dtype!r}")
         if backend is None:
-            backend = ("pallas" if jax.devices()[0].platform == "tpu"
+            backend = ("pallas" if (jax.devices()[0].platform == "tpu"
+                                    or x_dtype in ("int8", "2bit"))
                        else "blocked")
+        if x_dtype in ("int8", "2bit") and backend != "pallas":
+            raise ValueError(f"x_dtype={x_dtype!r} requires the pallas backend")
         if backend not in ("blocked", "scan", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if permutation is None:
             permutation = "full" if backend == "scan" else "blocked"
         if backend in ("blocked", "pallas") and permutation != "blocked":
             raise ValueError(f"{backend} backend requires blocked permutation")
-        X = np.asarray(X)
+        x_on_device = isinstance(X, jax.Array)
+        if not x_on_device:
+            X = np.asarray(X)
         Y = np.asarray(Y)
-        N, M = X.shape
+        self._prepacked = (x_dtype == "2bit" and x_on_device
+                           and X.dtype == jnp.int32)
+        if self._prepacked:
+            if not transposed or x_stats is None:
+                raise ValueError("pre-packed 2-bit input requires "
+                                 "transposed=True and x_stats=(means, sds)")
+            M = X.shape[0]
+            N = X.shape[1] * 16 if n_individuals is None else int(n_individuals)
+            if not (X.shape[1] * 16 - 2048 < N <= X.shape[1] * 16):
+                raise ValueError(
+                    f"n_individuals={N} inconsistent with "
+                    f"{X.shape[1]} words/marker (lanes pad to 2048)")
+        elif transposed:
+            M, N = X.shape
+        else:
+            N, M = X.shape
         if Y.shape != (N,):
             raise ValueError("Y must have the same number of rows as X")
         B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
@@ -75,15 +111,46 @@ class HorseshoeSampler:
         self.permutation = permutation
         self.dtype = jnp.dtype(dtype)
 
-        XT = jnp.asarray(np.ascontiguousarray(X.T), self.dtype)
-        xsq = jnp.sum(XT * XT, axis=1)
-        XT, xsq, _ = bs.pad_markers(XT, xsq, B, mpad=Mpad)
-        gram = (bs.gram_blocks(XT, B) if backend in ("blocked", "pallas")
-                else jnp.zeros((0, 0, 0), self.dtype))
+        self.x_quantized = x_dtype in ("int8", "2bit")
+        self.x_packed = x_dtype == "2bit"
+        x_mean = x_scale = jnp.zeros((0,), jnp.float32)
+        x_colsum = jnp.zeros((0,), jnp.float32)
+        row_valid = jnp.zeros((0,), bool)
+        n_perm = jnp.zeros((0,), jnp.int32)
+        has_missing = False
+        self.Npad = N
+        if self.x_quantized:
+            if self.x_packed:
+                q = genotypes.quantize_packed(X, transposed, x_stats, B,
+                                              Mpad, N,
+                                              prepacked=self._prepacked)
+            else:
+                q = genotypes.quantize_int8(X, transposed, x_stats, B, Mpad)
+            XT, xsq, gram = q.XT, q.xsq, q.gram
+            x_mean, x_scale, x_colsum = q.x_mean, q.x_scale, q.x_colsum
+            row_valid, n_perm = q.row_valid, q.n_perm
+            self.Npad, has_missing = q.Npad, q.has_missing
+        else:
+            if x_on_device:
+                XT = (X if transposed else X.T).astype(self.dtype)
+            else:
+                XT = jnp.asarray(
+                    np.ascontiguousarray(X if transposed else X.T), self.dtype)
+            xsq = jnp.sum(XT * XT, axis=1)
+            XT, xsq, _ = bs.pad_markers(XT, xsq, B, mpad=Mpad)
+            gram = (bs.gram_blocks(XT, B) if backend in ("blocked", "pallas")
+                    else jnp.zeros((0, 0, 0), self.dtype))
         self._pallas_interpret = jax.devices()[0].platform != "tpu"
+        self._x_fold = self.x_quantized and not has_missing
         self.data = HorseshoeData(XT=XT, xsq=xsq, gram=gram,
-                                  valid=jnp.asarray(np.arange(Mpad) < M))
-        self.Y = jnp.asarray(Y, self.dtype)
+                                  valid=jnp.asarray(np.arange(Mpad) < M),
+                                  x_mean=x_mean, x_scale=x_scale,
+                                  row_valid=row_valid, n_perm=n_perm,
+                                  x_colsum=x_colsum)
+        # packed mode stores Y (and eps) padded to Npad in the packed-word
+        # individual order (sweep sums are permutation-invariant; emission
+        # un-permutes)
+        self.Y = self._maybe_permute_rows(jnp.asarray(Y, self.dtype), n_perm)
 
         self._step = jax.jit(self._step_impl, donate_argnums=(0,))
         self._run_steps = jax.jit(self._run_steps_impl, static_argnums=(2,),
@@ -108,6 +175,17 @@ class HorseshoeSampler:
         self._mc_emit_chunk = jax.jit(self._mc_emit_chunk_impl,
                                       static_argnums=(2, 3),
                                       donate_argnums=(0,))
+
+    def _maybe_permute_rows(self, arr, n_perm, axis=0):
+        """Pad the individual axis to Npad and reorder into the packed-word
+        layout (identity when not in 2-bit mode)."""
+        if not self.x_packed:
+            return arr
+        pad = self.Npad - self.N
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
+        arr = jnp.pad(arr, widths)
+        return jnp.take(arr, n_perm, axis=axis)
 
     # ------------------------------------------------------------------ init
 
@@ -147,10 +225,16 @@ class HorseshoeSampler:
         keys = jax.random.split(state.key, 10)
         (key, kmu, keta, kv, korder, kz, klam, ktau, kc2, ksE) = keys
 
-        # ---- intercept
-        eps = state.eps + state.mu
-        mu = dist.norm_rng(kmu, jnp.sum(eps) / N, state.sigmaE / N)
-        eps = eps - mu
+        # ---- intercept (pad lanes of the packed layout carry 0 and stay 0)
+        if self.x_packed:
+            rv = data.row_valid
+            eps = jnp.where(rv, state.eps + state.mu, 0.0)
+            mu = dist.norm_rng(kmu, jnp.sum(eps) / N, state.sigmaE / N)
+            eps = jnp.where(rv, eps - mu, 0.0)
+        else:
+            eps = state.eps + state.mu
+            mu = dist.norm_rng(kmu, jnp.sum(eps) / N, state.sigmaE / N)
+            eps = eps - mu
 
         # ---- global auxiliary eta, local auxiliaries v (pre-sweep)
         eta = dist.inv_gamma_rate_rng(
@@ -201,7 +285,12 @@ class HorseshoeSampler:
                     data.XT, data.gram, data.xsq, eps, state.beta,
                     border, inner, z_arr, state.lam, state.tau, state.c2,
                     state.sigmaE, data.valid,
-                    interpret=self._pallas_interpret)
+                    interpret=self._pallas_interpret,
+                    x_mean=data.x_mean if self.x_quantized else None,
+                    x_scale=data.x_scale if self.x_quantized else None,
+                    fold_affine=self._x_fold,
+                    x_xsum=data.x_colsum if self.x_quantized else None,
+                    row_valid=data.row_valid if self.x_packed else None)
             elif self.backend == "blocked":
                 eps, beta = bs.horseshoe_block_sweep(
                     data.XT, data.gram, data.xsq, eps, state.beta,
@@ -246,7 +335,12 @@ class HorseshoeSampler:
         eps, beta = horseshoe_sweep_pallas_mc(
             data.XT, data.gram, data.xsq, eps, state.beta,
             border, inner, z_arr, state.lam, state.tau, state.c2,
-            state.sigmaE, data.valid, interpret=self._pallas_interpret)
+            state.sigmaE, data.valid, interpret=self._pallas_interpret,
+            x_mean=data.x_mean if self.x_quantized else None,
+            x_scale=data.x_scale if self.x_quantized else None,
+            fold_affine=self._x_fold,
+            x_xsum=data.x_colsum if self.x_quantized else None,
+            row_valid=data.row_valid if self.x_packed else None)
         eps = eps.astype(dt)
         beta = beta.astype(dt)
 
@@ -260,7 +354,11 @@ class HorseshoeSampler:
 
     @property
     def supports_fused_chains(self) -> bool:
-        return self.backend == "pallas"
+        """The fused multi-chain kernel covers dense X and missing-free
+        quantized X (fold-affine); quantized-with-missing falls back to the
+        vmapped single-chain path (same policy as SpikeSlabSampler)."""
+        return (self.backend == "pallas"
+                and (not self.x_quantized or self._x_fold))
 
     def step_chains(self, state: HorseshoeState) -> HorseshoeState:
         return self._mc_step(state, self.data)
@@ -275,6 +373,15 @@ class HorseshoeSampler:
 
     def _emit_one(self, state: HorseshoeState):
         M = self.M
+        if self.config.emit_epsilon:
+            if self.x_packed:
+                # un-permute back to original individual order
+                eps = jnp.zeros((self.Npad,), state.eps.dtype).at[
+                    self.data.n_perm].set(state.eps)[: self.N]
+            else:
+                eps = state.eps
+        else:
+            eps = jnp.zeros((0,), self.dtype)
         return {
             "iteration": state.iteration - 1,
             "mu": state.mu,
@@ -282,8 +389,7 @@ class HorseshoeSampler:
             "sigmaE": state.sigmaE,
             "tau": state.tau,
             "lambda": state.lam[:M],
-            "epsilon": (state.eps if self.config.emit_epsilon
-                        else jnp.zeros((0,), self.dtype)),
+            "epsilon": eps,
         }
 
     def _emit_chunk_impl(self, state, data, n_emits, thinning):

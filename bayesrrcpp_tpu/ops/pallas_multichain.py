@@ -515,15 +515,32 @@ def build_pkg_hs(xsq, lam, tau, c2, sigmaE, z, *, B):
 def _hs_mc_kernel(border_ref, inner_ref,
                   xt_ref, pkg_ref, gram_ref, xsq_ref, valid_ref,
                   beta_ref, eps_ref,
-                  eps_out, beta_out, r_sc, delta_sc, *, B, TN, C):
+                  eps_out, beta_out, r_sc, delta_sc, *, B, TN, C,
+                  packed=False, srow_ref=None, msrow_ref=None,
+                  xsum_ref=None, esum0_ref=None, esum_sc=None, dms_sc=None):
     b = pl.program_id(0)
     ph = pl.program_id(1)
     t = pl.program_id(2)
     f32 = jnp.float32
+    fold = srow_ref is not None
+
+    if packed:
+        SUB, W = 16, TN // 16
+
+        def x_sub(k):
+            c = (xt_ref[...] >> (2 * k)) & 3           # (B, W) int32
+            return c.astype(f32)
+    else:
+        SUB, W = 1, TN
+
+        def x_sub(k):
+            return xt_ref[...]
 
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
         eps_out[...] = eps_ref[...]
+        if fold:
+            esum_sc[...] = esum0_ref[...]
 
     @pl.when(ph == 0)
     def _accumulate_r():
@@ -531,14 +548,20 @@ def _hs_mc_kernel(border_ref, inner_ref,
         def _():
             r_sc[...] = jnp.zeros_like(r_sc)
 
-        eps_t = eps_out[:, pl.ds(t * TN, TN)]               # (C, TN)
-        r_sc[...] += jax.lax.dot_general(
-            eps_t, xt_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
+        for k in range(SUB):
+            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
+            r_sc[...] += jax.lax.dot_general(
+                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
 
     @pl.when(jnp.logical_and(ph == 1, t == 0))
     def _solve():
         delta_sc[...] = jnp.zeros_like(delta_sc)
+        if fold:
+            # code-domain correlations -> standardized domain (see
+            # _mc_kernel / pallas_sweep._sweep_kernel for the algebra)
+            r_sc[...] = (r_sc[...] * srow_ref[0]
+                         - msrow_ref[0] * esum_sc[...])
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
 
         def body(s, _):
@@ -565,32 +588,77 @@ def _hs_mc_kernel(border_ref, inner_ref,
 
         lax.fori_loop(0, B, body, (), unroll=False)
         beta_out[0] = beta_ref[...] + delta_sc[...]
+        if fold:
+            esum_sc[...] -= jnp.sum(delta_sc[...] * xsum_ref[0], axis=1,
+                                    keepdims=True)
+            dms_sc[...] = jnp.sum(delta_sc[...] * msrow_ref[0], axis=1,
+                                  keepdims=True)
+            delta_sc[...] = delta_sc[...] * srow_ref[0]
 
     @pl.when(ph == 1)
     def _apply_update():
-        upd = jax.lax.dot_general(
-            delta_sc[...], xt_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        eps_out[:, pl.ds(t * TN, TN)] -= upd
+        for k in range(SUB):
+            upd = jax.lax.dot_general(
+                delta_sc[...], x_sub(k), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            if fold:
+                upd = upd - dms_sc[...]
+            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
 def horseshoe_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
                               block_order, inner_perm, z_arr,
                               lam, tau, c2, sigmaE, valid_pad,
                               *, tile_n: int = 512, interpret: bool = False,
-                              max_call_blocks=None):
+                              max_call_blocks=None,
+                              x_mean=None, x_scale=None, x_xsum=None,
+                              fold_affine: bool = False, row_valid=None):
     """C-chain fused horseshoe sweep; eps (C, N), beta/lam/z (C, Mpad),
-    tau/c2/sigmaE (C,).  Dense X only (like the single-chain kernel)."""
-    Mpad, N = XT_pad.shape
+    tau/c2/sigmaE (C,).  Quantized X is supported only via fold_affine
+    (no-missing data), like bayesr_sweep_pallas_mc."""
     nb, B, _ = gram.shape
     f32 = jnp.float32
     C = eps.shape[0]
-    TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
-    Npad = -(-N // TN) * TN
+    quantized = x_mean is not None
+    packed = quantized and XT_pad.dtype == jnp.int32
+    fold = bool(fold_affine) and quantized
+    if quantized and not fold:
+        raise NotImplementedError(
+            "multi-chain sweep supports quantized X only with fold_affine "
+            "(no missing calls); decode-in-kernel is single-chain only")
+    if packed:
+        Mpad, Nw = XT_pad.shape
+        Npad = Nw * 16
+        TN = 2048
+        if Npad % TN or eps.shape[1] != Npad:
+            raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
+                             "matching pre-permuted eps")
+        N = Npad
+        xt = XT_pad
+        eps2 = eps.astype(f32)
+    else:
+        Mpad, N = XT_pad.shape
+        TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+        Npad = -(-N // TN) * TN
+        eps2 = jnp.zeros((C, Npad), f32).at[:, :N].set(eps.astype(f32))
+        xt = (XT_pad if Npad == N
+              else jnp.pad(XT_pad, ((0, 0), (0, Npad - N))))
+        if quantized:   # fold-affine int8: raw codes feed the MXU directly
+            xt = xt.astype(f32) if xt.dtype == jnp.int8 else xt
     nt = Npad // TN
 
-    eps2 = jnp.zeros((C, Npad), f32).at[:, :N].set(eps.astype(f32))
-    xt = XT_pad if Npad == N else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)))
+    if fold:
+        srow3 = x_scale.astype(f32).reshape(nb, 1, B)
+        msrow3 = (x_mean.astype(f32) * x_scale.astype(f32)).reshape(nb, 1, B)
+        xsum3 = x_xsum.astype(f32).reshape(nb, 1, B)
+        if packed:
+            if row_valid is None:
+                raise ValueError("packed fold_affine needs row_valid")
+            lane_mask = row_valid.astype(f32).reshape(1, Npad)
+        else:
+            lane_mask = (jnp.arange(Npad) < N).astype(f32).reshape(1, Npad)
+    else:
+        srow3 = msrow3 = xsum3 = lane_mask = None
     inner_by_pos = inner_perm[block_order]
     pkg = build_pkg_hs(xsq_pad, lam, tau, c2, sigmaE, z_arr, B=B)
     xsq3 = xsq_pad.astype(f32).reshape(nb, B, 1)
@@ -618,20 +686,27 @@ def horseshoe_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
     def im_pos3(b, ph, t, border_ref, inner_ref):
         return (b, 0, 0)
 
-    def call(border_c, inner_c, beta2, eps2):
+    def call(border_c, inner_c, beta2, eps2, esum0):
         cb = border_c.shape[0]
+        x_tile_w = TN // 16 if packed else TN
+        row_b = functools.partial(pl.BlockSpec, (1, 1, B), im_b3)
+        fold_specs = [row_b(), row_b(), row_b()] if fold else []
+        fold_args = [srow3, msrow3, xsum3] if fold else []
+        tail_specs = ([pl.BlockSpec((C, 1), im_full)] if fold else [])
+        tail_args = [esum0] if fold else []
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(cb, 2, nt),
             in_specs=[
-                pl.BlockSpec((B, TN), im_xt),
+                pl.BlockSpec((B, x_tile_w), im_xt),
+            ] + fold_specs + [
                 pl.BlockSpec((1, B * C, 3), im_b3),
                 pl.BlockSpec((1, B, B), im_b3),
                 pl.BlockSpec((1, B, 1), im_b3),
                 pl.BlockSpec((1, B, 1), im_b3),
                 pl.BlockSpec((C, B), im_cb),
                 pl.BlockSpec((C, Npad), im_full),
-            ],
+            ] + tail_specs,
             out_specs=[
                 pl.BlockSpec((C, Npad), im_full),
                 pl.BlockSpec((1, C, B), im_pos3),
@@ -639,10 +714,26 @@ def horseshoe_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
             scratch_shapes=[
                 pltpu.VMEM((C, B), jnp.float32),
                 pltpu.VMEM((C, B), jnp.float32),
-            ],
+            ] + ([pltpu.VMEM((C, 1), jnp.float32),
+                  pltpu.VMEM((C, 1), jnp.float32)] if fold else []),
         )
+        if fold:
+            def kernel(border_ref, inner_ref, xt_ref, srow_ref, msrow_ref,
+                       xsum_ref, pkg_ref, gram_ref, xsq_ref, valid_ref,
+                       beta_ref, eps_ref, esum0_ref,
+                       eps_out, beta_out, r_sc, delta_sc, esum_sc, dms_sc):
+                return _hs_mc_kernel(
+                    border_ref, inner_ref, xt_ref, pkg_ref, gram_ref,
+                    xsq_ref, valid_ref, beta_ref, eps_ref,
+                    eps_out, beta_out, r_sc, delta_sc, B=B, TN=TN, C=C,
+                    packed=packed, srow_ref=srow_ref, msrow_ref=msrow_ref,
+                    xsum_ref=xsum_ref, esum0_ref=esum0_ref,
+                    esum_sc=esum_sc, dms_sc=dms_sc)
+        else:
+            kernel = functools.partial(_hs_mc_kernel, B=B, TN=TN, C=C,
+                                       packed=packed)
         return pl.pallas_call(
-            functools.partial(_hs_mc_kernel, B=B, TN=TN, C=C),
+            kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((C, Npad), jnp.float32),
@@ -652,13 +743,17 @@ def horseshoe_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",) * 3,
             ),
-        )(border_c, inner_c, xt, pkg, gram, xsq3, valid3, beta2, eps2)
+        )(border_c, inner_c, xt, *fold_args, pkg, gram, xsq3, valid3,
+          beta2, eps2, *tail_args)
 
     def run_chunk(carry, xs):
         eps2, beta2 = carry
         border_c, inner_c = xs
         cb = border_c.shape[0]
-        eps2, beta_c = call(border_c, inner_c, beta2, eps2)
+        esum0 = (jnp.sum(eps2, axis=1, keepdims=True) if fold else None)
+        eps2, beta_c = call(border_c, inner_c, beta2, eps2, esum0)
+        if fold:
+            eps2 = eps2 * lane_mask
         idx = (border_c[:, None] * B + lane[None, :]).reshape(-1)
         beta2 = beta2.at[:, idx].set(
             beta_c.transpose(1, 0, 2).reshape(C, cb * B))

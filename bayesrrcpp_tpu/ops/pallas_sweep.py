@@ -594,19 +594,47 @@ def bayesr_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
 def _hs_kernel(border_ref, inner_ref,
                xt_ref, gram_ref, xsq_ref, valid_ref, z_ref,
                denom_ref, sd_ref, beta_ref, eps_ref,
-               eps_out, beta_out, r_sc, delta_sc, *, B, TN):
-    """Dense regularized-horseshoe sweep (reference: src/HorseshoeR.cpp:219-240).
+               eps_out, beta_out, r_sc, delta_sc, *, B, TN,
+               mean_ref=None, scale_ref=None, packed=False,
+               srow_ref=None, msrow_ref=None, xsum_ref=None,
+               esum0_ref=None, esum_sc=None, dms_sc=None):
+    """Regularized-horseshoe sweep (reference: src/HorseshoeR.cpp:219-240).
 
     Same r/Gram machinery as the mixture kernel; the per-marker conditional
     is the dense conjugate draw beta = num/denom + sqrt(sigmaE/denom)*z with
-    denom precomputed outside (lambda is fixed during the sweep)."""
+    denom precomputed outside (lambda is fixed during the sweep).  The
+    optional quantized / 2-bit-packed / fold-affine decode modes are
+    identical to _sweep_kernel's (see the notes there)."""
     b = pl.program_id(0)
     ph = pl.program_id(1)
     t = pl.program_id(2)
+    fold = srow_ref is not None
+
+    if packed:
+        SUB = 16
+        W = TN // 16
+
+        def x_sub(k):
+            c = (xt_ref[...] >> (2 * k)) & 3           # (B, W) int32
+            if fold:
+                return c.astype(jnp.float32)
+            return _decode_tile(c, mean_ref[0], scale_ref[0])
+    else:
+        SUB = 1
+        W = TN
+
+        def x_sub(k):
+            if fold:
+                return xt_ref[...].astype(jnp.float32)
+            if mean_ref is None:
+                return xt_ref[...]
+            return _decode_tile(xt_ref[...], mean_ref[0], scale_ref[0])
 
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
         eps_out[...] = eps_ref[...]
+        if fold:
+            esum_sc[...] = jnp.full((1, 1), esum0_ref[0], jnp.float32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
@@ -614,15 +642,20 @@ def _hs_kernel(border_ref, inner_ref,
         def _():
             r_sc[...] = jnp.zeros_like(r_sc)
 
-        eps_t = eps_out[:, pl.ds(t * TN, TN)]
-        r_sc[...] += jax.lax.dot_general(
-            eps_t, xt_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        for k in range(SUB):
+            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]
+            r_sc[...] += jax.lax.dot_general(
+                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(jnp.logical_and(ph == 1, t == 0))
     def _solve():
         beta_out[...] = beta_ref[...]
         delta_sc[...] = jnp.zeros_like(delta_sc)
+        if fold:
+            # code-domain correlations -> standardized domain
+            r_sc[...] = (r_sc[...] * srow_ref[0]
+                         - msrow_ref[0] * esum_sc[...])
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
 
         def body(s, _):
@@ -647,17 +680,54 @@ def _hs_kernel(border_ref, inner_ref,
             return ()
 
         lax.fori_loop(0, B, body, (), unroll=False)
+        if fold:
+            # track sum(eps) analytically across blocks and pre-scale delta
+            # for the raw code-domain rank-1 update (see _sweep_kernel)
+            esum_sc[...] -= jnp.sum(delta_sc[...] * xsum_ref[0], axis=1,
+                                    keepdims=True)
+            dms_sc[...] = jnp.sum(delta_sc[...] * msrow_ref[0], axis=1,
+                                  keepdims=True)
+            delta_sc[...] = delta_sc[...] * srow_ref[0]
 
     @pl.when(ph == 1)
     def _apply_update():
-        upd = jax.lax.dot_general(
-            delta_sc[...], xt_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        eps_out[:, pl.ds(t * TN, TN)] -= upd
+        for k in range(SUB):
+            upd = jax.lax.dot_general(
+                delta_sc[...], x_sub(k), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if fold:
+                upd = upd - dms_sc[...]
+            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+
+
+def _hs_kernel_q(border_ref, inner_ref, xt_ref, mean3_ref, scale3_ref,
+                 *rest, B, TN, packed=False):
+    """Quantized-genotype horseshoe: int8 / 2-bit X decoded in-kernel."""
+    return _hs_kernel(border_ref, inner_ref, xt_ref, *rest, B=B, TN=TN,
+                      mean_ref=mean3_ref, scale_ref=scale3_ref, packed=packed)
+
+
+def _hs_kernel_qf(border_ref, inner_ref, xt_ref, srow_ref, msrow_ref,
+                  xsum_ref, gram_ref, xsq_ref, valid_ref, z_ref,
+                  denom_ref, sd_ref, beta_ref, eps_ref, esum0_ref,
+                  eps_out, beta_out, r_sc, delta_sc, esum_sc, dms_sc,
+                  *, B, TN, packed=False):
+    """Quantized horseshoe with the standardization folded out of the
+    per-element decode (no-missing data only; see _sweep_kernel)."""
+    return _hs_kernel(border_ref, inner_ref, xt_ref, gram_ref, xsq_ref,
+                      valid_ref, z_ref, denom_ref, sd_ref, beta_ref, eps_ref,
+                      eps_out, beta_out, r_sc, delta_sc, B=B, TN=TN,
+                      packed=packed, srow_ref=srow_ref, msrow_ref=msrow_ref,
+                      xsum_ref=xsum_ref, esum0_ref=esum0_ref,
+                      esum_sc=esum_sc, dms_sc=dms_sc)
 
 
 def _hs_call(border, inner, xt, gram, xsq3, valid3, z3, denom3, sd3, beta3,
-             eps2d, *, B, TN, interpret):
+             eps2d, *, B, TN, interpret, quantized=False, packed=False,
+             x_mean3=None, x_scale3=None, xt_positional=False,
+             fold=False, x_srow3=None, x_msrow3=None, x_xsum3=None,
+             esum0=None):
+    nb_call = border.shape[0]
     nb = gram.shape[0]
     Npad = eps2d.shape[1]
     nt = Npad // TN
@@ -669,17 +739,29 @@ def _hs_call(border, inner, xt, gram, xsq3, valid3, z3, denom3, sd3, beta3,
         return (b, 0, 0)
 
     def im_xt(b, ph, t, border_ref, inner_ref):
-        return (border_ref[b], t)
+        return (b if xt_positional else border_ref[b], t)
 
     def im_full(b, ph, t, border_ref, inner_ref):
         return (0, 0)
 
     vb = functools.partial(pl.BlockSpec, (1, B, 1), im_b3)
+    x_tile_w = TN // 16 if packed else TN
+    x_specs = [pl.BlockSpec((B, x_tile_w), im_xt)]              # xt
+    x_args = [xt]
+    if fold:
+        row_b = functools.partial(pl.BlockSpec, (1, 1, B), im_b3)
+        x_specs += [row_b(), row_b(), row_b()]    # scale, mean*scale, colsum
+        x_args += [x_srow3, x_msrow3, x_xsum3]
+    elif quantized:
+        x_specs += [vb(), vb()]                                 # mean, scale
+        x_args += [x_mean3, x_scale3]
+    tail_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]       # esum0 (1,)
+                  if fold else [])
+    tail_args = [esum0] if fold else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb, 2, nt),
-        in_specs=[
-            pl.BlockSpec((B, TN), im_xt),                       # xt
+        grid=(nb_call, 2, nt),
+        in_specs=x_specs + [
             pl.BlockSpec((1, B, B), im_b3),                     # gram
             vb(),                                               # xsq
             vb(),                                               # valid
@@ -688,20 +770,27 @@ def _hs_call(border, inner, xt, gram, xsq3, valid3, z3, denom3, sd3, beta3,
             vb(),                                               # sd
             vb(),                                               # beta
             pl.BlockSpec((1, Npad), im_full),                   # eps
-        ],
+        ] + tail_specs,
         out_specs=[
             pl.BlockSpec((1, Npad), im_full),                   # eps_out
-            pl.BlockSpec((1, B, 1), im_b3),                     # beta_out
+            pl.BlockSpec((1, B, 1), im_pos3),                   # beta_out
         ],
         scratch_shapes=[
             pltpu.VMEM((1, B), jnp.float32),
             pltpu.VMEM((1, B), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((1, 1), jnp.float32),                  # sum(eps)
+              pltpu.VMEM((1, 1), jnp.float32)]                  # delta.(m*s)
+             if fold else []),
     )
-    kernel = functools.partial(_hs_kernel, B=B, TN=TN)
+    if fold:
+        kernel = functools.partial(_hs_kernel_qf, B=B, TN=TN, packed=packed)
+    elif quantized:
+        kernel = functools.partial(_hs_kernel_q, B=B, TN=TN, packed=packed)
+    else:
+        kernel = functools.partial(_hs_kernel, B=B, TN=TN)
     out_shape = [
         jax.ShapeDtypeStruct((1, Npad), jnp.float32),
-        jax.ShapeDtypeStruct((nb, B, 1), jnp.float32),
+        jax.ShapeDtypeStruct((nb_call, B, 1), jnp.float32),  # position-ordered
     ]
     return pl.pallas_call(
         kernel,
@@ -711,40 +800,137 @@ def _hs_call(border, inner, xt, gram, xsq3, valid3, z3, denom3, sd3, beta3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(border, inner, xt, gram, xsq3, valid3, z3, denom3, sd3, beta3, eps2d)
+    )(border, inner, *x_args, gram, xsq3, valid3, z3, denom3, sd3, beta3,
+      eps2d, *tail_args)
 
 
 def horseshoe_sweep_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
                            block_order, inner_perm, z_arr,
                            lam_pad, tau, c2, sigmaE, valid_pad,
                            *, tile_n: int = 512, interpret: bool = False,
-                           inner_positional: bool = False):
-    """Drop-in replacement for ops.block_sweep.horseshoe_block_sweep on TPU."""
-    Mpad, N = XT_pad.shape
-    nb, B, _ = gram.shape
-    TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
-    Npad = -(-N // TN) * TN
-    f32 = jnp.float32
+                           inner_positional: bool = False,
+                           x_mean=None, x_scale=None, max_call_blocks=None,
+                           slice_x=None, x_xsum=None,
+                           fold_affine: bool = False, row_valid=None):
+    """Drop-in replacement for ops.block_sweep.horseshoe_block_sweep on TPU.
 
-    eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
-    xt = XT_pad if Npad == N else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)))
+    Storage modes (dense f32 / int8 codes / 2-bit packed words, plus the
+    fold-affine no-missing variant) and the SMEM-bounded chunking over
+    blocks follow bayesr_sweep_pallas exactly -- see the notes there.
+    """
+    nb, B, _ = gram.shape
+    quantized = x_mean is not None
+    packed = quantized and XT_pad.dtype == jnp.int32
+    fold = bool(fold_affine) and quantized
+    if fold and x_xsum is None:
+        raise ValueError("fold_affine needs x_xsum (decoded column sums)")
+    f32 = jnp.float32
+    if packed:
+        Mpad, Nw = XT_pad.shape
+        Npad = Nw * 16
+        TN = 2048
+        if Npad % TN or eps.shape[0] != Npad:
+            raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
+                             "matching pre-permuted eps")
+        N = Npad
+        xt = XT_pad
+        eps2d = eps.astype(f32).reshape(1, Npad)
+    else:
+        Mpad, N = XT_pad.shape
+        TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+        Npad = -(-N // TN) * TN
+        eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
+        if quantized and XT_pad.dtype != jnp.int8:
+            raise ValueError("quantized sweep expects int8 genotype codes")
+        pad_val = MISSING_CODE if (quantized and not fold) else 0
+        xt = (XT_pad if Npad == N
+              else jnp.pad(XT_pad, ((0, 0), (0, Npad - N)),
+                           constant_values=pad_val))
     inner_by_pos = inner_perm if inner_positional else inner_perm[block_order]
+
+    n_rounds = block_order.shape[0]
+    if z_arr.shape[0] != n_rounds * B:
+        raise ValueError("z stream must have one entry per sweep position")
+    CB = max(1, min(n_rounds, max_call_blocks or (65536 // B)))
+    xrow = xt.shape[1]
+    slice_per_call = bool(slice_x) and n_rounds > CB
+    if slice_per_call:
+        CB = min(CB, 64)
 
     # per-marker effective prior variance s_j = tau*c2*lam/(tau*lam + c2);
     # lambda is held fixed during the sweep so denom/sd precompute exactly
     # (src/HorseshoeR.cpp:234, 242)
     lam = lam_pad.astype(f32)
-    s_j = (tau * c2 * lam / (tau * lam + c2)).astype(f32)
+    s_j = (tau.astype(f32) * c2 * lam / (tau.astype(f32) * lam + c2))
     denom = xsq_pad.astype(f32) + sigmaE.astype(f32) / s_j
     sd = jnp.sqrt(sigmaE.astype(f32) / denom)
 
-    eps_out, beta_out = _hs_call(
-        block_order.astype(jnp.int32), inner_by_pos.astype(jnp.int32),
-        xt, gram, xsq_pad.astype(f32).reshape(nb, B, 1),
-        valid_pad.astype(jnp.int32).reshape(nb, B, 1),
-        z_arr.astype(f32).reshape(nb, B, 1),
-        denom.reshape(nb, B, 1), sd.reshape(nb, B, 1),
-        beta_pad.astype(f32).reshape(nb, B, 1),
-        eps2d, B=B, TN=TN, interpret=interpret)
-    return (eps_out[0, :N].astype(eps.dtype),
-            beta_out.reshape(Mpad).astype(beta_pad.dtype))
+    call = functools.partial(_hs_call, B=B, TN=TN, interpret=interpret,
+                             quantized=quantized, packed=packed, fold=fold)
+    mean3 = (None if not quantized or fold
+             else x_mean.astype(f32).reshape(nb, B, 1))
+    scale3 = (None if not quantized or fold
+              else x_scale.astype(f32).reshape(nb, B, 1))
+    if fold:
+        srow3 = x_scale.astype(f32).reshape(nb, 1, B)
+        msrow3 = (x_mean.astype(f32) * x_scale.astype(f32)).reshape(nb, 1, B)
+        xsum3 = x_xsum.astype(f32).reshape(nb, 1, B)
+        if packed:
+            if row_valid is None:
+                raise ValueError("packed fold_affine needs row_valid")
+            lane_mask = row_valid.astype(f32).reshape(1, Npad)
+        else:
+            lane_mask = (jnp.arange(Npad) < N).astype(f32).reshape(1, Npad)
+    else:
+        srow3 = msrow3 = xsum3 = lane_mask = None
+    xsq3 = xsq_pad.astype(f32).reshape(nb, B, 1)
+    valid3 = valid_pad.astype(jnp.int32).reshape(nb, B, 1)
+    denom3 = denom.reshape(nb, B, 1)
+    sd3 = sd.reshape(nb, B, 1)
+    z3 = z_arr.astype(f32).reshape(n_rounds, B, 1)
+    border_i = block_order.astype(jnp.int32)
+    inner_i = inner_by_pos.astype(jnp.int32)
+    beta_flat = beta_pad.astype(f32).reshape(Mpad)
+    lane = jnp.arange(B, dtype=border_i.dtype)
+    xt_blocks = xt.reshape(nb, B, xrow)
+
+    def run_chunk(carry, xs):
+        eps2d, beta_flat = carry
+        border_c, inner_c, z_c = xs
+        cb = border_c.shape[0]
+        if slice_per_call:
+            xt_c = jnp.take(xt_blocks, border_c, axis=0).reshape(cb * B, xrow)
+        else:
+            xt_c = xt
+        esum0 = (jnp.sum(eps2d, axis=1) if fold else None)
+        eps2d, beta_c = call(border_c, inner_c, xt_c, gram, xsq3, valid3,
+                             z_c, denom3, sd3, beta_flat.reshape(nb, B, 1),
+                             eps2d, x_mean3=mean3, x_scale3=scale3,
+                             xt_positional=slice_per_call,
+                             x_srow3=srow3, x_msrow3=msrow3, x_xsum3=xsum3,
+                             esum0=esum0)
+        if fold:
+            # re-zero drifted pad lanes (see bayesr_sweep_pallas)
+            eps2d = eps2d * lane_mask
+        idx = (border_c[:, None] * B + lane[None, :]).reshape(-1)
+        beta_flat = beta_flat.at[idx].set(beta_c.reshape(-1))
+        return (eps2d, beta_flat), None
+
+    carry = (eps2d, beta_flat)
+    rem = n_rounds % CB
+    if rem:
+        carry, _ = run_chunk(carry, (border_i[:rem], inner_i[:rem],
+                                     z3[:rem]))
+    n_uniform = (n_rounds - rem) // CB
+    if n_uniform == 1:
+        carry, _ = run_chunk(carry, (border_i[rem:], inner_i[rem:],
+                                     z3[rem:]))
+    elif n_uniform > 1:
+        xs = (border_i[rem:].reshape(n_uniform, CB),
+              inner_i[rem:].reshape(n_uniform, CB, B),
+              z3[rem:].reshape(n_uniform, CB, B, 1))
+        carry, _ = lax.scan(run_chunk, carry, xs)
+    eps2d, beta_flat = carry
+
+    return (eps2d[0, :N].astype(eps.dtype),
+            beta_flat.astype(beta_pad.dtype))

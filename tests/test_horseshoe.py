@@ -77,3 +77,94 @@ def test_multi_chain(sim):
     assert out["beta"].shape == (n_emits, 3, s.M)
     assert not np.allclose(out["beta"][:, 0], out["beta"][:, 1])
     assert np.isfinite(out["tau"]).all()
+
+
+# ---------------------------------------------------------------- quantized X
+
+
+@pytest.fixture(scope="module")
+def dosage_sim():
+    rng = np.random.default_rng(31)
+    N, M = 320, 96
+    dos = rng.integers(0, 3, size=(N, M)).astype(float)
+    Xs = (dos - dos.mean(0)) / dos.std(0, ddof=1)
+    beta_true = np.zeros(M)
+    beta_true[:8] = rng.normal(0, 0.6, 8)
+    Y = Xs @ beta_true + rng.normal(0, 1, N)
+    return dos, Xs, Y, beta_true
+
+
+@pytest.mark.parametrize("x_dtype", ["int8", "2bit"])
+def test_quantized_matches_dense(dosage_sim, x_dtype):
+    """int8 / 2-bit packed X (in-kernel decode) must sample the same
+    posterior as dense standardized X under the same key."""
+    dos, Xs, Y, beta_true = dosage_sim
+    cfg = _hs_config(*dos.shape, 8)
+    chain = ChainConfig(60, 20, 4)
+    _, out_d = HorseshoeSampler(Xs, Y, cfg, backend="pallas").run(
+        jax.random.PRNGKey(0), chain)
+    s_q = HorseshoeSampler(dos, Y, cfg, x_dtype=x_dtype)
+    assert s_q._x_fold  # no missing calls -> fold-affine kernel
+    _, out_q = s_q.run(jax.random.PRNGKey(0), chain)
+    bd, bq = out_d["beta"].mean(0), out_q["beta"].mean(0)
+    assert np.isfinite(bq).all()
+    # decode quantization error only (stats in f32)
+    assert np.abs(bd - bq).max() < 5e-2
+    assert np.corrcoef(bq[:8], beta_true[:8])[0, 1] > 0.8
+
+
+def test_quantized_with_missing(dosage_sim):
+    """Missing calls take the non-fold kernel (mean imputation in-decode)."""
+    dos, _, Y, beta_true = dosage_sim
+    rng = np.random.default_rng(5)
+    dosm = dos.copy()
+    dosm[rng.random(dos.shape) < 0.05] = np.nan
+    cfg = _hs_config(*dos.shape, 8)
+    s = HorseshoeSampler(dosm, Y, cfg, x_dtype="2bit")
+    assert not s._x_fold
+    _, out = s.run(jax.random.PRNGKey(1), ChainConfig(60, 20, 4))
+    bh = out["beta"].mean(0)
+    assert np.isfinite(bh).all()
+    assert np.corrcoef(bh[:8], beta_true[:8])[0, 1] > 0.75
+    assert out["epsilon"].shape[1] == dos.shape[0]  # un-permuted true N
+
+
+def test_prepacked_words(dosage_sim, tmp_path):
+    """read_bed_packed words drive the sampler without host densification."""
+    from bayesrrcpp_tpu.io import bed as bedio
+
+    dos, _, Y, _ = dosage_sim
+    pre = str(tmp_path / "hs")
+    bedio.write_bed(pre, dos)
+    pb = bedio.read_bed_packed(pre)
+    cfg = _hs_config(*dos.shape, 8)
+    chain = ChainConfig(40, 10, 3)
+    s_pp = HorseshoeSampler(jnp.asarray(pb.words), Y, cfg, x_dtype="2bit",
+                            transposed=True, x_stats=(pb.means, pb.sds),
+                            n_individuals=pb.n)
+    _, out_pp = s_pp.run(jax.random.PRNGKey(2), chain)
+    _, out_host = HorseshoeSampler(dos, Y, cfg, x_dtype="2bit").run(
+        jax.random.PRNGKey(2), chain)
+    assert np.abs(out_pp["beta"].mean(0)
+                  - out_host["beta"].mean(0)).max() < 2e-3
+    # missing-free quantized X supports the fused multi-chain kernel
+    assert s_pp.supports_fused_chains
+    _, mc = s_pp.run_chains(jax.random.PRNGKey(3), 2, ChainConfig(16, 8, 2),
+                            fused=True)
+    assert mc["beta"].shape[1] == 2 and np.isfinite(mc["beta"]).all()
+
+
+def test_fused_chains_quantized(dosage_sim):
+    """Fused multi-chain with fold-affine quantized X: all chains share one
+    raw-code X stream; posterior must agree with the vmapped fallback."""
+    dos, _, Y, _ = dosage_sim
+    cfg = _hs_config(*dos.shape, 8)
+    s = HorseshoeSampler(dos, Y, cfg, x_dtype="2bit")
+    assert s.supports_fused_chains
+    chain = ChainConfig(60, 20, 2)
+    _, out_v = s.run_chains(jax.random.PRNGKey(0), 4, chain, fused=False)
+    _, out_f = s.run_chains(jax.random.PRNGKey(0), 4, chain, fused=True)
+    bv, bf = out_v["beta"].mean((0, 1)), out_f["beta"].mean((0, 1))
+    assert np.isfinite(bf).all()
+    # different (equally valid) RNG assignment -> same posterior
+    assert np.corrcoef(bv, bf)[0, 1] > 0.95

@@ -53,9 +53,9 @@ def main():
     # fake gram (values irrelevant for code size / timing shape)
     import jax.numpy as jnp
 
-    from bayesrrcpp_tpu import SpikeSlabSampler
+    from bayesrrcpp_tpu.ops import genotypes
 
-    def fake(self, words, x_stats, B, Mpad, N, Npad, TN, W):
+    def fake(words, x_stats, B, Mpad, N, Npad, TN, W):
         Mw = words.shape[0]
         if Mpad != Mw:
             words = jnp.pad(words, ((0, Mpad - Mw), (0, 0)),
@@ -65,15 +65,17 @@ def main():
         k_idx, i_idx = rem // W, rem % W
         perm = 16 * (t_idx * W + i_idx) + k_idx
         nb = Mpad // B
-        return (words, jnp.full((Mpad,), float(N), jnp.float32),
-                jnp.zeros((nb, B, B), jnp.float32),
-                jnp.asarray(np.pad(np.asarray(x_stats[0], np.float64),
-                                   (0, Mpad - Mw)), jnp.float32),
-                jnp.asarray(np.pad(np.asarray(x_stats[1], np.float64),
-                                   (0, Mpad - Mw)), jnp.float32),
-                jnp.ones((Npad,), bool), jnp.asarray(perm, jnp.int32), Npad)
+        return genotypes.QuantizedGenotypes(
+            words, jnp.full((Mpad,), float(N), jnp.float32),
+            jnp.zeros((nb, B, B), jnp.float32),
+            jnp.asarray(np.pad(np.asarray(x_stats[0], np.float64),
+                               (0, Mpad - Mw)), jnp.float32),
+            jnp.asarray(np.pad(np.asarray(x_stats[1], np.float64),
+                               (0, Mpad - Mw)), jnp.float32),
+            jnp.ones((Npad,), bool), jnp.asarray(perm, jnp.int32), Npad,
+            jnp.zeros((Mpad,), jnp.float32), False)
 
-    SpikeSlabSampler._prepacked_setup = fake
+    genotypes._prepacked_setup = fake
 
     N = int(os.environ.get("MEM_N", 98304))
     for nb in [int(x) for x in os.environ.get("PROBE_NB", "920 977").split()]:

@@ -28,9 +28,9 @@ def main():
     B = int(os.environ.get("MEM_B", 512))
 
     if os.environ.get("FAKE_GRAM", "1") == "1":
-        orig = SpikeSlabSampler._prepacked_setup
+        from bayesrrcpp_tpu.ops import genotypes
 
-        def fake(self, words, x_stats, B, Mpad, N, Npad, TN, W):
+        def fake(words, x_stats, B, Mpad, N, Npad, TN, W):
             if N != Npad:
                 raise ValueError("needs N % 2048 == 0")
             Mw = words.shape[0]
@@ -46,12 +46,13 @@ def main():
             k_idx, i_idx = rem // W, rem % W
             perm = 16 * (t_idx * W + i_idx) + k_idx
             nb = Mpad // B
-            return (words, jnp.full((Mpad,), float(N), jnp.float32),
-                    jnp.zeros((nb, B, B), jnp.float32), mean, scale,
-                    jnp.ones((Npad,), bool), jnp.asarray(perm, jnp.int32),
-                    Npad, jnp.zeros((Mpad,), jnp.float32), False)
+            return genotypes.QuantizedGenotypes(
+                words, jnp.full((Mpad,), float(N), jnp.float32),
+                jnp.zeros((nb, B, B), jnp.float32), mean, scale,
+                jnp.ones((Npad,), bool), jnp.asarray(perm, jnp.int32),
+                Npad, jnp.zeros((Mpad,), jnp.float32), False)
 
-        SpikeSlabSampler._prepacked_setup = fake
+        genotypes._prepacked_setup = fake
 
     key = jax.random.PRNGKey(0)
     kx, ky = jax.random.split(key)
