@@ -49,23 +49,17 @@ def _lane_perm(Npad: int, TN: int, W: int):
     return 16 * (t_idx * W + i_idx) + k_idx
 
 
-def quantize_packed(X, transposed, x_stats, B, Mpad, N,
-                    *, prepacked: bool) -> QuantizedGenotypes:
-    """2-bit packed genotypes: 16 codes per int32 word along the individual
-    axis -- 0.25 bytes/genotype, the layout that fits biobank-scale M on one
-    chip's HBM.
+def pack_codes_host(X, transposed, x_stats, Mpad, N):
+    """Host-side dosage -> packed-word conversion shared by the single-chip
+    and sharded constructors.
 
-    eps/Y/fixed must be stored in the ``n_perm`` permutation, which is
-    statistically and algebraically neutral (every sweep quantity is a sum
-    over individuals).
+    Returns (codes (Mpad, Npad) int8, words (Mpad, Npad/16) np.int32, mean
+    (Mpad,) f32, scale (Mpad,) f32, Npad, has_missing); pad markers and pad
+    lanes carry MISSING_CODE when the data has missing calls, else 0 (the
+    fold-affine kernel's convention).
     """
     TN, WORDS = 2048, 16
-    W = TN // WORDS
     Npad = -(-N // TN) * TN
-
-    if prepacked:
-        return _prepacked_setup(X, x_stats, B, Mpad, N, Npad, TN, W)
-
     Xh = np.asarray(X)
     XTh = Xh if transposed else Xh.T
     if x_stats is not None:
@@ -90,14 +84,38 @@ def quantize_packed(X, transposed, x_stats, B, Mpad, N,
     pad_code = MISSING_CODE if has_missing else 0
     codes = np.pad(codes, ((0, Mpad - M), (0, Npad - N)),
                    constant_values=pad_code)
-    mean = jnp.asarray(np.pad(means, (0, Mpad - M)), jnp.float32)
-    scale = jnp.asarray(np.pad(scales, (0, Mpad - M)), jnp.float32)
+    mean = np.pad(means, (0, Mpad - M)).astype(np.float32)
+    scale = np.pad(scales, (0, Mpad - M)).astype(np.float32)
 
     # pack 16 consecutive codes per int32 word, code j at bits 2j
     cw = codes.reshape(Mpad, Npad // WORDS, WORDS).astype(np.uint64)
     shifts = (2 * np.arange(WORDS, dtype=np.uint64))[None, None, :]
-    words = (cw << shifts).sum(axis=2).astype(np.uint32)
-    words_dev = jnp.asarray(words.view(np.int32))
+    words = (cw << shifts).sum(axis=2).astype(np.uint32).view(np.int32)
+    return codes, words, mean, scale, Npad, has_missing
+
+
+def quantize_packed(X, transposed, x_stats, B, Mpad, N,
+                    *, prepacked: bool) -> QuantizedGenotypes:
+    """2-bit packed genotypes: 16 codes per int32 word along the individual
+    axis -- 0.25 bytes/genotype, the layout that fits biobank-scale M on one
+    chip's HBM.
+
+    eps/Y/fixed must be stored in the ``n_perm`` permutation, which is
+    statistically and algebraically neutral (every sweep quantity is a sum
+    over individuals).
+    """
+    TN, WORDS = 2048, 16
+    W = TN // WORDS
+    Npad = -(-N // TN) * TN
+
+    if prepacked:
+        return _prepacked_setup(X, x_stats, B, Mpad, N, Npad, TN, W)
+
+    codes, words, mean_np, scale_np, Npad, has_missing = pack_codes_host(
+        X, transposed, x_stats, Mpad, N)
+    words_dev = jnp.asarray(words)
+    mean = jnp.asarray(mean_np)
+    scale = jnp.asarray(scale_np)
 
     perm = _lane_perm(Npad, TN, W)
     row_valid = jnp.asarray(perm < N)
@@ -215,6 +233,57 @@ def _prepacked_setup(words, x_stats, B, Mpad, N, Npad, TN, W
     return QuantizedGenotypes(
         words, xsq_b.reshape(Mpad), gram, mean, scale,
         row_valid, n_perm, Npad, xsum_b.reshape(Mpad), has_missing)
+
+
+def packed_stats_local(words_loc, mean_loc, scale_loc, *, N, B,
+                       varying=()):
+    """xsq / Gram blocks / decoded column sums for a LOCAL shard of packed
+    words ((Mloc, Npad/16) int32) -- runs inside shard_map, one m-slice per
+    device.  fori_loop + dynamic_slice keeps memory at one block's decode
+    (a lax.map here would stack a second copy of the whole word shard).
+
+    Returns (xsq (Mloc,), gram (nb_loc, B, B), xsum (Mloc,))."""
+    f32 = jnp.float32
+    Mloc, Nw = words_loc.shape
+    nb_loc = Mloc // B
+    word_base = jnp.arange(Nw) * 16
+
+    def block_stats(i, carry):
+        xsq_a, gram_a, xsum_a = carry
+        wb = lax.dynamic_slice_in_dim(words_loc, i * B, B)
+        mb = lax.dynamic_slice_in_dim(mean_loc, i * B, B)
+        sb = lax.dynamic_slice_in_dim(scale_loc, i * B, B)
+
+        def plane(k, c2):
+            xsq, g, xs = c2
+            lane_ok = word_base + k < N
+            c = ((wb >> (2 * k)) & 3).astype(f32)
+            x = (c - mb[:, None]) * sb[:, None]
+            x = jnp.where(c == float(MISSING_CODE), 0.0, x)
+            x = x * lane_ok[None, :]
+            return (xsq + jnp.sum(x * x, axis=1), g + x @ x.T,
+                    xs + jnp.sum(x, axis=1))
+
+        xsq_b, g_b, xs_b = lax.fori_loop(0, 16, plane, _mark(
+            (jnp.zeros((B,), f32), jnp.zeros((B, B), f32),
+             jnp.zeros((B,), f32)), varying))
+        z0 = jnp.zeros((), jnp.asarray(i).dtype)
+        return (lax.dynamic_update_slice_in_dim(xsq_a, xsq_b, i * B, 0),
+                lax.dynamic_update_slice(gram_a, g_b[None], (i, z0, z0)),
+                lax.dynamic_update_slice_in_dim(xsum_a, xs_b, i * B, 0))
+
+    return lax.fori_loop(0, nb_loc, block_stats, _mark(
+        (jnp.zeros((Mloc,), f32), jnp.zeros((nb_loc, B, B), f32),
+         jnp.zeros((Mloc,), f32)), varying))
+
+
+def _mark(tree, varying):
+    """Mark zero-init loop carries as varying over the given shard_map axes
+    (required by shard_map's varying-manual-axis tracking)."""
+    if not varying or not hasattr(lax, "pcast"):
+        return tree
+    return jax.tree.map(lambda x: lax.pcast(x, tuple(varying), to="varying"),
+                        tree)
 
 
 def quantize_int8(X, transposed, x_stats, B, Mpad) -> QuantizedGenotypes:

@@ -60,7 +60,8 @@ from .mesh import AXIS_M, AXIS_N
 
 
 class ShardedMarkerData(NamedTuple):
-    XT: jax.Array        # (Mpad, Npad)  P(m, n)
+    XT: jax.Array        # (Mpad, Npad) f32 -- or (Mpad, Npad/16) int32
+                         # packed words -- P(m, n)
     xsq: jax.Array       # (Mpad,)       P(m)
     gram: jax.Array      # (nb, B, B)    P(m, None, None)
     g_assign: jax.Array  # (Mpad,)       P(m)
@@ -70,6 +71,66 @@ class ShardedMarkerData(NamedTuple):
     prior_pi: jax.Array  # (G, K)        replicated
     fixedT: jax.Array    # (F, Npad)     P(None, n)
     fsq: jax.Array       # (F,)          replicated
+    x_mean: jax.Array    # (Mpad,)       P(m)  ((0,) when dense)
+    x_scale: jax.Array   # (Mpad,)       P(m)  ((0,) when dense)
+    x_colsum: jax.Array  # (Mpad,)       P(m)  ((0,) when dense)
+    n_perm: jax.Array    # (Npad,)       P(n)  ((0,) unless packed)
+
+
+def _packed_shard_setup(mesh, X, x_on_device, prepacked, transposed, x_stats,
+                        has_missing, M, N, Mpad, Npad, B):
+    """Shared packed-genotype device setup for the sharded samplers:
+    words sharded P(m), per-slice xsq/Gram/colsum built inside shard_map,
+    lane permutation + row mask.  Returns (XT, x_mean, x_scale, xsq, gram,
+    x_colsum, row_valid, n_perm, n_perm_np, has_missing)."""
+    from ..ops import genotypes
+
+    sh = lambda spec: NamedSharding(mesh, spec)
+    if prepacked:
+        if not transposed or x_stats is None:
+            raise ValueError("pre-packed 2-bit input requires "
+                             "transposed=True and x_stats=(means, sds)")
+        if has_missing is None:
+            raise ValueError("pre-packed 2-bit input requires "
+                             "has_missing= (read_bed_packed reports it)")
+        words = X
+        mean_np = np.pad(np.asarray(x_stats[0], np.float64),
+                         (0, Mpad - M)).astype(np.float32)
+        scl = np.asarray(x_stats[1], np.float64)
+        scl = np.where(scl > 0, 1.0 / np.where(scl > 0, scl, 1.0), 0.0)
+        scale_np = np.pad(scl, (0, Mpad - M)).astype(np.float32)
+        if words.shape[1] * 16 != Npad:
+            raise ValueError(
+                f"pre-packed words must pad lanes to 2048: got "
+                f"{words.shape[1]} words/marker, want {Npad // 16}")
+        if Mpad != M:
+            pad_rows = ((0, Mpad - M), (0, 0))
+            if x_on_device:
+                words = jnp.pad(words, pad_rows, constant_values=-1)
+            else:
+                words = np.pad(words, pad_rows, constant_values=-1)
+        has_missing = bool(has_missing)
+    else:
+        _, words, mean_np, scale_np, _, has_missing = \
+            genotypes.pack_codes_host(X, transposed, x_stats, Mpad, N)
+    XT = jax.device_put(words, sh(P(AXIS_M)))
+    x_mean = jax.device_put(jnp.asarray(mean_np), sh(P(AXIS_M)))
+    x_scale = jax.device_put(jnp.asarray(scale_np), sh(P(AXIS_M)))
+
+    def shard_fn(w_loc, m_loc, s_loc):
+        return genotypes.packed_stats_local(w_loc, m_loc, s_loc, N=N, B=B,
+                                            varying=(AXIS_M,))
+
+    f = jax.jit(shard_map(
+        shard_fn, mesh,
+        in_specs=(P(AXIS_M), P(AXIS_M), P(AXIS_M)),
+        out_specs=(P(AXIS_M), P(AXIS_M, None, None), P(AXIS_M))))
+    xsq, gram, x_colsum = f(XT, x_mean, x_scale)
+    perm = genotypes._lane_perm(Npad, 2048, 128)
+    row_valid = jax.device_put(jnp.asarray(perm < N), sh(P(AXIS_N)))
+    n_perm = jax.device_put(jnp.asarray(perm.astype(np.int32)), sh(P(AXIS_N)))
+    return (XT, x_mean, x_scale, xsq, gram, x_colsum, row_valid, n_perm,
+            perm, has_missing)
 
 
 class ShardedSpikeSlabSampler:
@@ -77,14 +138,22 @@ class ShardedSpikeSlabSampler:
 
     def __init__(self, X, Y, cva, config, mesh: Mesh, *, g_assign=None,
                  fixed=None, dtype=jnp.float32, variant: Optional[str] = None,
-                 backend: str = "xla", chunk_blocks: Optional[int] = None):
+                 backend: str = "xla", chunk_blocks: Optional[int] = None,
+                 x_dtype: str = "dense", x_stats=None, transposed=False,
+                 n_individuals: Optional[int] = None,
+                 has_missing: Optional[bool] = None):
         if tuple(mesh.axis_names) != (AXIS_M, AXIS_N):
             raise ValueError("mesh must have axis names ('m', 'n')")
+        if x_dtype not in ("dense", "2bit"):
+            raise ValueError(f"unknown x_dtype {x_dtype!r} (sharded supports "
+                             "dense f32 and 2-bit packed)")
         self.mesh = mesh
         self.Dm = mesh.shape[AXIS_M]
         self.Dn = mesh.shape[AXIS_N]
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
+        if x_dtype == "2bit" and backend != "pallas":
+            raise ValueError("x_dtype='2bit' requires backend='pallas'")
         if backend == "pallas" and self.Dn != 1:
             # the pallas local sweep computes r from full rows; shard markers
             # only and keep eps replicated (eps is KBs, X is GBs -- the
@@ -101,10 +170,29 @@ class ShardedSpikeSlabSampler:
         self.variant = variant
         self.config = config
         self.dtype = jnp.dtype(dtype)
+        self.x_packed = x_dtype == "2bit"
 
-        X = np.asarray(X)
+        x_on_device = isinstance(X, jax.Array)
+        if not x_on_device:
+            X = np.asarray(X)
+        prepacked = self.x_packed and X.dtype == jnp.int32
         Y = np.asarray(Y)
-        N, M = X.shape
+        if prepacked:
+            # packed int32 words (M, ceil(N/2048)*128), marker-major, e.g.
+            # from io.bed.read_bed_packed
+            if not transposed or x_stats is None:
+                raise ValueError("pre-packed 2-bit input requires "
+                                 "transposed=True and x_stats=(means, sds)")
+            if has_missing is None:
+                raise ValueError("pre-packed 2-bit input requires "
+                                 "has_missing= (read_bed_packed reports it)")
+            M = X.shape[0]
+            N = (X.shape[1] * 16 if n_individuals is None
+                 else int(n_individuals))
+        elif transposed:
+            M, N = X.shape
+        else:
+            N, M = X.shape
         cva2 = _as_2d_cva(cva)
         G, Km1 = cva2.shape
         if np.any(cva2 <= 0):
@@ -125,53 +213,82 @@ class ShardedSpikeSlabSampler:
         Mpad = -(-M // (B * self.Dm)) * (B * self.Dm)
         if Mpad // (B * self.Dm) >= 64:
             Mpad = -(-M // (8 * B * self.Dm)) * (8 * B * self.Dm)
-        Npad = -(-N // self.Dn) * self.Dn
+        if self.x_packed:
+            # lanes pad to the packed tile (2048); individuals stay
+            # unsharded (Dn == 1 enforced above)
+            Npad = -(-N // 2048) * 2048
+        else:
+            Npad = -(-N // self.Dn) * self.Dn
         self.N, self.M, self.Mpad, self.Npad = N, M, Mpad, Npad
         self.K, self.G, self.F, self.B = K, G, F, B
         self.Mloc = Mpad // self.Dm
         self.nb_loc = self.Mloc // B
         self.Nloc = Npad // self.Dn
 
-        XTh = np.zeros((Mpad, Npad), self.dtype)
-        XTh[:M, :N] = X.T
-        xsq = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
+        sh = lambda spec: NamedSharding(mesh, spec)
+        empty_f = jax.device_put(jnp.zeros((0,), jnp.float32), sh(P()))
+        empty_i = jax.device_put(jnp.zeros((0,), jnp.int32), sh(P()))
+        n_perm_np = None
+        if self.x_packed:
+            (XT, x_mean, x_scale, xsq, gram, x_colsum, row_valid, n_perm,
+             n_perm_np, self._has_missing) = _packed_shard_setup(
+                mesh, X, x_on_device, prepacked, transposed, x_stats,
+                has_missing, M, N, Mpad, Npad, B)
+        else:
+            self._has_missing = False
+            XTh = np.zeros((Mpad, Npad), self.dtype)
+            XTh[:M, :N] = (X if transposed else X.T)
+            xsq_h = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
+            XT = jax.device_put(XTh, sh(P(AXIS_M, AXIS_N)))
+            xsq = jax.device_put(jnp.asarray(xsq_h), sh(P(AXIS_M)))
+            gram = self._gram(XT)
+            x_mean = x_scale = x_colsum = empty_f
+            row_valid = jax.device_put(jnp.asarray(np.arange(Npad) < N),
+                                       sh(P(AXIS_N)))
+            n_perm = empty_i
+        self._x_fold = self.x_packed and not self._has_missing
+
         fixedTh = np.zeros((F, Npad), self.dtype)
         fixedTh[:, :N] = fixed.T
-
-        sh = lambda spec: NamedSharding(mesh, spec)
-        XT = jax.device_put(XTh, sh(P(AXIS_M, AXIS_N)))
+        Yh = np.pad(Y.astype(self.dtype), (0, Npad - N))
+        if self.x_packed:
+            # eps/Y/fixed live in the packed-word lane permutation (all sweep
+            # sums are permutation-invariant; emission un-permutes)
+            fixedTh = fixedTh[:, n_perm_np]
+            Yh = Yh[n_perm_np]
         prior_pi = self._prior_pi(cva2)
         self.data = ShardedMarkerData(
             XT=XT,
-            xsq=jax.device_put(jnp.asarray(xsq), sh(P(AXIS_M))),
-            gram=self._gram(XT),
+            xsq=xsq,
+            gram=gram,
             g_assign=jax.device_put(
                 jnp.asarray(np.pad(g_assign, (0, Mpad - M))), sh(P(AXIS_M))),
             valid=jax.device_put(jnp.asarray(np.arange(Mpad) < M), sh(P(AXIS_M))),
-            row_valid=jax.device_put(jnp.asarray(np.arange(Npad) < N), sh(P(AXIS_N))),
+            row_valid=row_valid,
             cva=jax.device_put(jnp.asarray(cva2, self.dtype), sh(P())),
             prior_pi=jax.device_put(jnp.asarray(prior_pi, self.dtype), sh(P())),
             fixedT=jax.device_put(jnp.asarray(fixedTh), sh(P(None, AXIS_N))),
             fsq=jax.device_put(jnp.asarray((fixedTh.astype(np.float64) ** 2)
                                            .sum(axis=1).astype(self.dtype)), sh(P())),
+            x_mean=x_mean, x_scale=x_scale, x_colsum=x_colsum, n_perm=n_perm,
         )
-        self.Y = jax.device_put(
-            jnp.asarray(np.pad(Y.astype(self.dtype), (0, Npad - N))),
-            sh(P(AXIS_N)))
+        self.Y = jax.device_put(jnp.asarray(Yh), sh(P(AXIS_N)))
 
         self.state_specs = SpikeSlabState(
             key=P(), iteration=P(), mu=P(), beta=P(AXIS_M), labels=P(AXIS_M),
             eps=P(AXIS_N), sigmaE=P(), sigmaGG=P(), pi=P(), alpha=P(),
             sigmaF=P())
+        mspec = P(AXIS_M) if self.x_packed else P()
         self.data_specs = ShardedMarkerData(
-            XT=P(AXIS_M, AXIS_N), xsq=P(AXIS_M), gram=P(AXIS_M, None, None),
+            XT=P(AXIS_M) if self.x_packed else P(AXIS_M, AXIS_N),
+            xsq=P(AXIS_M), gram=P(AXIS_M, None, None),
             g_assign=P(AXIS_M), valid=P(AXIS_M), row_valid=P(AXIS_N),
-            cva=P(), prior_pi=P(), fixedT=P(None, AXIS_N), fsq=P())
+            cva=P(), prior_pi=P(), fixedT=P(None, AXIS_N), fsq=P(),
+            x_mean=mspec, x_scale=mspec, x_colsum=mspec,
+            n_perm=P(AXIS_N) if self.x_packed else P())
 
         self._run_steps_cache = {}
         self._emit_cache = {}
-
-    # ---------------------------------------------------------------- gram
 
     def _gram(self, XT):
         B, nb_loc, Nloc = self.B, self.nb_loc, self.Nloc
@@ -335,7 +452,12 @@ class ShardedSpikeSlabSampler:
                 border_c, inner_c, p_c, z_c,
                 state.pi, data.cva, state.sigmaE, state.sigmaGG,
                 data.g_assign, data.valid,
-                interpret=self._pallas_interpret, inner_positional=True)
+                interpret=self._pallas_interpret, inner_positional=True,
+                x_mean=data.x_mean if self.x_packed else None,
+                x_scale=data.x_scale if self.x_packed else None,
+                fold_affine=self._x_fold,
+                x_xsum=data.x_colsum if self.x_packed else None,
+                row_valid=data.row_valid if self.x_packed else None)
             delta_eps = res.eps - eps
             eps = eps + lax.psum(delta_eps, AXIS_M)
             beta, labels = res.beta, res.labels
@@ -448,10 +570,19 @@ class ShardedSpikeSlabSampler:
         state = (key_or_state if isinstance(key_or_state, SpikeSlabState)
                  else self.init(key_or_state))
 
+        if self.x_packed:
+            n_perm_np = np.asarray(jax.device_get(self.data.n_perm))
+
         def postprocess(rows):
             rows["beta"] = rows["beta"][:, : self.M]
             rows["comp"] = rows["comp"][:, : self.M]
-            rows["epsilon"] = rows["epsilon"][:, : self.N]
+            if self.x_packed and self.config.emit_epsilon:
+                # un-permute eps back to original individual order
+                eps_orig = np.zeros_like(rows["epsilon"])
+                eps_orig[:, n_perm_np] = rows["epsilon"]
+                rows["epsilon"] = eps_orig[:, : self.N]
+            else:
+                rows["epsilon"] = rows["epsilon"][:, : self.N]
             if not self.config.emit_epsilon:
                 rows["epsilon"] = rows["epsilon"][:, :0]
             return rows
@@ -475,17 +606,25 @@ class ShardedHorseshoeSampler:
     """
 
     def __init__(self, X, Y, config, mesh: Mesh, *, dtype=jnp.float32,
-                 backend: str = "xla", chunk_blocks: Optional[int] = None):
+                 backend: str = "xla", chunk_blocks: Optional[int] = None,
+                 x_dtype: str = "dense", x_stats=None, transposed=False,
+                 n_individuals: Optional[int] = None,
+                 has_missing: Optional[bool] = None):
         from ..models.state import HorseshoeState
         from ..ops.block_sweep import horseshoe_inner_solve  # noqa: F401
 
         if tuple(mesh.axis_names) != (AXIS_M, AXIS_N):
             raise ValueError("mesh must have axis names ('m', 'n')")
+        if x_dtype not in ("dense", "2bit"):
+            raise ValueError(f"unknown x_dtype {x_dtype!r} (sharded supports "
+                             "dense f32 and 2-bit packed)")
         self.mesh = mesh
         self.Dm = mesh.shape[AXIS_M]
         self.Dn = mesh.shape[AXIS_N]
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
+        if x_dtype == "2bit" and backend != "pallas":
+            raise ValueError("x_dtype='2bit' requires backend='pallas'")
         if backend == "pallas" and self.Dn != 1:
             raise ValueError("backend='pallas' requires an (m, 1) mesh")
         self.backend = backend
@@ -493,48 +632,84 @@ class ShardedHorseshoeSampler:
         self._pallas_interpret = jax.devices()[0].platform != "tpu"
         self.config = config
         self.dtype = jnp.dtype(dtype)
+        self.x_packed = x_dtype == "2bit"
 
-        X = np.asarray(X)
+        x_on_device = isinstance(X, jax.Array)
+        if not x_on_device:
+            X = np.asarray(X)
+        prepacked = self.x_packed and X.dtype == jnp.int32
         Y = np.asarray(Y)
-        N, M = X.shape
+        if prepacked:
+            M = X.shape[0]
+            N = (X.shape[1] * 16 if n_individuals is None
+                 else int(n_individuals))
+        elif transposed:
+            M, N = X.shape
+        else:
+            N, M = X.shape
         B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
         Mpad = -(-M // (B * self.Dm)) * (B * self.Dm)
         if Mpad // (B * self.Dm) >= 64:  # 8-aligned block count at scale
             Mpad = -(-M // (8 * B * self.Dm)) * (8 * B * self.Dm)
-        Npad = -(-N // self.Dn) * self.Dn
+        if self.x_packed:
+            Npad = -(-N // 2048) * 2048
+        else:
+            Npad = -(-N // self.Dn) * self.Dn
         self.N, self.M, self.Mpad, self.Npad = N, M, Mpad, Npad
         self.B = B
         self.Mloc = Mpad // self.Dm
         self.nb_loc = self.Mloc // B
         self.Nloc = Npad // self.Dn
 
-        XTh = np.zeros((Mpad, Npad), self.dtype)
-        XTh[:M, :N] = X.T
-        xsq = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
-
         sh = lambda spec: NamedSharding(mesh, spec)
-        XT = jax.device_put(XTh, sh(P(AXIS_M, AXIS_N)))
-        gram = self._gram(XT)
+        empty_f = jax.device_put(jnp.zeros((0,), jnp.float32), sh(P()))
+        empty_i = jax.device_put(jnp.zeros((0,), jnp.int32), sh(P()))
+        n_perm_np = None
+        if self.x_packed:
+            (XT, x_mean, x_scale, xsq, gram, x_colsum, row_valid, n_perm,
+             n_perm_np, self._has_missing) = _packed_shard_setup(
+                mesh, X, x_on_device, prepacked, transposed, x_stats,
+                has_missing, M, N, Mpad, Npad, B)
+        else:
+            self._has_missing = False
+            XTh = np.zeros((Mpad, Npad), self.dtype)
+            XTh[:M, :N] = (X if transposed else X.T)
+            xsq_h = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
+            XT = jax.device_put(XTh, sh(P(AXIS_M, AXIS_N)))
+            xsq = jax.device_put(jnp.asarray(xsq_h), sh(P(AXIS_M)))
+            gram = self._gram(XT)
+            x_mean = x_scale = x_colsum = empty_f
+            row_valid = jax.device_put(jnp.asarray(np.arange(Npad) < N),
+                                       sh(P(AXIS_N)))
+            n_perm = empty_i
+        self._x_fold = self.x_packed and not self._has_missing
+
+        Yh = np.pad(Y.astype(self.dtype), (0, Npad - N))
+        if self.x_packed:
+            Yh = Yh[n_perm_np]
         self.data = {
             "XT": XT,
-            "xsq": jax.device_put(jnp.asarray(xsq), sh(P(AXIS_M))),
+            "xsq": xsq,
             "gram": gram,
             "valid": jax.device_put(jnp.asarray(np.arange(Mpad) < M),
                                     sh(P(AXIS_M))),
-            "row_valid": jax.device_put(jnp.asarray(np.arange(Npad) < N),
-                                        sh(P(AXIS_N))),
+            "row_valid": row_valid,
+            "x_mean": x_mean, "x_scale": x_scale, "x_colsum": x_colsum,
+            "n_perm": n_perm,
         }
-        self.Y = jax.device_put(
-            jnp.asarray(np.pad(Y.astype(self.dtype), (0, Npad - N))),
-            sh(P(AXIS_N)))
+        self.Y = jax.device_put(jnp.asarray(Yh), sh(P(AXIS_N)))
 
         self.state_specs = HorseshoeState(
             key=P(), iteration=P(), mu=P(), beta=P(AXIS_M), eps=P(AXIS_N),
             sigmaE=P(), lam=P(AXIS_M), v=P(AXIS_M), tau=P(), eta=P(), c2=P())
+        mspec = P(AXIS_M) if self.x_packed else P()
         self.data_specs = {
-            "XT": P(AXIS_M, AXIS_N), "xsq": P(AXIS_M),
+            "XT": P(AXIS_M) if self.x_packed else P(AXIS_M, AXIS_N),
+            "xsq": P(AXIS_M),
             "gram": P(AXIS_M, None, None), "valid": P(AXIS_M),
             "row_valid": P(AXIS_N),
+            "x_mean": mspec, "x_scale": mspec, "x_colsum": mspec,
+            "n_perm": P(AXIS_N) if self.x_packed else P(),
         }
         self._run_steps_cache = {}
         self._emit_cache = {}
@@ -625,7 +800,12 @@ class ShardedHorseshoeSampler:
                     lax.dynamic_slice_in_dim(z_flat, c0 * B, cb * B),
                     state.lam, state.tau, state.c2, state.sigmaE,
                     data["valid"], interpret=self._pallas_interpret,
-                    inner_positional=True)
+                    inner_positional=True,
+                    x_mean=data["x_mean"] if self.x_packed else None,
+                    x_scale=data["x_scale"] if self.x_packed else None,
+                    fold_affine=self._x_fold,
+                    x_xsum=data["x_colsum"] if self.x_packed else None,
+                    row_valid=data["row_valid"] if self.x_packed else None)
                 eps = eps + lax.psum(eps_new - eps, AXIS_M)
         else:
             def round_body(carry, xs):
@@ -738,10 +918,18 @@ class ShardedHorseshoeSampler:
         state = (key_or_state if isinstance(key_or_state, HorseshoeState)
                  else self.init(key_or_state))
 
+        if self.x_packed:
+            n_perm_np = np.asarray(jax.device_get(self.data["n_perm"]))
+
         def postprocess(rows):
             rows["beta"] = rows["beta"][:, : self.M]
             rows["lambda"] = rows["lambda"][:, : self.M]
-            rows["epsilon"] = rows["epsilon"][:, : self.N]
+            if self.x_packed:
+                eps_orig = np.zeros_like(rows["epsilon"])
+                eps_orig[:, n_perm_np] = rows["epsilon"]
+                rows["epsilon"] = eps_orig[:, : self.N]
+            else:
+                rows["epsilon"] = rows["epsilon"][:, : self.N]
             return rows
 
         return run_chain(

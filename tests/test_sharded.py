@@ -125,3 +125,76 @@ def test_sharded_horseshoe(sim):
         eps_direct = sim.Y - float(st.mu) - sim.X @ np.asarray(st.beta)[: s.M]
         np.testing.assert_allclose(np.asarray(st.eps)[: s.N], eps_direct,
                                    atol=5e-3)
+
+
+# ------------------------------------------------------------ packed 2-bit X
+
+
+@pytest.fixture(scope="module")
+def dosage_sim():
+    rng = np.random.default_rng(41)
+    N, M = 300, 256
+    dos = rng.integers(0, 3, size=(N, M)).astype(float)
+    dos[rng.random((N, M)) < 0.03] = np.nan
+    Xs = np.where(np.isnan(dos), np.nanmean(dos, 0)[None, :], dos)
+    Xs = (Xs - Xs.mean(0)) / Xs.std(0, ddof=1)
+    beta_true = np.zeros(M)
+    beta_true[:10] = rng.normal(0, 0.5, 10)
+    Y = Xs @ beta_true + rng.normal(0, 1, N)
+    return dos, Y, beta_true
+
+
+def test_sharded_packed_bayesr(dosage_sim):
+    """2-bit packed X column-sharded over an (m, 1) mesh: per-slice stats
+    built inside shard_map, in-kernel decode sweeps, un-permuted emission."""
+    dos, Y, beta_true = dosage_sim
+    cva = np.array([1e-4, 1e-3, 1e-2])
+    s = ShardedSpikeSlabSampler(dos, Y, cva, BayesRConfig(block_size=32),
+                                make_mesh(4, 1), backend="pallas",
+                                x_dtype="2bit")
+    assert s.Npad == 2048 and not s._x_fold  # missing calls present
+    _, out = s.run(jax.random.PRNGKey(0), ChainConfig(60, 20, 4))
+    bh = out["beta"].mean(0)
+    assert np.isfinite(bh).all()
+    assert np.corrcoef(bh[:10], beta_true[:10])[0, 1] > 0.85
+    assert out["epsilon"].shape[1] == dos.shape[0]
+
+
+def test_sharded_packed_prepacked_words(dosage_sim, tmp_path):
+    """read_bed_packed words shard directly (host never densifies) and match
+    the host-dosage packed path bit-for-bit."""
+    from bayesrrcpp_tpu.io import bed as bedio
+
+    dos, Y, _ = dosage_sim
+    pre = str(tmp_path / "sb")
+    bedio.write_bed(pre, dos)
+    pb = bedio.read_bed_packed(pre)
+    cva = np.array([1e-4, 1e-3, 1e-2])
+    chain = ChainConfig(40, 10, 3)
+    mesh = make_mesh(4, 1)
+    s_host = ShardedSpikeSlabSampler(dos, Y, cva, BayesRConfig(block_size=32),
+                                     mesh, backend="pallas", x_dtype="2bit")
+    s_pp = ShardedSpikeSlabSampler(
+        pb.words, Y, cva, BayesRConfig(block_size=32), mesh,
+        backend="pallas", x_dtype="2bit", transposed=True,
+        x_stats=(pb.means, pb.sds), n_individuals=pb.n,
+        has_missing=pb.has_missing)
+    _, out_h = s_host.run(jax.random.PRNGKey(1), chain)
+    _, out_p = s_pp.run(jax.random.PRNGKey(1), chain)
+    assert np.abs(out_h["beta"].mean(0) - out_p["beta"].mean(0)).max() < 2e-3
+
+
+def test_sharded_packed_horseshoe(dosage_sim):
+    from bayesrrcpp_tpu.config import HorseshoeConfig
+    from bayesrrcpp_tpu.parallel.sharded import ShardedHorseshoeSampler
+
+    dos, Y, beta_true = dosage_sim
+    N, M = dos.shape
+    A = (1.0 / np.sqrt(N)) * 10 / (M - 10)
+    s = ShardedHorseshoeSampler(dos, Y, HorseshoeConfig(A=A, block_size=32),
+                                make_mesh(4, 1), backend="pallas",
+                                x_dtype="2bit")
+    _, out = s.run(jax.random.PRNGKey(2), ChainConfig(80, 30, 4))
+    bh = out["beta"].mean(0)
+    assert np.isfinite(bh).all()
+    assert np.corrcoef(bh[:10], beta_true[:10])[0, 1] > 0.85
