@@ -36,6 +36,12 @@ def cpu_reference_rate(N: int, n_markers: int = 2000) -> float:
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # the ambient sitecustomize pins the remote-TPU plugin; env vars
+        # alone cannot switch back to CPU
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
@@ -88,10 +94,20 @@ def main():
     Y.block_until_ready()
     gen_s = time.perf_counter() - t0
 
-    cva = np.array([0.0001, 0.001, 0.01], np.float64)
+    which = os.environ.get("BENCH_SAMPLER", "bayesr")  # bayesr | horseshoe
     t0 = time.perf_counter()
-    sampler = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
-                               transposed=True, dtype=jnp.float32, **extra)
+    if which == "horseshoe":
+        from bayesrrcpp_tpu import HorseshoeConfig
+        from bayesrrcpp_tpu.models.horseshoe import HorseshoeSampler
+
+        sampler = HorseshoeSampler(XT, Y, HorseshoeConfig(block_size=B),
+                                   transposed=True, dtype=jnp.float32,
+                                   **extra)
+    else:
+        cva = np.array([0.0001, 0.001, 0.01], np.float64)
+        sampler = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
+                                   transposed=True, dtype=jnp.float32,
+                                   **extra)
     jax.block_until_ready(sampler.data.gram)
     setup_s = time.perf_counter() - t0
 
@@ -127,7 +143,7 @@ def main():
         "unit": "SNP-updates/s",
         "vs_baseline": round(rate / base, 2),
         "config": {"N": N, "M": M, "iters": iters, "block": B,
-                   "x_dtype": x_dtype, "chains": n_chains,
+                   "sampler": which, "x_dtype": x_dtype, "chains": n_chains,
                    "platform": platform,
                    "iter_ms": round(1e3 * elapsed / iters, 1),
                    "gibbs_iters_per_min": round(60 * iters / elapsed, 2),
