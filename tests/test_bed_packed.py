@@ -173,3 +173,29 @@ def test_cli_bed_2bit(tmp_path):
     rows = open(out).read().strip().splitlines()
     assert rows[0].startswith("iteration,")
     assert len(rows) >= 4
+
+
+def test_packed_checkpoint_resume_bitwise(tmp_path):
+    """Checkpoint mid-chain under the packed layout and resume: the state
+    (incl. permuted eps and the PRNG key) continues bit-for-bit."""
+    from bayesrrcpp_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(12)
+    N, M = 180, 32
+    dos = rng.integers(0, 3, size=(N, M)).astype(float)
+    Xs = (dos - dos.mean(0)) / dos.std(0, ddof=1)
+    Y = Xs[:, 0] * 0.5 + rng.normal(0, 1, N)
+    s = SpikeSlabSampler(dos, Y, np.array([1e-3, 1e-2]),
+                         BayesRConfig(block_size=32), x_dtype="2bit")
+    st = s.init(jax.random.PRNGKey(4))
+    for _ in range(3):
+        st = s.step(st)
+    ck = tmp_path / "st.npz"
+    save_checkpoint(str(ck), st)
+    cont = s.step(st)
+    resumed = s.step(load_checkpoint(str(ck)))
+    np.testing.assert_array_equal(np.asarray(cont.beta),
+                                  np.asarray(resumed.beta))
+    np.testing.assert_array_equal(np.asarray(cont.eps),
+                                  np.asarray(resumed.eps))
+    assert float(cont.sigmaE) == float(resumed.sigmaE)
