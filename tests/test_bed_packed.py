@@ -199,3 +199,54 @@ def test_packed_checkpoint_resume_bitwise(tmp_path):
     np.testing.assert_array_equal(np.asarray(cont.eps),
                                   np.asarray(resumed.eps))
     assert float(cont.sigmaE) == float(resumed.sigmaE)
+
+
+def test_groups_fixed_effects_packed(tmp_path):
+    """Grouped variant (per-group cva/pi/sigmaG + fixed effects) on packed
+    2-bit genotypes."""
+    from bayesrrcpp_tpu import GroupsConfig
+
+    rng = np.random.default_rng(13)
+    N, M, F = 220, 64, 2
+    dos = rng.integers(0, 3, size=(N, M)).astype(float)
+    dos[rng.random((N, M)) < 0.03] = np.nan
+    Xs = np.where(np.isnan(dos), np.nanmean(dos, 0)[None, :], dos)
+    Xs = (Xs - Xs.mean(0)) / Xs.std(0, ddof=1)
+    fixed = rng.normal(size=(N, F))
+    g_assign = (np.arange(M) % 2).astype(np.int32)
+    beta_true = np.zeros(M)
+    beta_true[:6] = rng.normal(0, 0.5, 6)
+    alpha_true = np.array([0.5, -0.3])
+    Y = Xs @ beta_true + fixed @ alpha_true + rng.normal(0, 1, N)
+    cva = np.tile(np.array([1e-3, 1e-2]), (2, 1))
+
+    s = SpikeSlabSampler(dos, Y, cva, GroupsConfig(block_size=32),
+                         g_assign=g_assign, fixed=fixed, x_dtype="2bit")
+    assert s.variant == "groups" and s.F == F
+    _, out = s.run(jax.random.PRNGKey(0), ChainConfig(80, 30, 4))
+    assert np.isfinite(out["beta"]).all()
+    assert out["sigmaG"].shape[1] == 2
+    a_hat = out["alpha"].mean(0)
+    assert np.abs(a_hat - alpha_true).max() < 0.25
+    assert np.corrcoef(out["beta"].mean(0)[:6], beta_true[:6])[0, 1] > 0.8
+
+
+def test_cli_horseshoe_bed_2bit(tmp_path):
+    rng = np.random.default_rng(14)
+    N, M = 150, 24
+    dos = rng.integers(0, 3, size=(N, M)).astype(float)
+    pre = _write(tmp_path, dos)
+    Xs = (dos - dos.mean(0)) / dos.std(0, ddof=1)
+    Y = Xs[:, 0] + rng.normal(0, 1, N)
+    pheno = tmp_path / "y.txt"
+    np.savetxt(pheno, Y)
+    out = tmp_path / "hs.csv"
+
+    from bayesrrcpp_tpu.cli import main
+
+    main(["horseshoe", "--bed", pre, "--pheno", str(pheno), "--out", str(out),
+          "--x-dtype", "2bit", "--iterations", "12", "--burn-in", "4",
+          "--thinning", "2", "--block-size", "32", "--no-epsilon"])
+    rows = open(out).read().strip().splitlines()
+    assert rows[0].startswith("iteration,")
+    assert len(rows) >= 4
