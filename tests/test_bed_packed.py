@@ -207,7 +207,7 @@ def test_groups_fixed_effects_packed(tmp_path):
     from bayesrrcpp_tpu import GroupsConfig
 
     rng = np.random.default_rng(13)
-    N, M, F = 220, 64, 2
+    N, M, F = 400, 64, 2
     dos = rng.integers(0, 3, size=(N, M)).astype(float)
     dos[rng.random((N, M)) < 0.03] = np.nan
     Xs = np.where(np.isnan(dos), np.nanmean(dos, 0)[None, :], dos)
@@ -215,20 +215,20 @@ def test_groups_fixed_effects_packed(tmp_path):
     fixed = rng.normal(size=(N, F))
     g_assign = (np.arange(M) % 2).astype(np.int32)
     beta_true = np.zeros(M)
-    beta_true[:6] = rng.normal(0, 0.5, 6)
+    beta_true[:8] = rng.normal(0, 1.0, 8)
     alpha_true = np.array([0.5, -0.3])
     Y = Xs @ beta_true + fixed @ alpha_true + rng.normal(0, 1, N)
-    cva = np.tile(np.array([1e-3, 1e-2]), (2, 1))
+    cva = np.tile(np.array([1e-3, 1e-2, 1e-1]), (2, 1))
 
     s = SpikeSlabSampler(dos, Y, cva, GroupsConfig(block_size=32),
                          g_assign=g_assign, fixed=fixed, x_dtype="2bit")
     assert s.variant == "groups" and s.F == F
-    _, out = s.run(jax.random.PRNGKey(0), ChainConfig(80, 30, 4))
+    _, out = s.run(jax.random.PRNGKey(0), ChainConfig(200, 80, 4))
     assert np.isfinite(out["beta"]).all()
     assert out["sigmaG"].shape[1] == 2
     a_hat = out["alpha"].mean(0)
     assert np.abs(a_hat - alpha_true).max() < 0.25
-    assert np.corrcoef(out["beta"].mean(0)[:6], beta_true[:6])[0, 1] > 0.8
+    assert np.corrcoef(out["beta"].mean(0)[:8], beta_true[:8])[0, 1] > 0.8
 
 
 def test_cli_horseshoe_bed_2bit(tmp_path):
