@@ -192,7 +192,14 @@ def main(argv=None):
     p4 = sub.add_parser("resume", help="resume a chain from a checkpoint")
     _add_common(p4)
     _add_mixture(p4)
-    p4.add_argument("--checkpoint", required=True)
+    p4.add_argument("--checkpoint",
+                    help="framework checkpoint (.npz): exact resume incl. "
+                         "RNG key")
+    p4.add_argument("--from-csv",
+                    help="resume from the last row of a sample CSV, like "
+                         "the reference's BRV2Grstart workflow "
+                         "(pi re-drawn from component counts; RNG restarts "
+                         "from --seed)")
     p4.add_argument("--groups-file")
 
     args = ap.parse_args(argv)
@@ -259,14 +266,28 @@ def main(argv=None):
                            emit_epsilon=emit_eps)
             _run(s, args, chain, sink, [])
     elif args.cmd == "resume":
-        from .io.checkpoint import load_checkpoint
+        import jax
 
-        state = load_checkpoint(args.checkpoint)
-        G = state.sigmaGG.shape[0]
+        if bool(args.checkpoint) == bool(args.from_csv):
+            raise SystemExit("resume needs exactly one of --checkpoint / "
+                             "--from-csv")
         if args.groups_file:
             g_assign = np.loadtxt(args.groups_file, dtype=np.int32).reshape(-1)
         else:
             g_assign = None
+        if args.checkpoint:
+            from .io.checkpoint import load_checkpoint
+
+            state = load_checkpoint(args.checkpoint)
+            G = state.sigmaGG.shape[0]
+            init_kwargs = None
+        else:
+            from .io.resume import state_kwargs_from_csv
+
+            init_kwargs = state_kwargs_from_csv(
+                args.from_csv,
+                X=None if xkw.get("x_dtype") else X, Y=Y)
+            G = init_kwargs["sigmaGG"].shape[0]
         cva_row = np.array([float(v) for v in args.cva.split(",")])
         cva = np.tile(cva_row, (G, 1))
         cfg = GroupsConfig(sigma0=args.sigma0, v0E=args.v0E, s02E=args.s02E,
@@ -275,11 +296,11 @@ def main(argv=None):
         s = SpikeSlabSampler(X, Y, cva, cfg, g_assign=g_assign,
                              backend=_backend(args), dtype=dt,
                              variant="groups" if G > 1 else "bayesr", **xkw)
+        if init_kwargs is not None:
+            state = s.init_from(jax.random.PRNGKey(args.seed), **init_kwargs)
         schema = "grstart" if G > 1 else "bayesr"
         sink = CSVSink(args.out, schema, M=s.M, N=s.N, groups=G,
                        emit_epsilon=emit_eps)
-        import jax
-
         state = state._replace(iteration=jax.numpy.zeros((), jax.numpy.int32))
         _run_state(s, state, args, chain, sink)
     return 0

@@ -127,3 +127,42 @@ def test_cli_multichain_csv(tmp_path):
         rows.append(np.array(body[-1], dtype=float))
     # chains are distinct draws
     assert not np.allclose(rows[0], rows[1])
+
+
+def test_resume_from_csv(tmp_path):
+    """CLI resume --from-csv: the reference's BRV2Grstart workflow (fish the
+    last CSV row out of a previous run) without the manual archaeology."""
+    import numpy as np
+
+    from bayesrrcpp_tpu.cli import main
+
+    rng = np.random.default_rng(15)
+    N, M = 120, 16
+    X = rng.normal(size=(N, M))
+    Y = X[:, 0] * 0.8 + rng.normal(0, 1, N)
+    xp, yp = tmp_path / "x.npy", tmp_path / "y.npy"
+    np.save(xp, X)
+    np.save(yp, Y)
+    first = tmp_path / "first.csv"
+    main(["bayesr", "--x", str(xp), "--y", str(yp), "--out", str(first),
+          "--iterations", "12", "--burn-in", "4", "--thinning", "2",
+          "--block-size", "16"])
+
+    out = tmp_path / "resumed.csv"
+    main(["resume", "--from-csv", str(first), "--x", str(xp), "--y", str(yp),
+          "--out", str(out), "--iterations", "8", "--burn-in", "2",
+          "--thinning", "2", "--block-size", "16"])
+    rows = open(out).read().strip().splitlines()
+    assert rows[0].startswith("iteration,")
+    assert len(rows) >= 3
+
+    # and without stored residuals: epsilon reconstructed from (X, Y)
+    noeps = tmp_path / "noeps.csv"
+    main(["bayesr", "--x", str(xp), "--y", str(yp), "--out", str(noeps),
+          "--iterations", "12", "--burn-in", "4", "--thinning", "2",
+          "--block-size", "16", "--no-epsilon"])
+    out2 = tmp_path / "resumed2.csv"
+    main(["resume", "--from-csv", str(noeps), "--x", str(xp), "--y", str(yp),
+          "--out", str(out2), "--iterations", "8", "--burn-in", "2",
+          "--thinning", "2", "--block-size", "16"])
+    assert len(open(out2).read().strip().splitlines()) >= 3
