@@ -202,7 +202,21 @@ def main(argv=None):
                          "from --seed)")
     p4.add_argument("--groups-file")
 
+    p5 = sub.add_parser("summarize",
+                        help="posterior summaries of saved chains (the "
+                             "vignette's manual R post-processing)")
+    p5.add_argument("--npz", action="append", required=True,
+                    help="columnar chain output (--npz-out); repeat for "
+                         "multi-chain R-hat/ESS")
+    p5.add_argument("--x", help=".npy (N, M) standardized X for PVE")
+    p5.add_argument("--y", help=".npy phenotype for PVE")
+    p5.add_argument("--top", type=int, default=10,
+                    help="print the top-K markers by inclusion probability")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "summarize":
+        return _summarize(args)
 
     if getattr(args, "platform", "default") != "default":
         import jax
@@ -303,6 +317,42 @@ def main(argv=None):
                        emit_epsilon=emit_eps)
         state = state._replace(iteration=jax.numpy.zeros((), jax.numpy.int32))
         _run_state(s, state, args, chain, sink)
+    return 0
+
+
+def _summarize(args):
+    import json
+
+    from .utils import summary
+
+    chains = [dict(np.load(p)) for p in args.npz]
+    s0 = chains[0]
+    out = {"n_samples": int(s0["mu"].shape[0]), "n_chains": len(chains)}
+    for k in ("mu", "sigmaE", "sigmaF", "tau"):
+        if k in s0:
+            out[k + "_mean"] = float(np.mean([c[k].mean() for c in chains]))
+    if "sigmaG" in s0:
+        h2 = np.concatenate([summary.heritability_samples(c) for c in chains])
+        out["h2_mean"] = float(h2.mean())
+        out["h2_sd"] = float(h2.std(ddof=1)) if h2.size > 1 else 0.0
+    if "comp" in s0:
+        pip = np.mean([summary.inclusion_probabilities(c) for c in chains],
+                      axis=0)
+        top = np.argsort(-pip)[: args.top]
+        out["top_markers"] = [{"index": int(i), "pip": round(float(pip[i]), 4)}
+                              for i in top]
+    if args.x and args.y:
+        X = np.load(args.x)
+        Y = np.load(args.y)
+        merged = {"beta": np.concatenate([c["beta"] for c in chains], axis=0)}
+        out["pve"] = round(summary.pve(merged, X, Y), 4)
+    if len(chains) > 1:
+        for k in ("sigmaE", "mu", "tau"):
+            if k in s0:
+                stacked = np.stack([c[k].reshape(-1) for c in chains], axis=1)
+                out[f"rhat_{k}"] = round(float(summary.split_rhat(stacked)), 4)
+                out[f"ess_{k}"] = round(float(summary.ess(stacked)), 1)
+    print(json.dumps(out, indent=2))
     return 0
 
 

@@ -166,3 +166,34 @@ def test_resume_from_csv(tmp_path):
           "--out", str(out2), "--iterations", "8", "--burn-in", "2",
           "--thinning", "2", "--block-size", "16"])
     assert len(open(out2).read().strip().splitlines()) >= 3
+
+
+def test_summarize_cli(tmp_path, capsys):
+    import json
+
+    import numpy as np
+
+    from bayesrrcpp_tpu.cli import main
+
+    rng = np.random.default_rng(17)
+    N, M = 200, 16
+    X = rng.normal(size=(N, M))
+    Y = X[:, 0] * 1.2 + rng.normal(0, 1, N)
+    xp, yp = tmp_path / "x.npy", tmp_path / "y.npy"
+    np.save(xp, X)
+    np.save(yp, Y)
+    for seed in (1, 2):
+        main(["bayesr", "--x", str(xp), "--y", str(yp),
+              "--out", str(tmp_path / f"c{seed}.csv"),
+              "--npz-out", str(tmp_path / f"c{seed}.npz"),
+              "--iterations", "200", "--burn-in", "50", "--thinning", "2",
+              "--cva", "0.01,0.1,1.0",
+              "--block-size", "16", "--seed", str(seed)])
+    capsys.readouterr()
+    main(["summarize", "--npz", str(tmp_path / "c1.npz"),
+          "--npz", str(tmp_path / "c2.npz"),
+          "--x", str(xp), "--y", str(yp), "--top", "3"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_chains"] == 2 and out["n_samples"] == 75
+    assert "rhat_sigmaE" in out and out["pve"] > 0.1
+    assert out["top_markers"][0]["index"] == 0  # the causal marker
