@@ -27,6 +27,11 @@ def _add_common(p):
     p.add_argument("--out", required=True, help="output CSV path")
     p.add_argument("--npz-out", help="also write a columnar .npz")
     p.add_argument("--checkpoint-out", help="write final state checkpoint")
+    p.add_argument("--checkpoint-every", type=float, default=0.0,
+                   metavar="SECONDS",
+                   help="also checkpoint to --checkpoint-out periodically "
+                        "during the run (crash recovery; the reference has "
+                        "no mid-chain recovery at all)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--iterations", type=int, default=2000)
     p.add_argument("--burn-in", type=int, default=1000)
@@ -131,12 +136,39 @@ def _progress(done, total):
         print(f"emitted {done}/{total} samples", flush=True)
 
 
+def _periodic_saver(args):
+    """Time-throttled mid-chain checkpointer (atomic rename)."""
+    if not (args.checkpoint_out and getattr(args, "checkpoint_every", 0) > 0):
+        return None
+    import os
+    import time
+
+    from .io.checkpoint import save_checkpoint
+
+    # np.savez appends .npz when missing; normalize so the atomic rename
+    # targets the same file the final save writes
+    target = (args.checkpoint_out if args.checkpoint_out.endswith(".npz")
+              else args.checkpoint_out + ".npz")
+    last = [time.monotonic()]
+
+    def on_chunk(state, done):
+        now = time.monotonic()
+        if now - last[0] >= args.checkpoint_every:
+            tmp = target[:-4] + ".tmp.npz"
+            save_checkpoint(tmp, state)
+            os.replace(tmp, target)
+            last[0] = now
+
+    return on_chunk
+
+
 def _run(sampler, args, chain, sink, extra_sinks):
     import jax
 
     sink = _wrap_sinks(args, sink)
     state, _ = sampler.run(jax.random.PRNGKey(args.seed), chain, sink=sink,
-                           collect=False, progress=_progress)
+                           collect=False, progress=_progress,
+                           on_chunk=_periodic_saver(args))
     for s in extra_sinks:
         s.close()
     sink.close()
@@ -359,7 +391,8 @@ def _summarize(args):
 def _run_state(sampler, state, args, chain, sink):
     sink = _wrap_sinks(args, sink)
     state, _ = sampler.run(state, chain, sink=sink, collect=False,
-                           progress=_progress)
+                           progress=_progress,
+                           on_chunk=_periodic_saver(args))
     sink.close()
     if args.checkpoint_out:
         from .io.checkpoint import save_checkpoint

@@ -607,7 +607,8 @@ class SpikeSlabSampler:
         return lax.scan(body, state, None, length=n_emits)
 
     def run(self, key_or_state, chain: ChainConfig, *, sink=None,
-            collect: bool = True, emit_chunk: int = 32, progress=None):
+            collect: bool = True, emit_chunk: int = 32, progress=None,
+            on_chunk=None):
         """Run a full chain, emitting thinned post-burn-in samples.
 
         Replaces the reference's producer/consumer OpenMP split
@@ -623,7 +624,8 @@ class SpikeSlabSampler:
             steps_fn=lambda st, n: self._run_steps(st, self.data, n),
             emit_fn=lambda st, n, t: self._emit_chunk(st, self.data, n, t),
             sink=sink, collect=collect, emit_chunk=emit_chunk,
-            start_iteration=int(state.iteration), progress=progress)
+            start_iteration=int(state.iteration), progress=progress,
+            on_chunk=on_chunk)
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
                    collect: bool = True, emit_chunk: int = 32,

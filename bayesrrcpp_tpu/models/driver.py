@@ -15,7 +15,7 @@ import numpy as np
 
 def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
               sink=None, collect=True, emit_chunk=32, start_iteration=0,
-              progress=None):
+              progress=None, on_chunk=None):
     """Drive a full chain.
 
     steps_fn(state, n)           -- advance n iterations (n static).
@@ -25,12 +25,17 @@ def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
                                     padding, un-permuting), applied after
                                     device_get.
     progress(done, total)        -- optional callback per delivered chunk.
+    on_chunk(state, done)        -- optional callback per delivered chunk
+                                    with the CURRENT device state (periodic
+                                    checkpointing; the reference has no
+                                    mid-chain recovery at all, SURVEY.md
+                                    section 5).
     """
     emits = list(chain.emit_iterations())
     collected = [] if collect else None
     total = len(emits)
 
-    def deliver(rows, done):
+    def deliver(rows, done, state):
         rows = jax.tree.map(np.asarray, rows)
         if postprocess is not None:
             rows = postprocess(rows)
@@ -40,6 +45,8 @@ def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
             sink.write(rows)
         if progress is not None:
             progress(done, total)
+        if on_chunk is not None:
+            on_chunk(state, done)
 
     if not emits:
         state = steps_fn(state, chain.max_iterations - start_iteration)
@@ -48,13 +55,13 @@ def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
         if pre > 0:
             state = steps_fn(state, pre)
         state, first = emit_fn(state, 1, 0)
-        deliver(first, 1)
+        deliver(first, 1, state)
         done = 1
         while done - 1 < total - 1:
             n = min(emit_chunk, total - done)
             state, rows = emit_fn(state, n, chain.thinning)
             done += n
-            deliver(rows, done)
+            deliver(rows, done, state)
         tail = chain.max_iterations - (emits[-1] + 1)
         if tail > 0:
             state = steps_fn(state, tail)

@@ -419,7 +419,8 @@ class HorseshoeSampler:
         return lax.scan(body, state, None, length=n_emits)
 
     def run(self, key_or_state, chain: ChainConfig, *, sink=None,
-            collect: bool = True, emit_chunk: int = 32, progress=None):
+            collect: bool = True, emit_chunk: int = 32, progress=None,
+            on_chunk=None):
         """Run a full chain; see SpikeSlabSampler.run for the emission model."""
         from .driver import run_chain
 
@@ -430,7 +431,8 @@ class HorseshoeSampler:
             steps_fn=lambda st, n: self._run_steps(st, self.data, n),
             emit_fn=lambda st, n, t: self._emit_chunk(st, self.data, n, t),
             sink=sink, collect=collect, emit_chunk=emit_chunk,
-            start_iteration=int(state.iteration), progress=progress)
+            start_iteration=int(state.iteration), progress=progress,
+            on_chunk=on_chunk)
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
                    collect: bool = True, emit_chunk: int = 32,

@@ -564,7 +564,8 @@ class ShardedSpikeSlabSampler:
         return self._get_run_steps(1)(state, self.data)
 
     def run(self, key_or_state, chain: ChainConfig, *, sink=None,
-            collect: bool = True, emit_chunk: int = 32, progress=None):
+            collect: bool = True, emit_chunk: int = 32, progress=None,
+            on_chunk=None):
         from ..models.driver import run_chain
 
         state = (key_or_state if isinstance(key_or_state, SpikeSlabState)
@@ -593,7 +594,7 @@ class ShardedSpikeSlabSampler:
             emit_fn=lambda st, n, t: self._get_emit_chunk(n, t)(st, self.data),
             postprocess=postprocess, sink=sink, collect=collect,
             emit_chunk=emit_chunk, start_iteration=int(state.iteration),
-            progress=progress)
+            progress=progress, on_chunk=on_chunk)
 
 
 class ShardedHorseshoeSampler:
