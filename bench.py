@@ -47,8 +47,11 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon") or "TPU" in str(jax.devices()[0])
     if on_tpu:
-        N = int(os.environ.get("BENCH_N", 20_000))
-        M = int(os.environ.get("BENCH_M", 50_000))
+        # default sized to stay well inside one 16 GB chip even with XLA's
+        # scoped-memory staging copy of X (a 20k x 50k f32 X measured
+        # borderline against a busy shared chip)
+        N = int(os.environ.get("BENCH_N", 16_384))
+        M = int(os.environ.get("BENCH_M", 49_152))
         iters = int(os.environ.get("BENCH_ITERS", 10))
     else:  # CPU fallback so the script stays runnable anywhere
         N = int(os.environ.get("BENCH_N", 2_000))
