@@ -136,6 +136,42 @@ def _progress(done, total):
         print(f"emitted {done}/{total} samples", flush=True)
 
 
+def _compose_chunks(*fns):
+    fns = [f for f in fns if f is not None]
+    if not fns:
+        return None
+    if len(fns) == 1:
+        return fns[0]
+
+    def on_chunk(state, done):
+        for f in fns:
+            f(state, done)
+
+    return on_chunk
+
+
+def _hs_decile_printer(total):
+    """Decile tau/eta/sigmaE progress prints, mirroring the reference's
+    horseshoe observability (src/HorseshoeR.cpp:200-207)."""
+    import numpy as np
+
+    last = [0]
+
+    def on_chunk(state, done):
+        decile = done * 10 // max(1, total)
+        if decile > last[0]:
+            last[0] = decile
+            tau = np.asarray(state.tau).reshape(-1)
+            eta = np.asarray(state.eta).reshape(-1)
+            sE = np.asarray(state.sigmaE).reshape(-1)
+            fmt = lambda a: (f"{a[0]:.6g}" if a.size == 1 else
+                             "[" + ",".join(f"{x:.4g}" for x in a) + "]")
+            print(f"emitted {done}/{total}: tau {fmt(tau)} eta {fmt(eta)} "
+                  f"sigmaE {fmt(sE)}", flush=True)
+
+    return on_chunk
+
+
 def _periodic_saver(args):
     """Time-throttled mid-chain checkpointer (atomic rename)."""
     if not (args.checkpoint_out and getattr(args, "checkpoint_every", 0) > 0):
@@ -162,13 +198,14 @@ def _periodic_saver(args):
     return on_chunk
 
 
-def _run(sampler, args, chain, sink, extra_sinks):
+def _run(sampler, args, chain, sink, extra_sinks, on_chunk=None):
     import jax
 
     sink = _wrap_sinks(args, sink)
     state, _ = sampler.run(jax.random.PRNGKey(args.seed), chain, sink=sink,
                            collect=False, progress=_progress,
-                           on_chunk=_periodic_saver(args))
+                           on_chunk=_compose_chunks(_periodic_saver(args),
+                                                    on_chunk))
     for s in extra_sinks:
         s.close()
     sink.close()
@@ -179,14 +216,17 @@ def _run(sampler, args, chain, sink, extra_sinks):
     return state
 
 
-def _run_chains(sampler, args, chain, schema, **sink_kw):
+def _run_chains(sampler, args, chain, schema, on_chunk=None, **sink_kw):
     import jax
 
     from .io.sink import ChainFanoutSink
 
     sink = ChainFanoutSink.csv(args.out, args.chains, schema, **sink_kw)
     state, _ = sampler.run_chains(jax.random.PRNGKey(args.seed), args.chains,
-                                  chain, sink=sink, collect=False)
+                                  chain, sink=sink, collect=False,
+                                  progress=_progress,
+                                  on_chunk=_compose_chunks(
+                                      _periodic_saver(args), on_chunk))
     sink.close()
     if args.checkpoint_out:
         from .io.checkpoint import save_checkpoint
@@ -231,8 +271,22 @@ def main(argv=None):
                     help="resume from the last row of a sample CSV, like "
                          "the reference's BRV2Grstart workflow "
                          "(pi re-drawn from component counts; RNG restarts "
-                         "from --seed)")
+                         "from --seed).  Horseshoe CSVs are detected by "
+                         "their tau/lambda columns (eta/v/c2 re-drawn from "
+                         "their conditionals).  Quantized --x-dtype runs "
+                         "reconstruct missing epsilon columns from the "
+                         "on-device genotype container")
     p4.add_argument("--groups-file")
+    p4.add_argument("--fixed",
+                    help=".npy (N, F) fixed-effect covariates; REQUIRED "
+                         "when the CSV/checkpoint carries alpha columns")
+    # horseshoe hyperparameters (used when the resumed chain is horseshoe)
+    p4.add_argument("--A", type=float, default=1.0)
+    p4.add_argument("--vL", type=float, default=1.0)
+    p4.add_argument("--vT", type=float, default=1.0)
+    p4.add_argument("--c2", type=float, default=1.0)
+    p4.add_argument("--vC", type=float, default=10.0)
+    p4.add_argument("--sC", type=float, default=10.0)
 
     p5 = sub.add_parser("summarize",
                         help="posterior summaries of saved chains (the "
@@ -304,48 +358,97 @@ def main(argv=None):
                               emit_epsilon=emit_eps)
         s = HorseshoeSampler(X, Y, cfg, backend=_backend(args), dtype=dt,
                              **xkw)
+        deciles = _hs_decile_printer(len(chain.emit_iterations()))
         if args.chains > 1:
             _run_chains(s, args, chain, "horseshoe", M=s.M, N=s.N,
-                        emit_epsilon=emit_eps)
+                        emit_epsilon=emit_eps, on_chunk=deciles)
         else:
             sink = CSVSink(args.out, "horseshoe", M=s.M, N=s.N,
                            emit_epsilon=emit_eps)
-            _run(s, args, chain, sink, [])
+            _run(s, args, chain, sink, [], on_chunk=deciles)
     elif args.cmd == "resume":
         import jax
+
+        from .models.state import HorseshoeState
 
         if bool(args.checkpoint) == bool(args.from_csv):
             raise SystemExit("resume needs exactly one of --checkpoint / "
                              "--from-csv")
-        if args.groups_file:
-            g_assign = np.loadtxt(args.groups_file, dtype=np.int32).reshape(-1)
-        else:
-            g_assign = None
+        quantized = bool(xkw.get("x_dtype"))
+        state = None
         if args.checkpoint:
             from .io.checkpoint import load_checkpoint
 
             state = load_checkpoint(args.checkpoint)
-            G = state.sigmaGG.shape[0]
-            init_kwargs = None
+            family = ("horseshoe" if isinstance(state, HorseshoeState)
+                      else "mixture")
         else:
-            from .io.resume import state_kwargs_from_csv
+            from .io.resume import csv_schema
 
-            init_kwargs = state_kwargs_from_csv(
-                args.from_csv,
-                X=None if xkw.get("x_dtype") else X, Y=Y)
-            G = init_kwargs["sigmaGG"].shape[0]
+            family = csv_schema(args.from_csv)
+            family = "mixture" if family == "mixture" else "horseshoe"
+
+        if family == "horseshoe":
+            cfg = HorseshoeConfig(A=args.A, v0E=args.v0E, s02E=args.s02E,
+                                  vL=args.vL, vT=args.vT, c2=args.c2,
+                                  vC=args.vC, sC=args.sC,
+                                  block_size=args.block_size,
+                                  emit_epsilon=emit_eps)
+            s = HorseshoeSampler(X, Y, cfg, backend=_backend(args), dtype=dt,
+                                 **xkw)
+            if args.from_csv:
+                from .io.resume import horseshoe_kwargs_from_csv
+
+                kw = horseshoe_kwargs_from_csv(
+                    args.from_csv, X=None if quantized else X, Y=Y,
+                    xbeta=s.xbeta)
+                state = s.init_from(jax.random.PRNGKey(args.seed), **kw)
+            sink = CSVSink(args.out, "horseshoe", M=s.M, N=s.N,
+                           emit_epsilon=emit_eps)
+            state = state._replace(
+                iteration=jax.numpy.zeros((), jax.numpy.int32))
+            n_emits = len(chain.emit_iterations())
+            _run_state(s, state, args, chain, sink,
+                       on_chunk=_hs_decile_printer(n_emits))
+            return 0
+
+        if args.groups_file:
+            g_assign = np.loadtxt(args.groups_file, dtype=np.int32).reshape(-1)
+        else:
+            g_assign = None
+        fixed = np.load(args.fixed) if args.fixed else None
+        if args.checkpoint:
+            G = state.sigmaGG.shape[0]
+            init_row = None
+        else:
+            from .io.resume import parse_last_row
+
+            init_row = parse_last_row(args.from_csv)
+            G = np.atleast_1d(init_row.get("sigmaG",
+                                           np.array([np.nan]))).size
         cva_row = np.array([float(v) for v in args.cva.split(",")])
         cva = np.tile(cva_row, (G, 1))
         cfg = GroupsConfig(sigma0=args.sigma0, v0E=args.v0E, s02E=args.s02E,
                            v0G=args.v0G, s02G=args.s02G,
                            block_size=args.block_size, emit_epsilon=emit_eps)
-        s = SpikeSlabSampler(X, Y, cva, cfg, g_assign=g_assign,
+        s = SpikeSlabSampler(X, Y, cva, cfg, g_assign=g_assign, fixed=fixed,
                              backend=_backend(args), dtype=dt,
                              variant="groups" if G > 1 else "bayesr", **xkw)
-        if init_kwargs is not None:
+        if init_row is not None:
+            from .io.resume import state_kwargs_from_csv
+
+            init_kwargs = state_kwargs_from_csv(
+                args.from_csv, X=None if quantized else X, Y=Y,
+                fixed=fixed, xbeta=s.xbeta)
             state = s.init_from(jax.random.PRNGKey(args.seed), **init_kwargs)
-        schema = "grstart" if G > 1 else "bayesr"
-        sink = CSVSink(args.out, schema, M=s.M, N=s.N, groups=G,
+        if state.alpha.shape[-1] != s.F:
+            raise SystemExit(
+                f"resumed state has {state.alpha.shape[-1]} fixed-effect "
+                f"coefficients but the sampler was built with F={s.F}; "
+                "pass the matching --fixed matrix")
+        schema = ("groups" if s.F > 0
+                  else ("grstart" if G > 1 else "bayesr"))
+        sink = CSVSink(args.out, schema, M=s.M, N=s.N, groups=G, F=s.F,
                        emit_epsilon=emit_eps)
         state = state._replace(iteration=jax.numpy.zeros((), jax.numpy.int32))
         _run_state(s, state, args, chain, sink)
@@ -388,11 +491,12 @@ def _summarize(args):
     return 0
 
 
-def _run_state(sampler, state, args, chain, sink):
+def _run_state(sampler, state, args, chain, sink, on_chunk=None):
     sink = _wrap_sinks(args, sink)
     state, _ = sampler.run(state, chain, sink=sink, collect=False,
                            progress=_progress,
-                           on_chunk=_periodic_saver(args))
+                           on_chunk=_compose_chunks(_periodic_saver(args),
+                                                    on_chunk))
     sink.close()
     if args.checkpoint_out:
         from .io.checkpoint import save_checkpoint

@@ -25,6 +25,29 @@ def _native_so(name: str) -> str:
         os.path.abspath(__file__)))), "native", name)
 
 
+def _ensure_built(so_path: str) -> bool:
+    """Auto-build the native library on first use (the .so is not shipped).
+
+    Returns True if the .so exists (already or after a successful quiet
+    build); failures are non-fatal -- every native path has a pure-Python
+    fallback."""
+    if os.path.exists(so_path):
+        return True
+    build_py = os.path.join(os.path.dirname(so_path), "build.py")
+    if not os.path.exists(build_py):
+        return False
+    name = os.path.basename(so_path)[3:-3]  # libfoo.so -> foo
+    try:
+        import subprocess
+        import sys
+
+        subprocess.run([sys.executable, build_py, name], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        return False
+    return os.path.exists(so_path)
+
+
 class NativeWriter:
     def __init__(self, lib):
         self._lib = lib
@@ -56,7 +79,7 @@ def get_native_writer() -> Optional[NativeWriter]:
         return _LIB
     _TRIED = True
     so = _native_so("libsampsink.so")
-    if os.path.exists(so):
+    if _ensure_built(so):
         try:
             _LIB = NativeWriter(ctypes.CDLL(so))
         except OSError:
@@ -107,7 +130,7 @@ def get_native_bed() -> Optional[NativeBedDecoder]:
         return _BED
     _BED_TRIED = True
     so = _native_so("libbedreader.so")
-    if os.path.exists(so):
+    if _ensure_built(so):
         try:
             _BED = NativeBedDecoder(ctypes.CDLL(so))
         except OSError:

@@ -360,6 +360,25 @@ class SpikeSlabSampler:
                     else jnp.asarray(sigmaF, dt)),
         )
 
+    def xbeta(self, beta) -> np.ndarray:
+        """``X @ beta`` in ORIGINAL individual order for any storage mode
+        (dense / int8 / 2-bit packed) -- used to reconstruct residuals when
+        resuming from a CSV written with emit_epsilon=False."""
+        beta = np.asarray(beta, np.float64).reshape(-1)
+        if beta.shape[0] != self.M:
+            raise ValueError("beta must have length M")
+        beta_pad = jnp.asarray(np.pad(beta, (0, self.Mpad - self.M)),
+                               jnp.float32)
+        if not self.x_quantized:
+            return np.asarray(beta_pad @ self.data.XT.astype(jnp.float32))
+        if self.x_packed:
+            return np.asarray(genotypes.xbeta_packed(
+                self.data.XT, self.data.x_mean, self.data.x_scale, beta_pad,
+                self.B, self.N))
+        return np.asarray(genotypes.xbeta_int8(
+            self.data.XT, self.data.x_mean, self.data.x_scale, beta_pad,
+            self.B))
+
     # ------------------------------------------------------------------ step
 
     def _pre_sweep(self, state: SpikeSlabState, data: MarkerData):
@@ -629,7 +648,8 @@ class SpikeSlabSampler:
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
                    collect: bool = True, emit_chunk: int = 32,
-                   fused: Optional[bool] = None, sink=None):
+                   fused: Optional[bool] = None, sink=None,
+                   progress=None, on_chunk=None):
         """Run ``n_chains`` independent chains batched on one device.
 
         ``fused=True`` (default where supported) sweeps all chains inside
@@ -660,7 +680,8 @@ class SpikeSlabSampler:
         return run_chain(
             state, chain,
             steps_fn=steps_fn, emit_fn=emit_fn, sink=sink,
-            collect=collect, emit_chunk=emit_chunk)
+            collect=collect, emit_chunk=emit_chunk,
+            progress=progress, on_chunk=on_chunk)
 
     @staticmethod
     def _deliver(rows, sink, collected):

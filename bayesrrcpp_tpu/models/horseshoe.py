@@ -214,6 +214,79 @@ class HorseshoeSampler:
             c2=jnp.asarray(cfg.c2, dt),
         )
 
+    def init_from(self, key, mu, beta, sigmaE, tau, lam,
+                  epsilon) -> HorseshoeState:
+        """Warm restart from a previous chain's last emitted sample.
+
+        The C4 CSV schema (src/HorseshoeR.cpp:258) carries mu/beta/sigmaE/
+        tau/lambda/epsilon but not the inverse-gamma auxiliaries (eta, v)
+        nor the slab width c2; those are re-drawn here from their full
+        conditionals given the supplied state -- the same spirit as
+        BRV2Grstart re-drawing pi from the supplied component counts
+        (src/BRv2Grstart.cpp:157-165).  The reference has no horseshoe
+        restart mechanism at all.
+        """
+        cfg = self.config
+        key, keta, kv, kc2 = jax.random.split(key, 4)
+        dt = self.dtype
+        beta = np.asarray(beta, np.float64).reshape(-1)
+        lam_in = np.asarray(lam, np.float64).reshape(-1)
+        if beta.shape[0] != self.M or lam_in.shape[0] != self.M:
+            raise ValueError("beta/lambda must have length M")
+        pad = self.Mpad - self.M
+        beta_pad = jnp.asarray(np.pad(beta, (0, pad)), dt)
+        # pad lambdas to 1 (exact 0 would divide by zero in the v draw)
+        lam_pad = jnp.asarray(np.pad(lam_in, (0, pad), constant_values=1.0),
+                              dt)
+        tau = jnp.asarray(tau, dt)
+        sigmaE = jnp.asarray(sigmaE, dt)
+        # eta | tau, sigmaE  (src/HorseshoeR.cpp:217)
+        eta = dist.inv_gamma_rate_rng(
+            keta, 0.5 + 0.5 * cfg.vT,
+            1.0 / (sigmaE * cfg.A * cfg.A) + cfg.vT / tau)
+        # v_j | lambda_j  (src/HorseshoeR.cpp:218)
+        gv = jax.random.gamma(kv, jnp.full((self.Mpad,), 0.5 + 0.5 * cfg.vL,
+                                           dt), dtype=dt)
+        v = (cfg.vL / lam_pad + 1.0) / gv
+        # c2 | beta  (src/HorseshoeR.cpp:248)
+        bsq = jnp.sum(beta_pad * beta_pad)
+        c2 = dist.inv_gamma_rate_rng(
+            kc2, 0.5 * cfg.vC + 0.5 * self.M, 0.5 * cfg.vC * cfg.sC
+            + 0.5 * bsq)
+        return HorseshoeState(
+            key=key,
+            iteration=jnp.zeros((), jnp.int32),
+            mu=jnp.asarray(mu, dt),
+            beta=beta_pad,
+            eps=self._maybe_permute_rows(
+                jnp.asarray(np.asarray(epsilon, np.float64), dt),
+                self.data.n_perm),
+            sigmaE=sigmaE,
+            lam=lam_pad,
+            v=v.astype(dt),
+            tau=tau,
+            eta=eta.astype(dt),
+            c2=c2.astype(dt),
+        )
+
+    def xbeta(self, beta) -> np.ndarray:
+        """``X @ beta`` in ORIGINAL individual order for any storage mode
+        (see SpikeSlabSampler.xbeta)."""
+        beta = np.asarray(beta, np.float64).reshape(-1)
+        if beta.shape[0] != self.M:
+            raise ValueError("beta must have length M")
+        beta_pad = jnp.asarray(np.pad(beta, (0, self.Mpad - self.M)),
+                               jnp.float32)
+        if not self.x_quantized:
+            return np.asarray(beta_pad @ self.data.XT.astype(jnp.float32))
+        if self.x_packed:
+            return np.asarray(genotypes.xbeta_packed(
+                self.data.XT, self.data.x_mean, self.data.x_scale, beta_pad,
+                self.B, self.N))
+        return np.asarray(genotypes.xbeta_int8(
+            self.data.XT, self.data.x_mean, self.data.x_scale, beta_pad,
+            self.B))
+
     # ------------------------------------------------------------------ step
 
     def _pre_sweep(self, state: HorseshoeState, data: HorseshoeData):
@@ -436,7 +509,8 @@ class HorseshoeSampler:
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
                    collect: bool = True, emit_chunk: int = 32,
-                   fused: Optional[bool] = None, sink=None):
+                   fused: Optional[bool] = None, sink=None,
+                   progress=None, on_chunk=None):
         """Run ``n_chains`` independent horseshoe chains batched on one
         device; ``fused=True`` (default on the pallas backend) sweeps all
         chains inside one kernel per iteration."""
@@ -457,7 +531,8 @@ class HorseshoeSampler:
         return run_chain(
             state, chain,
             steps_fn=steps_fn, emit_fn=emit_fn, sink=sink,
-            collect=collect, emit_chunk=emit_chunk)
+            collect=collect, emit_chunk=emit_chunk,
+            progress=progress, on_chunk=on_chunk)
 
     @staticmethod
     def _deliver(rows, sink, collected):

@@ -24,7 +24,8 @@ the order within each block are both shuffled per iteration, but markers do
 not cross blocks.  Any deterministic-or-random scan order is a valid
 systematic-scan Gibbs sampler with the same stationary distribution as the
 reference's full shuffle (src/BayesRv2.cpp:182); equality with the scan path
-under the *same* order is enforced by tests/test_block_sweep.py.
+under the *same* order is enforced by
+tests/test_bayesr.py::test_blocked_equals_scan_single_iteration.
 """
 from __future__ import annotations
 

@@ -286,6 +286,54 @@ def _mark(tree, varying):
                         tree)
 
 
+@functools.partial(jax.jit, static_argnums=(4,))
+def xbeta_int8(codes, mean, scale, beta_pad, B):
+    """X @ beta for int8-code storage, decoded blockwise (O(B*N) memory)."""
+    f32 = jnp.float32
+    Mpad, N = codes.shape
+    nb = Mpad // B
+
+    def one(args):
+        blk, m, s, bb = args
+        g = blk.astype(f32)
+        x = (g - m[:, None]) * s[:, None]
+        x = jnp.where(g == float(MISSING_CODE), 0.0, x)
+        return bb @ x
+
+    parts = lax.map(one, (codes.reshape(nb, B, N), mean.reshape(nb, B),
+                          scale.reshape(nb, B), beta_pad.reshape(nb, B)))
+    return jnp.sum(parts, axis=0)                                # (N,)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def xbeta_packed(words, mean, scale, beta_pad, B, N):
+    """X @ beta for 2-bit packed storage, in ORIGINAL individual order
+    (individual 16*i + k lives in bit-plane k of word i)."""
+    f32 = jnp.float32
+    Mpad, Nw = words.shape
+    nb = Mpad // B
+    word_base = jnp.arange(Nw) * 16
+
+    def block(i, acc):
+        wb = lax.dynamic_slice_in_dim(words, i * B, B)
+        mb = lax.dynamic_slice_in_dim(mean, i * B, B)
+        sb = lax.dynamic_slice_in_dim(scale, i * B, B)
+        bb = lax.dynamic_slice_in_dim(beta_pad, i * B, B)
+
+        def plane(k, a):
+            c = ((wb >> (2 * k)) & 3).astype(f32)
+            x = (c - mb[:, None]) * sb[:, None]
+            x = jnp.where(c == float(MISSING_CODE), 0.0, x)
+            x = x * (word_base + k < N)[None, :]
+            return lax.dynamic_update_slice(a, (bb @ x)[:, None], (0, k))
+
+        return acc + lax.fori_loop(0, 16, plane,
+                                   jnp.zeros((Nw, 16), f32))
+
+    acc = lax.fori_loop(0, nb, block, jnp.zeros((Nw, 16), f32))
+    return acc.reshape(Nw * 16)[:N]                              # (N,)
+
+
 def quantize_int8(X, transposed, x_stats, B, Mpad) -> QuantizedGenotypes:
     """Quantize dosages to int8 codes {0,1,2, 3=missing} with per-marker
     standardization stats, and build xsq/Gram from in-flight decodes.

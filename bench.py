@@ -1,18 +1,27 @@
-"""Benchmark: blocked BayesR Gibbs sweep throughput on the attached device.
+"""Benchmark: Gibbs sweep throughput on the attached device.
 
 Prints ONE JSON line:
   {"metric": "snp_updates_per_sec", "value": N, "unit": "SNP-updates/s",
-   "vs_baseline": R, ...}
+   "vs_baseline": R, "suite": [...]}
 
-The north-star metric is SNP-updates/sec/chip (BASELINE.json).  The reference
+The headline metric is SNP-updates/sec/chip on the BASELINE.json north-star
+config (N=100k x M=500k BayesR, 2-bit packed, single chain).  The reference
 publishes no numbers (BASELINE.md), so ``vs_baseline`` is measured against a
 faithful single-core CPU proxy of the reference's inner loop: one O(N) dot +
 two O(N) axpys per marker in f64 NumPy/BLAS (the same memory-bound kernel the
 Eigen reference executes, src/BayesRv2.cpp:191,201,243), measured on this
 host at the same N.
 
-Config via env: BENCH_N, BENCH_M, BENCH_ITERS, BENCH_BLOCK, BENCH_DTYPE.
+On TPU the default is a SUITE sweep over the BASELINE.md configs (dense
+small, packed biobank x{1,8} chains, horseshoe biobank) so round-over-round
+regressions are machine-checkable from the one JSON artifact; each entry
+reports its own iter time / SNP-updates/s / compile time.
+
+Single-config mode (old behavior): set BENCH_SUITE=0 and/or any of
+BENCH_N, BENCH_M, BENCH_ITERS, BENCH_BLOCK, BENCH_XDTYPE, BENCH_CHAINS,
+BENCH_SAMPLER, BENCH_DTYPE.
 """
+import gc
 import json
 import os
 import time
@@ -34,40 +43,20 @@ def cpu_reference_rate(N: int, n_markers: int = 2000) -> float:
     return n_markers / elapsed
 
 
-def main():
+def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
+               chains=1, dtype_name="f32", label=""):
+    """Run one bench config; returns the result record."""
     import jax
-
-    if os.environ.get("BENCH_PLATFORM"):
-        # the ambient sitecustomize pins the remote-TPU plugin; env vars
-        # alone cannot switch back to CPU
-        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-
     import jax.numpy as jnp
-
-    platform = jax.devices()[0].platform
-    on_tpu = platform in ("tpu", "axon") or "TPU" in str(jax.devices()[0])
-    if on_tpu:
-        # default sized to stay well inside one 16 GB chip even with XLA's
-        # scoped-memory staging copy of X (a 20k x 50k f32 X measured
-        # borderline against a busy shared chip)
-        N = int(os.environ.get("BENCH_N", 16_384))
-        M = int(os.environ.get("BENCH_M", 49_152))
-        iters = int(os.environ.get("BENCH_ITERS", 10))
-    else:  # CPU fallback so the script stays runnable anywhere
-        N = int(os.environ.get("BENCH_N", 2_000))
-        M = int(os.environ.get("BENCH_M", 10_000))
-        iters = int(os.environ.get("BENCH_ITERS", 3))
-    B = int(os.environ.get("BENCH_BLOCK", 512))
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16" else jnp.float32
 
     from bayesrrcpp_tpu import BayesRConfig, SpikeSlabSampler
 
-    # generate the genotype matrix directly on device, marker-major --
-    # at bench scale X must never round-trip through the host
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+
     key = jax.random.PRNGKey(0)
     kx, kb, kn, kc = jax.random.split(key, 4)
 
-    x_dtype = os.environ.get("BENCH_XDTYPE", "dense")  # dense | int8 | 2bit
     t0 = time.perf_counter()
     extra = {}
     if x_dtype == "2bit":
@@ -97,35 +86,31 @@ def main():
     Y.block_until_ready()
     gen_s = time.perf_counter() - t0
 
-    which = os.environ.get("BENCH_SAMPLER", "bayesr")  # bayesr | horseshoe
     t0 = time.perf_counter()
-    if which == "horseshoe":
+    if sampler == "horseshoe":
         from bayesrrcpp_tpu import HorseshoeConfig
         from bayesrrcpp_tpu.models.horseshoe import HorseshoeSampler
 
-        sampler = HorseshoeSampler(XT, Y, HorseshoeConfig(block_size=B),
-                                   transposed=True, dtype=jnp.float32,
-                                   **extra)
+        smp = HorseshoeSampler(XT, Y, HorseshoeConfig(block_size=B),
+                               transposed=True, dtype=jnp.float32, **extra)
     else:
         cva = np.array([0.0001, 0.001, 0.01], np.float64)
-        sampler = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
-                                   transposed=True, dtype=jnp.float32,
-                                   **extra)
-    jax.block_until_ready(sampler.data.gram)
+        smp = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
+                               transposed=True, dtype=dtype, **extra)
+    jax.block_until_ready(smp.data.gram)
     setup_s = time.perf_counter() - t0
 
     # BENCH_CHAINS > 1: fused multi-chain kernel (all chains share one X
     # stream; SNP-updates count multiplies by the chain count)
-    n_chains = int(os.environ.get("BENCH_CHAINS", 1))
-    if n_chains > 1 or os.environ.get("BENCH_MC") == "1":
-        state = jax.vmap(sampler.init)(
-            jax.random.split(jax.random.PRNGKey(1), n_chains))
-        run = lambda st: sampler._mc_run_steps(st, sampler.data, iters)
-        sync = lambda st: float(st.sigmaE[0])
+    if chains > 1:
+        state = jax.vmap(smp.init)(
+            jax.random.split(jax.random.PRNGKey(1), chains))
+        run = lambda st: smp._mc_run_steps(st, smp.data, iters)
+        sync = lambda st: float(np.asarray(st.sigmaE)[0])
     else:
-        state = sampler.init(jax.random.PRNGKey(1))
-        run = lambda st: sampler._run_steps(st, sampler.data, iters)
-        sync = lambda st: float(st.sigmaE)
+        state = smp.init(jax.random.PRNGKey(1))
+        run = lambda st: smp._run_steps(st, smp.data, iters)
+        sync = lambda st: float(np.asarray(st.sigmaE))
     # warmup / compile with the SAME static iteration count as the timed
     # call (a different count would recompile inside the timed region)
     t0 = time.perf_counter()
@@ -138,21 +123,114 @@ def main():
     sync(state)  # hard host sync
     elapsed = time.perf_counter() - t0
 
-    rate = M * iters * n_chains / elapsed
-    base = cpu_reference_rate(N)
+    rate = M * iters * chains / elapsed
+    rec = {"label": label or f"{sampler}-{x_dtype}-{N}x{M}x{chains}",
+           "snp_updates_per_sec": round(rate, 1),
+           "N": N, "M": M, "iters": iters, "block": B,
+           "sampler": sampler, "x_dtype": x_dtype, "chains": chains,
+           "platform": platform,
+           "iter_ms": round(1e3 * elapsed / iters, 1),
+           "gibbs_iters_per_min": round(60 * iters / elapsed, 2),
+           "gen_s": round(gen_s, 1), "gram_s": round(setup_s, 1),
+           "compile_s": round(compile_s, 1)}
+    # release device memory before the next config
+    del state, smp, XT, Y
+    gc.collect()
+    return rec
+
+
+# BASELINE.md-derived suite (sized for one 16 GB v5e chip; see BENCH.md)
+SUITE = [
+    dict(label="dense-16kx49k", N=16_384, M=49_152, iters=10,
+         x_dtype="dense"),
+    dict(label="biobank-packed-1chain", N=100_352, M=503_808, iters=5,
+         x_dtype="2bit"),
+    dict(label="biobank-packed-8chain", N=100_352, M=503_808, iters=5,
+         x_dtype="2bit", chains=8),
+    dict(label="biobank-horseshoe", N=100_352, M=503_808, iters=5,
+         x_dtype="2bit", sampler="horseshoe"),
+]
+HEADLINE = "biobank-packed-1chain"
+
+
+def main():
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # the ambient sitecustomize pins the remote-TPU plugin; env vars
+        # alone cannot switch back to CPU
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    # persistent compile cache: the remote-tunnel first compile is minutes
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon") or "TPU" in str(jax.devices()[0])
+
+    single_env = any(os.environ.get(k) for k in
+                     ("BENCH_N", "BENCH_M", "BENCH_XDTYPE", "BENCH_CHAINS",
+                      "BENCH_SAMPLER", "BENCH_ITERS"))
+    suite_mode = (os.environ.get("BENCH_SUITE", "" if single_env else "1")
+                  == "1") and on_tpu
+
+    if suite_mode:
+        suite = []
+        for cfg in SUITE:
+            try:
+                suite.append(run_config(**cfg))
+            except Exception as e:  # record the failure, keep sweeping
+                suite.append({"label": cfg["label"], "error": repr(e)[:300]})
+        head = next((r for r in suite if r.get("label") == HEADLINE
+                     and "error" not in r), None)
+        if head is None:  # headline OOM'd? fall back to the first success
+            head = next((r for r in suite if "error" not in r), None)
+        if head is None:
+            print(json.dumps({"metric": "snp_updates_per_sec", "value": 0,
+                              "unit": "SNP-updates/s", "vs_baseline": 0,
+                              "suite": suite}))
+            return
+        base = cpu_reference_rate(head["N"])
+        print(json.dumps({
+            "metric": "snp_updates_per_sec",
+            "value": head["snp_updates_per_sec"],
+            "unit": "SNP-updates/s",
+            "vs_baseline": round(head["snp_updates_per_sec"] / base, 2),
+            "headline": head["label"],
+            "cpu_ref_rate": round(base, 1),
+            "suite": suite,
+        }))
+        return
+
+    # single-config mode (CPU fallback / env-pinned config)
+    if on_tpu:
+        N = int(os.environ.get("BENCH_N", 16_384))
+        M = int(os.environ.get("BENCH_M", 49_152))
+        iters = int(os.environ.get("BENCH_ITERS", 10))
+    else:  # CPU fallback so the script stays runnable anywhere
+        N = int(os.environ.get("BENCH_N", 2_000))
+        M = int(os.environ.get("BENCH_M", 10_000))
+        iters = int(os.environ.get("BENCH_ITERS", 3))
+    rec = run_config(
+        N=N, M=M, iters=iters,
+        B=int(os.environ.get("BENCH_BLOCK", 512)),
+        x_dtype=os.environ.get("BENCH_XDTYPE", "dense"),
+        sampler=os.environ.get("BENCH_SAMPLER", "bayesr"),
+        chains=int(os.environ.get("BENCH_CHAINS", 1)),
+        dtype_name=os.environ.get("BENCH_DTYPE", "f32"))
+    base = cpu_reference_rate(rec["N"])
+    rec["cpu_ref_rate"] = round(base, 1)
     print(json.dumps({
         "metric": "snp_updates_per_sec",
-        "value": round(rate, 1),
+        "value": rec["snp_updates_per_sec"],
         "unit": "SNP-updates/s",
-        "vs_baseline": round(rate / base, 2),
-        "config": {"N": N, "M": M, "iters": iters, "block": B,
-                   "sampler": which, "x_dtype": x_dtype, "chains": n_chains,
-                   "platform": platform,
-                   "iter_ms": round(1e3 * elapsed / iters, 1),
-                   "gibbs_iters_per_min": round(60 * iters / elapsed, 2),
-                   "cpu_ref_rate": round(base, 1),
-                   "gen_s": round(gen_s, 1), "gram_s": round(setup_s, 1),
-                   "compile_s": round(compile_s, 1)},
+        "vs_baseline": round(rec["snp_updates_per_sec"] / base, 2),
+        "config": rec,
     }))
 
 
