@@ -82,7 +82,8 @@ class PackedBed(NamedTuple):
     has_missing: bool
 
 
-def read_bed_packed(prefix: str, *, n_threads: int = 0) -> PackedBed:
+def read_bed_packed(prefix: str, *, n_threads: int = 0,
+                    marker_range: Optional[tuple] = None) -> PackedBed:
     """Read `{prefix}.bed/.bim/.fam` straight into the sampler's packed
     2-bit word layout — 0.25 bytes/genotype on the host, no dense X ever
     (the reference cannot do this at all: it needs a dense f64 R matrix,
@@ -94,23 +95,37 @@ def read_bed_packed(prefix: str, *, n_threads: int = 0) -> PackedBed:
                              x_stats=(pb.means, pb.sds),
                              n_individuals=pb.n)
 
+    ``marker_range=(m0, m1)`` reads only markers [m0, m1) — .bed is
+    SNP-major, so this is one contiguous byte-range read.  Multi-host runs
+    use it so each host loads only its own marker slab
+    (parallel.distributed.process_marker_range; the sharded samplers take
+    the slab with ``x_process_shard=True``).
+
     Uses the threaded C++ decoder (native/bedreader.cpp) when built,
     otherwise a vectorized NumPy byte-LUT fallback.
     """
     bim = _read_tsv_col(prefix + ".bim", 1)
     fam = _read_tsv_col(prefix + ".fam", 1)
-    M, N = len(bim), len(fam)
+    M_total, N = len(bim), len(fam)
+    bpm = (N + 3) // 4
+    m0, m1 = (0, M_total) if marker_range is None else marker_range
+    if not (0 <= m0 <= m1 <= M_total):
+        raise ValueError(f"marker_range {marker_range} outside [0, {M_total}]")
+    M = m1 - m0
     with open(prefix + ".bed", "rb") as f:
         header = f.read(3)
         if header[:2] != _MAGIC:
             raise ValueError(f"{prefix}.bed: bad magic bytes")
         if header[2] != _SNP_MAJOR:
             raise ValueError(f"{prefix}.bed: only SNP-major layout supported")
-        raw = np.frombuffer(f.read(), np.uint8)
-    bpm = (N + 3) // 4
-    if raw.size != M * bpm:
-        raise ValueError(
-            f"{prefix}.bed: expected {M * bpm} genotype bytes, got {raw.size}")
+        f.seek(0, os.SEEK_END)
+        nbytes = f.tell() - 3
+        if nbytes != M_total * bpm:
+            raise ValueError(f"{prefix}.bed: expected {M_total * bpm} "
+                             f"genotype bytes, got {nbytes}")
+        f.seek(3 + m0 * bpm)
+        raw = np.frombuffer(f.read(M * bpm), np.uint8)
+    bim = bim[m0:m1]
     npad = -(-N // 2048) * 2048
     wpad = npad // 16
 

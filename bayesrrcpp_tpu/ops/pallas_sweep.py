@@ -35,6 +35,7 @@ jax.random and streamed in, so chains are reproducible across backends.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sweep import SweepResult
+
+# Dev-only ablation knobs for locating cycle sinks in the sequential solve
+# (tools/solve_ablation.py).  Comma-separated names; OFF in production.
+_ABLATE = frozenset(
+    s for s in os.environ.get("BAYESR_SOLVE_ABLATE", "").split(",") if s)
 
 
 def _selection_scalars(logL, p_s, K):
@@ -207,26 +213,34 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
 
             mask = lane == jl                               # (1, B)
             maskf = mask.astype(f32)
-            r_jl = jnp.sum(r_sc[...] * maskf, axis=1, keepdims=True)  # (1,1)
+            if "gather" in _ABLATE:
+                r_jl = jnp.full((1, 1), 1e-6, f32)
+            else:
+                r_jl = jnp.sum(r_sc[...] * maskf, axis=1,
+                               keepdims=True)               # (1, 1)
 
             num = r_jl + beta_old * xsq_j                   # (1, 1)
             muk = num * denom_sc[dsj, :]                    # (1, K), col0=0
             logL = lp_sc[dsj, :] + (half_invsE * num) * muk
             logLs = logL[:, 1:]                             # (1, K-1)
 
-            # categorical draw with the reference overflow guard, unrolled
-            # over the K components as row-vector ops
-            k_sel = jnp.full((1, 1), K, jnp.int32)
-            acum = jnp.zeros((1, 1), f32)
-            for k in range(K):
-                lk = logL[:, k:k + 1]                       # (1, 1)
-                guard = jnp.max(jnp.abs(logLs - lk), axis=1,
-                                keepdims=True) > 700.0
-                Ssum = jnp.sum(jnp.exp(logL - lk), axis=1, keepdims=True)
-                w = jnp.where(guard, jnp.zeros((1, 1), f32), 1.0 / Ssum)
-                acum = acum + w
-                hit = jnp.logical_and(p_s <= acum, k_sel == K)
-                k_sel = jnp.where(hit, jnp.int32(k), k_sel)
+            if "sel" in _ABLATE:
+                k_sel = jnp.where(p_s < 0.5, jnp.int32(1), jnp.int32(0))
+                k_sel = jnp.broadcast_to(k_sel, (1, 1))
+            else:
+                # categorical draw with the reference overflow guard,
+                # unrolled over the K components as row-vector ops
+                k_sel = jnp.full((1, 1), K, jnp.int32)
+                acum = jnp.zeros((1, 1), f32)
+                for k in range(K):
+                    lk = logL[:, k:k + 1]                   # (1, 1)
+                    guard = jnp.max(jnp.abs(logLs - lk), axis=1,
+                                    keepdims=True) > 700.0
+                    Ssum = jnp.sum(jnp.exp(logL - lk), axis=1, keepdims=True)
+                    w = jnp.where(guard, jnp.zeros((1, 1), f32), 1.0 / Ssum)
+                    acum = acum + w
+                    hit = jnp.logical_and(p_s <= acum, k_sel == K)
+                    k_sel = jnp.where(hit, jnp.int32(k), k_sel)
             any_hit = k_sel < K
 
             selm = (kcol == k_sel).astype(f32)              # (1, K)
@@ -236,19 +250,22 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
             beta_new = jnp.where(any_hit, beta_drawn, beta_old)
             d = okf * (beta_new - beta_old)                 # (1, 1)
 
-            r_sc[...] -= gram_ref[0, dsj, :] * d
-            delta_sc[...] += maskf * d
+            if "rank1" not in _ABLATE:
+                r_sc[...] -= gram_ref[0, dsj, :] * d
+            if "delta" not in _ABLATE:
+                delta_sc[...] += maskf * d
             beta_out[0, dsj, :] = beta_old + d
             labels_out[0, dsj, :] = jnp.where(
                 jnp.logical_and(any_hit, okf > 0), k_sel, label_old)
 
-            take = okf * any_hit.astype(f32)                # (1, 1)
-            onehot = (kcol == k_sel).astype(f32) * take     # (1, K)
-            gmask = (grow == g_c).astype(f32)               # (G, 1)
-            v_out[...] += gmask * onehot                    # (G, K)
-            slab_taken = take * (k_sel > 0).astype(f32)
-            bacc_out[...] += (gcol == g_c).astype(f32) * (
-                slab_taken * beta_new * beta_new)           # (1, G)
+            if "vb" not in _ABLATE:
+                take = okf * any_hit.astype(f32)            # (1, 1)
+                onehot = (kcol == k_sel).astype(f32) * take  # (1, K)
+                gmask = (grow == g_c).astype(f32)           # (G, 1)
+                v_out[...] += gmask * onehot                # (G, K)
+                slab_taken = take * (k_sel > 0).astype(f32)
+                bacc_out[...] += (gcol == g_c).astype(f32) * (
+                    slab_taken * beta_new * beta_new)       # (1, G)
             return ()
 
         lax.fori_loop(0, B, body, (), unroll=False)

@@ -56,6 +56,7 @@ from ..config import ChainConfig, GroupsConfig
 from ..models.bayesr import _as_2d_cva
 from ..models.state import SpikeSlabState
 from ..ops.block_sweep import spike_slab_inner_solve
+from .distributed import process_marker_range, put_global, put_process_shard
 from .mesh import AXIS_M, AXIS_N
 
 
@@ -78,14 +79,19 @@ class ShardedMarkerData(NamedTuple):
 
 
 def _packed_shard_setup(mesh, X, x_on_device, prepacked, transposed, x_stats,
-                        has_missing, M, N, Mpad, Npad, B):
+                        has_missing, M, N, Mpad, Npad, B,
+                        x_process_shard=False):
     """Shared packed-genotype device setup for the sharded samplers:
     words sharded P(m), per-slice xsq/Gram/colsum built inside shard_map,
     lane permutation + row mask.  Returns (XT, x_mean, x_scale, xsq, gram,
-    x_colsum, row_valid, n_perm, n_perm_np, has_missing)."""
+    x_colsum, row_valid, n_perm, n_perm_np, has_missing).
+
+    ``x_process_shard=True`` (multi-host): X/x_stats hold only THIS host's
+    marker slice ``process_marker_range(mesh, Mpad)`` clipped to M -- each
+    host reads its own slice of the .bed and no host ever materializes the
+    full word matrix (see parallel/distributed.py)."""
     from ..ops import genotypes
 
-    sh = lambda spec: NamedSharding(mesh, spec)
     if prepacked:
         if not transposed or x_stats is None:
             raise ValueError("pre-packed 2-bit input requires "
@@ -94,28 +100,49 @@ def _packed_shard_setup(mesh, X, x_on_device, prepacked, transposed, x_stats,
             raise ValueError("pre-packed 2-bit input requires "
                              "has_missing= (read_bed_packed reports it)")
         words = X
-        mean_np = np.pad(np.asarray(x_stats[0], np.float64),
-                         (0, Mpad - M)).astype(np.float32)
-        scl = np.asarray(x_stats[1], np.float64)
+        lo, hi = ((0, Mpad) if not x_process_shard
+                  else process_marker_range(mesh, Mpad))
+        m_real = min(hi, M) - lo      # real (non-pad) markers in this slab
+        if m_real < 0:
+            m_real = 0
+        mean_np = np.pad(np.asarray(x_stats[0], np.float64)[:m_real or None],
+                         (0, hi - lo - m_real)).astype(np.float32)
+        scl = np.asarray(x_stats[1], np.float64)[:m_real or None]
         scl = np.where(scl > 0, 1.0 / np.where(scl > 0, scl, 1.0), 0.0)
-        scale_np = np.pad(scl, (0, Mpad - M)).astype(np.float32)
+        scale_np = np.pad(scl, (0, hi - lo - m_real)).astype(np.float32)
+        if x_process_shard and (words.shape[0] != m_real
+                                or len(np.asarray(x_stats[0])) != m_real):
+            raise ValueError(
+                f"x_process_shard: this host must pass exactly its marker "
+                f"slice [{lo}, {lo + m_real}) = {m_real} rows, "
+                f"got {words.shape[0]}")
         if words.shape[1] * 16 != Npad:
             raise ValueError(
                 f"pre-packed words must pad lanes to 2048: got "
                 f"{words.shape[1]} words/marker, want {Npad // 16}")
-        if Mpad != M:
-            pad_rows = ((0, Mpad - M), (0, 0))
+        pad_rows_n = (hi - lo) - words.shape[0] if x_process_shard else Mpad - M
+        if pad_rows_n:
+            pad_rows = ((0, pad_rows_n), (0, 0))
             if x_on_device:
                 words = jnp.pad(words, pad_rows, constant_values=-1)
             else:
                 words = np.pad(words, pad_rows, constant_values=-1)
         has_missing = bool(has_missing)
     else:
+        if x_process_shard:
+            raise ValueError("x_process_shard packed input must be "
+                             "pre-packed int32 words (read_bed_packed)")
         _, words, mean_np, scale_np, _, has_missing = \
             genotypes.pack_codes_host(X, transposed, x_stats, Mpad, N)
-    XT = jax.device_put(words, sh(P(AXIS_M)))
-    x_mean = jax.device_put(jnp.asarray(mean_np), sh(P(AXIS_M)))
-    x_scale = jax.device_put(jnp.asarray(scale_np), sh(P(AXIS_M)))
+    if x_process_shard:
+        wshape = (Mpad, Npad // 16)
+        XT = put_process_shard(mesh, P(AXIS_M), words, wshape)
+        x_mean = put_process_shard(mesh, P(AXIS_M), mean_np, (Mpad,))
+        x_scale = put_process_shard(mesh, P(AXIS_M), scale_np, (Mpad,))
+    else:
+        XT = put_global(mesh, P(AXIS_M), words)
+        x_mean = put_global(mesh, P(AXIS_M), mean_np)
+        x_scale = put_global(mesh, P(AXIS_M), scale_np)
 
     def shard_fn(w_loc, m_loc, s_loc):
         return genotypes.packed_stats_local(w_loc, m_loc, s_loc, N=N, B=B,
@@ -127,8 +154,8 @@ def _packed_shard_setup(mesh, X, x_on_device, prepacked, transposed, x_stats,
         out_specs=(P(AXIS_M), P(AXIS_M, None, None), P(AXIS_M))))
     xsq, gram, x_colsum = f(XT, x_mean, x_scale)
     perm = genotypes._lane_perm(Npad, 2048, 128)
-    row_valid = jax.device_put(jnp.asarray(perm < N), sh(P(AXIS_N)))
-    n_perm = jax.device_put(jnp.asarray(perm.astype(np.int32)), sh(P(AXIS_N)))
+    row_valid = put_global(mesh, P(AXIS_N), perm < N)
+    n_perm = put_global(mesh, P(AXIS_N), perm.astype(np.int32))
     return (XT, x_mean, x_scale, xsq, gram, x_colsum, row_valid, n_perm,
             perm, has_missing)
 
@@ -141,7 +168,9 @@ class ShardedSpikeSlabSampler:
                  backend: str = "xla", chunk_blocks: Optional[int] = None,
                  x_dtype: str = "dense", x_stats=None, transposed=False,
                  n_individuals: Optional[int] = None,
-                 has_missing: Optional[bool] = None):
+                 has_missing: Optional[bool] = None,
+                 x_process_shard: bool = False,
+                 n_markers: Optional[int] = None):
         if tuple(mesh.axis_names) != (AXIS_M, AXIS_N):
             raise ValueError("mesh must have axis names ('m', 'n')")
         if x_dtype not in ("dense", "2bit"):
@@ -177,7 +206,27 @@ class ShardedSpikeSlabSampler:
             X = np.asarray(X)
         prepacked = self.x_packed and X.dtype == jnp.int32
         Y = np.asarray(Y)
-        if prepacked:
+        self.x_process_shard = bool(x_process_shard)
+        if self.x_process_shard:
+            # multi-host: X holds only THIS process's marker slice
+            # (parallel/distributed.py::process_marker_range); the global
+            # marker count must be given explicitly
+            if n_markers is None:
+                raise ValueError("x_process_shard requires n_markers= "
+                                 "(the GLOBAL marker count)")
+            if not transposed:
+                raise ValueError("x_process_shard input must be marker-major "
+                                 "(transposed=True)")
+            M = int(n_markers)
+            if prepacked:
+                if has_missing is None:
+                    raise ValueError("pre-packed 2-bit input requires "
+                                     "has_missing=")
+                N = (X.shape[1] * 16 if n_individuals is None
+                     else int(n_individuals))
+            else:
+                N = X.shape[1]
+        elif prepacked:
             # packed int32 words (M, ceil(N/2048)*128), marker-major, e.g.
             # from io.bed.read_bed_packed
             if not transposed or x_stats is None:
@@ -225,26 +274,39 @@ class ShardedSpikeSlabSampler:
         self.nb_loc = self.Mloc // B
         self.Nloc = Npad // self.Dn
 
-        sh = lambda spec: NamedSharding(mesh, spec)
-        empty_f = jax.device_put(jnp.zeros((0,), jnp.float32), sh(P()))
-        empty_i = jax.device_put(jnp.zeros((0,), jnp.int32), sh(P()))
+        empty_f = put_global(mesh, P(), np.zeros((0,), np.float32))
+        empty_i = put_global(mesh, P(), np.zeros((0,), np.int32))
         n_perm_np = None
         if self.x_packed:
             (XT, x_mean, x_scale, xsq, gram, x_colsum, row_valid, n_perm,
              n_perm_np, self._has_missing) = _packed_shard_setup(
                 mesh, X, x_on_device, prepacked, transposed, x_stats,
-                has_missing, M, N, Mpad, Npad, B)
+                has_missing, M, N, Mpad, Npad, B,
+                x_process_shard=self.x_process_shard)
         else:
             self._has_missing = False
-            XTh = np.zeros((Mpad, Npad), self.dtype)
-            XTh[:M, :N] = (X if transposed else X.T)
-            xsq_h = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
-            XT = jax.device_put(XTh, sh(P(AXIS_M, AXIS_N)))
-            xsq = jax.device_put(jnp.asarray(xsq_h), sh(P(AXIS_M)))
+            if self.x_process_shard:
+                lo, hi = process_marker_range(mesh, Mpad)
+                m_real = max(0, min(hi, M) - lo)
+                if X.shape[0] != m_real:
+                    raise ValueError(
+                        f"x_process_shard: this host must pass exactly its "
+                        f"marker slice [{lo}, {lo + m_real}) = {m_real} "
+                        f"rows, got {X.shape[0]}")
+                XTh = np.zeros((hi - lo, Npad), self.dtype)
+                XTh[:m_real, :N] = X
+                XT = put_process_shard(mesh, P(AXIS_M, AXIS_N), XTh,
+                                       (Mpad, Npad))
+                xsq = self._xsq_shard(XT)
+            else:
+                XTh = np.zeros((Mpad, Npad), self.dtype)
+                XTh[:M, :N] = (X if transposed else X.T)
+                xsq_h = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
+                XT = put_global(mesh, P(AXIS_M, AXIS_N), XTh)
+                xsq = put_global(mesh, P(AXIS_M), xsq_h)
             gram = self._gram(XT)
             x_mean = x_scale = x_colsum = empty_f
-            row_valid = jax.device_put(jnp.asarray(np.arange(Npad) < N),
-                                       sh(P(AXIS_N)))
+            row_valid = put_global(mesh, P(AXIS_N), np.arange(Npad) < N)
             n_perm = empty_i
         self._x_fold = self.x_packed and not self._has_missing
 
@@ -261,18 +323,18 @@ class ShardedSpikeSlabSampler:
             XT=XT,
             xsq=xsq,
             gram=gram,
-            g_assign=jax.device_put(
-                jnp.asarray(np.pad(g_assign, (0, Mpad - M))), sh(P(AXIS_M))),
-            valid=jax.device_put(jnp.asarray(np.arange(Mpad) < M), sh(P(AXIS_M))),
+            g_assign=put_global(mesh, P(AXIS_M),
+                                np.pad(g_assign, (0, Mpad - M))),
+            valid=put_global(mesh, P(AXIS_M), np.arange(Mpad) < M),
             row_valid=row_valid,
-            cva=jax.device_put(jnp.asarray(cva2, self.dtype), sh(P())),
-            prior_pi=jax.device_put(jnp.asarray(prior_pi, self.dtype), sh(P())),
-            fixedT=jax.device_put(jnp.asarray(fixedTh), sh(P(None, AXIS_N))),
-            fsq=jax.device_put(jnp.asarray((fixedTh.astype(np.float64) ** 2)
-                                           .sum(axis=1).astype(self.dtype)), sh(P())),
+            cva=put_global(mesh, P(), np.asarray(cva2, self.dtype)),
+            prior_pi=put_global(mesh, P(), np.asarray(prior_pi, self.dtype)),
+            fixedT=put_global(mesh, P(None, AXIS_N), fixedTh),
+            fsq=put_global(mesh, P(), (fixedTh.astype(np.float64) ** 2)
+                           .sum(axis=1).astype(self.dtype)),
             x_mean=x_mean, x_scale=x_scale, x_colsum=x_colsum, n_perm=n_perm,
         )
-        self.Y = jax.device_put(jnp.asarray(Yh), sh(P(AXIS_N)))
+        self.Y = put_global(mesh, P(AXIS_N), Yh)
 
         self.state_specs = SpikeSlabState(
             key=P(), iteration=P(), mu=P(), beta=P(AXIS_M), labels=P(AXIS_M),
@@ -303,6 +365,12 @@ class ShardedSpikeSlabSampler:
                               out_specs=P(AXIS_M, None, None)))
         return f(XT)
 
+    def _xsq_shard(self, XT):
+        f = jax.jit(shard_map(
+            lambda xt_loc: lax.psum(jnp.sum(xt_loc * xt_loc, axis=1), AXIS_N),
+            self.mesh, in_specs=P(AXIS_M, AXIS_N), out_specs=P(AXIS_M)))
+        return f(XT)
+
     def _prior_pi(self, cva2: np.ndarray) -> np.ndarray:
         G, Km1 = cva2.shape
         K = Km1 + 1
@@ -319,6 +387,14 @@ class ShardedSpikeSlabSampler:
     # ---------------------------------------------------------------- init
 
     def init(self, key) -> SpikeSlabState:
+        # jitted with explicit out_shardings so it also runs multi-host
+        # (eager ops on non-addressable global arrays are not allowed)
+        sh = lambda spec: NamedSharding(self.mesh, spec)
+        fn = jax.jit(self._init_impl,
+                     out_shardings=jax.tree.map(sh, self.state_specs))
+        return fn(key, self.Y, self.data.prior_pi)
+
+    def _init_impl(self, key, Y, prior_pi) -> SpikeSlabState:
         key, kG, kF = jax.random.split(key, 3)
         dt = self.dtype
         sigmaGG = jax.vmap(lambda k: dist.beta_rng(k, 1.0, 1.0, dtype=dt))(
@@ -327,15 +403,14 @@ class ShardedSpikeSlabSampler:
                   else jnp.ones((), dt))
         # mu=0, beta=0; padded rows are already exactly 0.  Copy: the state
         # is donated by the step functions and must not alias self.Y.
-        eps = self.Y + jnp.zeros((), self.dtype)
+        eps = Y + jnp.zeros((), self.dtype)
         sigmaE = jnp.sum(eps * eps) / self.N * 0.5
-        sh = lambda spec: NamedSharding(self.mesh, spec)
-        zeros_m = jax.device_put(jnp.zeros((self.Mpad,), dt), sh(P(AXIS_M)))
-        zeros_l = jax.device_put(jnp.zeros((self.Mpad,), jnp.int32), sh(P(AXIS_M)))
         return SpikeSlabState(
             key=key, iteration=jnp.zeros((), jnp.int32), mu=jnp.zeros((), dt),
-            beta=zeros_m, labels=zeros_l, eps=eps, sigmaE=sigmaE,
-            sigmaGG=sigmaGG, pi=self.data.prior_pi + jnp.zeros((), self.dtype),
+            beta=jnp.zeros((self.Mpad,), dt),
+            labels=jnp.zeros((self.Mpad,), jnp.int32),
+            eps=eps, sigmaE=sigmaE,
+            sigmaGG=sigmaGG, pi=prior_pi + jnp.zeros((), self.dtype),
             alpha=jnp.zeros((self.F,), dt), sigmaF=sigmaF)
 
     # ---------------------------------------------------------------- step
@@ -542,6 +617,10 @@ class ShardedSpikeSlabSampler:
                 "sigmaE": P(), "sigmaG": P(), "comp": P(None, AXIS_M),
                 "epsilon": P(None, AXIS_N), "alpha": P(), "sigmaF": P(),
             }
+            if jax.process_count() > 1:
+                # multi-host emission: replicate rows (an in-jit all-gather)
+                # so every host's sink sees the full sample
+                row_specs = jax.tree.map(lambda _: P(), row_specs)
 
             def body(state, data):
                 def one(state, _):
@@ -572,7 +651,8 @@ class ShardedSpikeSlabSampler:
                  else self.init(key_or_state))
 
         if self.x_packed:
-            n_perm_np = np.asarray(jax.device_get(self.data.n_perm))
+            from .distributed import replicate
+            n_perm_np = np.asarray(replicate(self.data.n_perm, self.mesh))
 
         def postprocess(rows):
             rows["beta"] = rows["beta"][:, : self.M]
@@ -610,7 +690,9 @@ class ShardedHorseshoeSampler:
                  backend: str = "xla", chunk_blocks: Optional[int] = None,
                  x_dtype: str = "dense", x_stats=None, transposed=False,
                  n_individuals: Optional[int] = None,
-                 has_missing: Optional[bool] = None):
+                 has_missing: Optional[bool] = None,
+                 x_process_shard: bool = False,
+                 n_markers: Optional[int] = None):
         from ..models.state import HorseshoeState
         from ..ops.block_sweep import horseshoe_inner_solve  # noqa: F401
 
@@ -640,7 +722,21 @@ class ShardedHorseshoeSampler:
             X = np.asarray(X)
         prepacked = self.x_packed and X.dtype == jnp.int32
         Y = np.asarray(Y)
-        if prepacked:
+        self.x_process_shard = bool(x_process_shard)
+        if self.x_process_shard:
+            if n_markers is None or not transposed:
+                raise ValueError("x_process_shard requires n_markers= and "
+                                 "transposed=True (see ShardedSpikeSlab)")
+            M = int(n_markers)
+            if prepacked:
+                if has_missing is None:
+                    raise ValueError("pre-packed 2-bit input requires "
+                                     "has_missing=")
+                N = (X.shape[1] * 16 if n_individuals is None
+                     else int(n_individuals))
+            else:
+                N = X.shape[1]
+        elif prepacked:
             M = X.shape[0]
             N = (X.shape[1] * 16 if n_individuals is None
                  else int(n_individuals))
@@ -662,26 +758,39 @@ class ShardedHorseshoeSampler:
         self.nb_loc = self.Mloc // B
         self.Nloc = Npad // self.Dn
 
-        sh = lambda spec: NamedSharding(mesh, spec)
-        empty_f = jax.device_put(jnp.zeros((0,), jnp.float32), sh(P()))
-        empty_i = jax.device_put(jnp.zeros((0,), jnp.int32), sh(P()))
+        empty_f = put_global(mesh, P(), np.zeros((0,), np.float32))
+        empty_i = put_global(mesh, P(), np.zeros((0,), np.int32))
         n_perm_np = None
         if self.x_packed:
             (XT, x_mean, x_scale, xsq, gram, x_colsum, row_valid, n_perm,
              n_perm_np, self._has_missing) = _packed_shard_setup(
                 mesh, X, x_on_device, prepacked, transposed, x_stats,
-                has_missing, M, N, Mpad, Npad, B)
+                has_missing, M, N, Mpad, Npad, B,
+                x_process_shard=self.x_process_shard)
         else:
             self._has_missing = False
-            XTh = np.zeros((Mpad, Npad), self.dtype)
-            XTh[:M, :N] = (X if transposed else X.T)
-            xsq_h = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
-            XT = jax.device_put(XTh, sh(P(AXIS_M, AXIS_N)))
-            xsq = jax.device_put(jnp.asarray(xsq_h), sh(P(AXIS_M)))
+            if self.x_process_shard:
+                lo, hi = process_marker_range(mesh, Mpad)
+                m_real = max(0, min(hi, M) - lo)
+                if X.shape[0] != m_real:
+                    raise ValueError(
+                        f"x_process_shard: this host must pass exactly its "
+                        f"marker slice [{lo}, {lo + m_real}) = {m_real} "
+                        f"rows, got {X.shape[0]}")
+                XTh = np.zeros((hi - lo, Npad), self.dtype)
+                XTh[:m_real, :N] = X
+                XT = put_process_shard(mesh, P(AXIS_M, AXIS_N), XTh,
+                                       (Mpad, Npad))
+                xsq = self._xsq_shard(XT)
+            else:
+                XTh = np.zeros((Mpad, Npad), self.dtype)
+                XTh[:M, :N] = (X if transposed else X.T)
+                xsq_h = (XTh.astype(np.float64) ** 2).sum(axis=1).astype(self.dtype)
+                XT = put_global(mesh, P(AXIS_M, AXIS_N), XTh)
+                xsq = put_global(mesh, P(AXIS_M), xsq_h)
             gram = self._gram(XT)
             x_mean = x_scale = x_colsum = empty_f
-            row_valid = jax.device_put(jnp.asarray(np.arange(Npad) < N),
-                                       sh(P(AXIS_N)))
+            row_valid = put_global(mesh, P(AXIS_N), np.arange(Npad) < N)
             n_perm = empty_i
         self._x_fold = self.x_packed and not self._has_missing
 
@@ -692,13 +801,12 @@ class ShardedHorseshoeSampler:
             "XT": XT,
             "xsq": xsq,
             "gram": gram,
-            "valid": jax.device_put(jnp.asarray(np.arange(Mpad) < M),
-                                    sh(P(AXIS_M))),
+            "valid": put_global(mesh, P(AXIS_M), np.arange(Mpad) < M),
             "row_valid": row_valid,
             "x_mean": x_mean, "x_scale": x_scale, "x_colsum": x_colsum,
             "n_perm": n_perm,
         }
-        self.Y = jax.device_put(jnp.asarray(Yh), sh(P(AXIS_N)))
+        self.Y = put_global(mesh, P(AXIS_N), Yh)
 
         self.state_specs = HorseshoeState(
             key=P(), iteration=P(), mu=P(), beta=P(AXIS_M), eps=P(AXIS_N),
@@ -727,23 +835,34 @@ class ShardedHorseshoeSampler:
                                  in_specs=P(AXIS_M, AXIS_N),
                                  out_specs=P(AXIS_M, None, None)))(XT)
 
+    def _xsq_shard(self, XT):
+        f = jax.jit(shard_map(
+            lambda xt_loc: lax.psum(jnp.sum(xt_loc * xt_loc, axis=1), AXIS_N),
+            self.mesh, in_specs=P(AXIS_M, AXIS_N), out_specs=P(AXIS_M)))
+        return f(XT)
+
     def init(self, key):
+        # jitted with explicit out_shardings so it also runs multi-host
+        sh = lambda spec: NamedSharding(self.mesh, spec)
+        fn = jax.jit(self._init_impl,
+                     out_shardings=jax.tree.map(sh, self.state_specs))
+        return fn(key, self.Y)
+
+    def _init_impl(self, key, Y):
         from ..models.state import HorseshoeState
 
         cfg = self.config
         key, keta, ktau = jax.random.split(key, 3)
         dt = self.dtype
         mu = jnp.zeros((), dt)
-        eps = self.Y - mu
+        eps = Y - mu
         sigmaE = jnp.sum(eps * eps) / self.N * 0.5
         eta = dist.inv_gamma_rate_rng(keta, 0.5, 1.0 / (sigmaE * cfg.A ** 2))
         tau = (1.0 / eta) * dist.inv_gamma_rate_rng(ktau, 0.5 * cfg.vT, cfg.vT)
-        sh = lambda spec: NamedSharding(self.mesh, spec)
-        ones_m = jax.device_put(jnp.ones((self.Mpad,), dt),
-                                sh(P(AXIS_M)))
-        zeros_m = jax.device_put(jnp.zeros((self.Mpad,), dt), sh(P(AXIS_M)))
+        ones_m = jnp.ones((self.Mpad,), dt)
         return HorseshoeState(
-            key=key, iteration=jnp.zeros((), jnp.int32), mu=mu, beta=zeros_m,
+            key=key, iteration=jnp.zeros((), jnp.int32), mu=mu,
+            beta=jnp.zeros((self.Mpad,), dt),
             eps=eps, sigmaE=sigmaE.astype(dt), lam=ones_m,
             v=ones_m + jnp.zeros((), dt), tau=tau.astype(dt),
             eta=eta.astype(dt), c2=jnp.asarray(cfg.c2, dt))
@@ -890,6 +1009,9 @@ class ShardedHorseshoeSampler:
                 "sigmaE": P(), "tau": P(), "lambda": P(None, AXIS_M),
                 "epsilon": P(None, AXIS_N),
             }
+            if jax.process_count() > 1:
+                # multi-host emission: replicate rows for host-side sinks
+                row_specs = jax.tree.map(lambda _: P(), row_specs)
 
             def body(state, data):
                 def one(state, _):
@@ -920,7 +1042,8 @@ class ShardedHorseshoeSampler:
                  else self.init(key_or_state))
 
         if self.x_packed:
-            n_perm_np = np.asarray(jax.device_get(self.data["n_perm"]))
+            from .distributed import replicate
+            n_perm_np = np.asarray(replicate(self.data["n_perm"], self.mesh))
 
         def postprocess(rows):
             rows["beta"] = rows["beta"][:, : self.M]
