@@ -1,0 +1,76 @@
+"""Build the golden-parity reference binaries.
+
+Compiles the UNMODIFIED reference translation units from
+``$GRAFT_REF/src`` (default /root/reference/src) against the shim layer
+(golden/shim: mini-Eigen, Rcpp stubs, traced deterministic RNG).  Nothing
+from the reference tree is ever copied into this repository -- the drivers
+``#include`` the reference sources by absolute path at compile time.
+
+Usage: python golden/build.py [outdir]   (default golden/build, gitignored)
+Importable: build_all(outdir) -> {name: binary_path} or None if the
+reference tree / toolchain is unavailable (tests skip).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REF = os.environ.get("GRAFT_REF", "/root/reference")
+
+DRIVERS = {
+    # name -> (driver file, reference TU, needs_openmp)
+    "bayesr": ("driver_bayesr.cpp", "BayesRv2.cpp", False),
+    "groups": ("driver_groups.cpp", "BayesRv2Groups.cpp", True),
+    "grstart": ("driver_grstart.cpp", "BRv2Grstart.cpp", True),
+    "horseshoe": ("driver_horseshoe.cpp", "HorseshoeR.cpp", True),
+}
+
+
+def build_all(outdir: str | None = None, verbose: bool = False):
+    outdir = outdir or os.path.join(HERE, "build")
+    gxx = shutil.which("g++")
+    ref_src = os.path.join(REF, "src")
+    if gxx is None or not os.path.isdir(ref_src):
+        return None
+    os.makedirs(outdir, exist_ok=True)
+    shim = os.path.join(HERE, "shim")
+    out = {}
+    stamp = os.path.join(outdir, "stamp")
+    srcs = [os.path.join(shim, f) for f in
+            ("graft_shim.h", "shim_distributions.cpp", "Rcpp.h",
+             "RcppEigen.h", "driver_io.h", "Eigen/Core")]
+    srcs += [os.path.join(HERE, d[0]) for d in DRIVERS.values()]
+    newest = max(os.path.getmtime(p) for p in srcs)
+    fresh = os.path.exists(stamp) and os.path.getmtime(stamp) >= newest
+    for name, (driver, ref_tu, omp) in DRIVERS.items():
+        binary = os.path.join(outdir, f"ref_{name}")
+        out[name] = binary
+        if fresh and os.path.exists(binary):
+            continue
+        cmd = [
+            gxx, "-O1", "-std=c++14", "-w",
+            "-I", shim, "-include", os.path.join(shim, "graft_shim.h"),
+            f"-DGRAFT_REF_SAMPLER=\"{os.path.join(ref_src, ref_tu)}\"",
+            os.path.join(HERE, driver),
+            os.path.join(shim, "shim_distributions.cpp"),
+            "-o", binary,
+        ]
+        if omp:
+            cmd.insert(1, "-fopenmp")
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            if verbose:
+                sys.stderr.write(r.stderr)
+            raise RuntimeError(
+                f"golden build failed for {name}:\n{r.stderr[-4000:]}")
+    with open(stamp, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+if __name__ == "__main__":
+    res = build_all(sys.argv[1] if len(sys.argv) > 1 else None, verbose=True)
+    print(res)
