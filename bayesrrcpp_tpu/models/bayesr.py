@@ -92,7 +92,8 @@ class SpikeSlabSampler:
                  permutation: Optional[str] = None,
                  variant: Optional[str] = None, transposed: bool = False,
                  x_dtype: str = "dense", x_stats=None,
-                 n_individuals: Optional[int] = None):
+                 n_individuals: Optional[int] = None,
+                 jacobi_blocks: int = 1):
         if x_dtype not in ("dense", "int8", "2bit"):
             raise ValueError(f"unknown x_dtype {x_dtype!r}")
         if backend is None:
@@ -159,16 +160,23 @@ class SpikeSlabSampler:
         fixed = np.asarray(fixed)
         F = fixed.shape[1]
 
+        self.jacobi = int(jacobi_blocks)
+        if self.jacobi < 1:
+            raise ValueError("jacobi_blocks must be >= 1")
         B = min(config.block_size, 1 << max(1, (M - 1).bit_length()))
         B = max(8, min(B, config.block_size))
-        Mpad = -(-M // B) * B
+        # block count must be a multiple of the Jacobi round width J (the
+        # fast kernel sweeps J blocks per round, ops/pallas_jacobi.py)
+        unit = B * self.jacobi
+        Mpad = -(-M // unit) * unit
         if Mpad // B >= 64:
             # keep the sweep's block count a multiple of 8 at scale: XLA's
             # generated-code size blows up ~40x for non-8-aligned block
             # counts (measured v5e, nb=977 -> 285 MiB of program vs 7.8 MiB
             # at nb=976/984), costing HBM + compile time; extra padding
             # markers are masked out and nearly free
-            Mpad = -(-M // (8 * B)) * (8 * B)
+            unit8 = B * 8 * self.jacobi // np.gcd(8, self.jacobi)
+            Mpad = -(-M // unit8) * unit8
         self.N, self.M, self.Mpad, self.K, self.G, self.F, self.B = N, M, Mpad, K, G, F, B
         self.nb = Mpad // B
         self.config = config
@@ -212,6 +220,13 @@ class SpikeSlabSampler:
         # raw-code kernel (standardization applied after the code dots --
         # ~2x less in-kernel decode work; see ops/pallas_sweep.py)
         self._x_fold = self.x_quantized and not has_missing
+        if self.jacobi > 1:
+            if backend != "pallas":
+                raise ValueError("jacobi_blocks > 1 requires the pallas "
+                                 "backend")
+            if self.x_quantized and not self._x_fold:
+                raise ValueError("jacobi_blocks > 1 supports dense or "
+                                 "missing-free quantized X only")
 
         prior_pi = self._prior_pi(cva2)
         self.data = MarkerData(
@@ -470,7 +485,20 @@ class SpikeSlabSampler:
         z_arr = jax.random.normal(kz, (Mpad,), dtype=dt)
         if self.permutation == "blocked":
             border, inner = bs.block_orders(korder, nb, B)
-            if self.backend == "pallas":
+            if self.backend == "pallas" and self.jacobi > 1:
+                from ..ops.pallas_jacobi import bayesr_jacobi_pallas
+
+                res = bayesr_jacobi_pallas(
+                    data.XT, data.gram, data.xsq, eps, state.beta, state.labels,
+                    border, inner, p_arr, z_arr, state.pi, data.cva,
+                    state.sigmaE, state.sigmaGG, data.g_assign, data.valid,
+                    J=self.jacobi, interpret=self._pallas_interpret,
+                    x_mean=data.x_mean if self.x_quantized else None,
+                    x_scale=data.x_scale if self.x_quantized else None,
+                    fold_affine=self._x_fold,
+                    x_xsum=data.x_colsum if self.x_quantized else None,
+                    row_valid=data.row_valid if self.x_packed else None)
+            elif self.backend == "pallas":
                 from ..ops.pallas_sweep import bayesr_sweep_pallas
 
                 res = bayesr_sweep_pallas(

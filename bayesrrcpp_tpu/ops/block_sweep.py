@@ -199,6 +199,60 @@ def bayesr_block_sweep(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     return SweepResult(eps, beta, labels, v, bacc)
 
 
+def bayesr_jacobi_sweep(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
+                        block_order, inner_perm, p_arr, z_arr,
+                        pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
+                        *, J: int):
+    """Block-Jacobi spike-and-slab sweep: J blocks per round, each swept
+    against the ROUND-START residual, all J rank-B updates applied at once.
+
+    Plain-XLA oracle for ops/pallas_jacobi.py (same math; float op order
+    differs).  Semantics match the mesh-sharded sampler with Dm = J
+    (parallel/sharded.py block-Jacobi rounds); J = 1 is exactly
+    bayesr_block_sweep.
+    """
+    Mpad, N = XT_pad.shape
+    nb, B, _ = gram.shape
+    nr = nb // J
+    G, K = pi.shape
+    v0 = jnp.zeros((G, K), eps.dtype)
+    bacc0 = jnp.zeros((G,), eps.dtype)
+    bsel = block_order.reshape(nr, J)
+    inner_by = inner_perm[block_order].reshape(nr, J, B)
+    p_blk = p_arr.reshape(nr, J, B)
+    z_blk = z_arr.reshape(nr, J, B)
+
+    def round_body(carry, xs):
+        eps, beta, labels, v, bacc = carry
+        bs, inners, p_r, z_r = xs
+        eps0 = eps                       # all J blocks see the round start
+        upd = jnp.zeros_like(eps)
+        for j in range(J):
+            start = bs[j] * B
+            Xb = lax.dynamic_slice_in_dim(XT_pad, start, B, axis=0)
+            Gb = gram[bs[j]]
+            beta_b = lax.dynamic_slice_in_dim(beta, start, B)
+            labels_b = lax.dynamic_slice_in_dim(labels, start, B)
+            xsq_b = lax.dynamic_slice_in_dim(xsq_pad, start, B)
+            gas_b = lax.dynamic_slice_in_dim(g_assign_pad, start, B)
+            valid_b = lax.dynamic_slice_in_dim(valid_pad, start, B)
+            r = Xb @ eps0
+            r, beta_b, labels_b, delta, v, bacc = spike_slab_inner_solve(
+                r, Gb, beta_b, labels_b, xsq_b, gas_b, valid_b, inners[j],
+                p_r[j], z_r[j], pi, cva, sigmaE, sigmaGG, v, bacc)
+            upd = upd + delta @ Xb
+            beta = lax.dynamic_update_slice_in_dim(beta, beta_b, start,
+                                                   axis=0)
+            labels = lax.dynamic_update_slice_in_dim(labels, labels_b, start,
+                                                     axis=0)
+        return (eps0 - upd, beta, labels, v, bacc), None
+
+    (eps, beta, labels, v, bacc), _ = lax.scan(
+        round_body, (eps, beta_pad, labels_pad, v0, bacc0),
+        (bsel, inner_by, p_blk, z_blk))
+    return SweepResult(eps, beta, labels, v, bacc)
+
+
 def horseshoe_block_sweep(XT_pad, gram, xsq_pad, eps, beta_pad,
                           block_order, inner_perm, z_arr,
                           lam_pad, tau, c2, sigmaE, valid_pad):

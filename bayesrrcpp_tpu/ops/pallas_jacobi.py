@@ -1,0 +1,481 @@
+"""Jacobi-batched Pallas sweep: J Gram blocks of ONE chain per serial step.
+
+Why: the single-chain sweep kernel's per-marker serial update costs ~800
+cycles of dependent narrow VPU work (measured via tools/solve_ablation.py);
+its ops use 1 sublane of 8.  The fused multi-chain kernel showed the fix --
+batch the serial math on the SUBLANE axis -- but a single chain has no chain
+axis to batch.  It does have a BLOCK axis: sweep J Gram blocks per round
+against the same round-start residual, batching the per-marker update over
+the J blocks, then apply all J residual updates at once.
+
+Semantics: exact sequential Gibbs WITHIN each block; block-Jacobi ACROSS the
+J blocks of a round (each block sees eps as of the round start).  This is
+identical to the mesh-sharded sampler's cross-slice semantics with Dm = J
+(parallel/sharded.py; posterior equivalence validated statistically in
+tests/test_sharded.py) -- here the "slices" share one chip.  J = 1 reduces
+to the single-chain kernel's math exactly.
+
+Layout (everything forced by the dynamic-index-on-sublanes rule):
+
+- the kernel re-permutes each block to POSITION order on entry: a one-hot
+  permutation matrix P_j (built from the block's inner permutation, exact
+  in f32) permutes r, beta, and the Gram block (Gp_j = P_j' G_j P_j, two
+  (B,B) MXU matmuls per block) so the serial loop indexes everything by the
+  shared position s -- no per-j dynamic marker indices survive;
+- per-(position, j) constants (K log-priors, reciprocal denominators, slab
+  sds, p/z variates, xsq, valid) are precomputed OUTSIDE (build_pkg_jacobi,
+  vectorized XLA) into a (nr, B*J, 3K+4) operand whose row s*J + j is
+  position s of round-block j: one dynamic sublane slice feeds all J lanes
+  of a step (the multi-chain kernel's pkg trick, ops/pallas_multichain.py);
+- r and the pre-block betas stack in one (2J, B) scratch so the per-step
+  gather is a single mask-multiply + lane reduction;
+- v/bacc/labels reconstruct per block AFTER the serial loop from a (J, B)
+  krec record, exactly like the multi-chain kernel.
+
+Storage modes: dense f32 and the fold-affine raw-code paths (int8 / 2-bit
+packed with no real missing calls).  Quantized-with-missing falls back to
+the single-chain kernel (ops/pallas_sweep.py).
+
+Reference semantics per update: src/BayesRv2.cpp:186-245.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep import SweepResult
+
+
+def build_pkg_jacobi(xsq, gas, valid, p, z, pi, cva, sigmaE, sigmaGG,
+                     border, inner, *, B, J):
+    """Per-iteration packed operand (nr, B*J, 3K+4): row s*J + j holds
+    position s of the j-th block of the round, fields
+    [lp(K), 1/denom(K, spike col 0), sd(K, spike col 0), p, z, xsq, valid].
+
+    Same per-marker formulas as the single-chain kernel's in-kernel
+    precompute (src/BayesRv2.cpp:199, 207-211), evaluated vectorized over
+    all markers then gathered into sweep order.  Also returns the (nr, J, B)
+    inner-permutation operand the kernel builds P_j from.
+    """
+    f32 = jnp.float32
+    Mpad = xsq.shape[0]
+    G, K = pi.shape
+    nb = Mpad // B
+    nr = nb // J
+    xsq = xsq.astype(f32)
+    sG = jnp.take(sigmaGG.astype(f32), gas)                # (Mpad,)
+    cva_m = jnp.take(cva.astype(f32), gas, axis=0)         # (Mpad, K-1)
+    sE = sigmaE.astype(f32)
+    denom = xsq[:, None] + (sE / sG[:, None]) / cva_m      # (Mpad, K-1)
+    zero = jnp.zeros((Mpad, 1), f32)
+    invd = jnp.concatenate([zero, 1.0 / denom], axis=1)
+    sd = jnp.concatenate([zero, jnp.sqrt(sE / denom)], axis=1)
+    tiny = jnp.finfo(f32).tiny
+    logpi = jnp.log(jnp.maximum(jnp.take(pi.astype(f32), gas, axis=0), tiny))
+    lp = jnp.concatenate([
+        logpi[:, 0:1],
+        logpi[:, 1:] - 0.5 * jnp.log(
+            (sG[:, None] / sE) * xsq[:, None] * cva_m + 1.0),
+    ], axis=1)
+    tbl = jnp.concatenate([
+        lp, invd, sd, xsq[:, None], valid.astype(f32)[:, None]], axis=1)
+
+    bsel = border.reshape(nr, J)                           # (nr, J)
+    inner_sel = jnp.take(inner, bsel, axis=0)              # (nr, J, B)
+    gidx = bsel[:, :, None] * B + inner_sel                # (nr, J, B)
+    per = jnp.take(tbl, gidx.reshape(-1), axis=0).reshape(nr, J, B, 3 * K + 2)
+    # position-indexed randoms: sweep position of (round r, block j, pos s)
+    # is (r*J + j)*B + s
+    p3 = p.astype(f32).reshape(nr, J, B)[..., None]
+    z3 = z.astype(f32).reshape(nr, J, B)[..., None]
+    pkg = jnp.concatenate(
+        [per[..., : 3 * K], p3, z3, per[..., 3 * K:]], axis=3)
+    F = 3 * K + 4
+    pkg = pkg.transpose(0, 2, 1, 3).reshape(nr, B * J, F)  # row s*J + j
+    return pkg, inner_sel.astype(jnp.int32)
+
+
+def _jacobi_kernel(border_ref,                              # scalar prefetch
+                   xt_ref, inner_ref, pkg_ref, gram_ref, gasr_ref,
+                   beta_ref, labels_ref, eps_ref, se_ref,
+                   eps_out, beta_out, labels_out, v_out, bacc_out,
+                   p_sc, gp_sc, rb_sc, dpos_sc, krec_sc, dlane_sc,
+                   *, B, TN, K, G, J, packed=False,
+                   srow_ref=None, msrow_ref=None, xsum_ref=None,
+                   esum0_ref=None, sms_sc=None, fold_sc=None):
+    r = pl.program_id(0)
+    ph = pl.program_id(1)
+    j = pl.program_id(2)
+    t = pl.program_id(3)
+    f32 = jnp.float32
+    fold = srow_ref is not None
+    sE = se_ref[0]
+
+    if packed:
+        SUB, W = 16, TN // 16
+
+        def x_sub(k):
+            c = (xt_ref[...] >> (2 * k)) & 3               # (B, W) int32
+            return c.astype(f32)
+    else:
+        SUB, W = 1, TN
+
+        def x_sub(k):
+            return xt_ref[...]
+
+    first = jnp.logical_and(
+        r == 0, jnp.logical_and(ph == 0, jnp.logical_and(j == 0, t == 0)))
+
+    @pl.when(first)
+    def _init():
+        eps_out[...] = eps_ref[...]
+        v_out[...] = jnp.zeros_like(v_out)
+        bacc_out[...] = jnp.zeros_like(bacc_out)
+        if fold:
+            fold_sc[0:1, :] = jnp.full((1, 1), esum0_ref[0], f32)
+
+    @pl.when(jnp.logical_and(ph == 0, t == 0))
+    def _per_block_precompute():
+        # one-hot permutation P_j[m, s] = (m == inner_j[s]); exact in f32
+        sub = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        pj = (sub == inner_ref[0, pl.ds(j, 1), :]).astype(f32)  # (B, B)
+        p_sc[pl.ds(j * B, B), :] = pj
+        # Gp_j = P_j' (G_j P_j): the Gram block in position order (MXU)
+        gp1 = jax.lax.dot_general(gram_ref[0], pj, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        gp_sc[pl.ds(j * B, B), :] = jax.lax.dot_general(
+            pj, gp1, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        # pre-block betas in position order; zero this block's r row
+        rb_sc[pl.ds(J + j, 1), :] = jax.lax.dot_general(
+            beta_ref[0], pj, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        rb_sc[pl.ds(j, 1), :] = jnp.zeros((1, B), f32)
+        if fold:
+            sms_sc[pl.ds(j, 1), :] = srow_ref[0]
+            sms_sc[pl.ds(J + j, 1), :] = msrow_ref[0]
+            sms_sc[pl.ds(2 * J + j, 1), :] = xsum_ref[0]
+
+    @pl.when(ph == 0)
+    def _accumulate_r():
+        # r_j += eps_tile . X_j_tile' (marker-lane order at this point)
+        for k in range(SUB):
+            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (1, W)
+            rb_sc[pl.ds(j, 1), :] += jax.lax.dot_general(
+                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # (1, B)
+
+    @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(j == 0, t == 0)))
+    def _solve():
+        dpos_sc[...] = jnp.zeros_like(dpos_sc)
+        krec_sc[...] = jnp.full((J, B), -1.0, f32)
+        if fold:
+            # code-domain r -> standardized domain (see pallas_sweep fold
+            # notes); esum is the round-start sum over eps lanes, shared by
+            # all J blocks of the round
+            rb_sc[0:J, :] = (rb_sc[0:J, :] * sms_sc[0:J, :]
+                             - sms_sc[J:2 * J, :] * fold_sc[0:1, 0:1])
+        # r rows to position order (one (1,B)x(B,B) MXU dot per block)
+        for jj in range(J):
+            rb_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
+                rb_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(f32)
+        Kf = jnp.float32(K)
+        half_invsE = 0.5 / sE
+
+        def body(s, _):
+            row = pkg_ref[0, pl.ds(s * J, J), :]           # (J, 3K+4)
+            lp = row[:, 0:K]
+            invd = row[:, K:2 * K]
+            sd = row[:, 2 * K:3 * K]
+            p_s = row[:, 3 * K:3 * K + 1]
+            z_s = row[:, 3 * K + 1:3 * K + 2]
+            xsq_j = row[:, 3 * K + 2:3 * K + 3]
+            okf = row[:, 3 * K + 3:3 * K + 4]
+
+            maskf = (lane == s).astype(f32)                # (1, B)
+            both = jnp.sum(rb_sc[...] * maskf, axis=1, keepdims=True)
+            r_jl = both[0:J, :]                            # (J, 1)
+            beta_old = both[J:2 * J, :]
+
+            num = r_jl + beta_old * xsq_j                  # (J, 1)
+            muk = num * invd                               # (J, K), col0=0
+            logL = lp + (half_invsE * num) * muk
+            logLs = logL[:, 1:]
+
+            # reference categorical draw with the overflow guard, unrolled
+            # over K; all J blocks draw in lockstep (src/BayesRv2.cpp:216-242)
+            k_sel = jnp.full((J, 1), Kf, f32)
+            acum = jnp.zeros((J, 1), f32)
+            for k in range(K):
+                lk = logL[:, k:k + 1]
+                guard = jnp.max(jnp.abs(logLs - lk), axis=1,
+                                keepdims=True) > 700.0
+                Ssum = jnp.sum(jnp.exp(logL - lk), axis=1, keepdims=True)
+                w = jnp.where(guard, jnp.zeros((J, 1), f32), 1.0 / Ssum)
+                acum = acum + w
+                hit = jnp.logical_and(p_s <= acum, k_sel == Kf)
+                k_sel = jnp.where(hit, jnp.float32(k), k_sel)
+            hitm = k_sel < Kf
+
+            selm = (kcol == k_sel).astype(f32)             # (J, K)
+            mu_sel = jnp.sum(muk * selm, axis=1, keepdims=True)
+            sd_sel = jnp.sum(sd * selm, axis=1, keepdims=True)
+            beta_drawn = mu_sel + sd_sel * z_s
+            beta_new = jnp.where(hitm, beta_drawn, beta_old)
+            d = okf * (beta_new - beta_old)                # (J, 1)
+
+            # rank-1 updates against the position-ordered Gram rows
+            for jj in range(J):
+                rb_sc[pl.ds(jj, 1), :] -= (
+                    gp_sc[pl.ds(jj * B + s, 1), :] * d[jj:jj + 1, :])
+            dpos_sc[...] += maskf * d                      # (J, B)
+            take = okf * hitm.astype(f32)
+            kv = jnp.where(take > 0, k_sel, jnp.float32(-1.0))
+            krec_sc[...] += maskf * (kv + 1.0)
+            return ()
+
+        lax.fori_loop(0, B, body, (), unroll=False)
+
+        # deltas back to marker-lane order (exact one-hot matmuls); fold
+        # mode also tracks esum analytically and pre-scales for the raw
+        # code-domain eps update
+        for jj in range(J):
+            dlane_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
+                dpos_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        if fold:
+            dl = dlane_sc[...]                             # (J, B) unscaled
+            sub = jnp.sum(dl * sms_sc[2 * J:3 * J, :], axis=1, keepdims=True)
+            fold_sc[0:1, :] -= jnp.sum(sub, axis=0, keepdims=True)
+            fold_sc[1:1 + J, :] = jnp.sum(dl * sms_sc[J:2 * J, :], axis=1,
+                                          keepdims=True)   # dms per block
+            dlane_sc[...] = dl * sms_sc[0:J, :]
+
+    @pl.when(jnp.logical_and(ph == 1, t == 0))
+    def _reconstruct_block():
+        # per-block outputs off the serial chain (multi-chain kernel style):
+        # select this block's row, un-permute krec via P_j (one-hot, exact)
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
+                  == j).astype(f32)
+        dlane_j = jax.lax.dot_general(
+            jnp.sum(dpos_sc[...] * rowsel, axis=0, keepdims=True),
+            p_sc[pl.ds(j * B, B), :],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (1, B)
+        beta_new_b = beta_ref[0] + dlane_j                 # (1, B)
+        beta_out[0] = beta_new_b
+        krec_j = jax.lax.dot_general(
+            jnp.sum(krec_sc[...] * rowsel, axis=0, keepdims=True),
+            p_sc[pl.ds(j * B, B), :],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (1, B)
+        labels_out[0] = jnp.where(krec_j >= 0.0, krec_j.astype(jnp.int32),
+                                  labels_ref[0])
+        gas_row = gasr_ref[0]                              # (1, B) int32
+        slab2 = jnp.where(krec_j > 0.0, beta_new_b * beta_new_b, 0.0)
+        vcols = []
+        bcols = []
+        for g in range(G):
+            gm = (gas_row == g).astype(f32)
+            for k in range(K):
+                km = (krec_j == jnp.float32(k)).astype(f32)
+                vcols.append(jnp.sum(km * gm, axis=1, keepdims=True))
+            bcols.append(jnp.sum(slab2 * gm, axis=1, keepdims=True))
+        v_out[...] += jnp.concatenate(vcols, axis=1)       # (1, G*K)
+        bacc_out[...] += jnp.concatenate(bcols, axis=1)    # (1, G)
+
+    @pl.when(ph == 1)
+    def _apply_update():
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
+                  == j).astype(f32)
+        dl = jnp.sum(dlane_sc[...] * rowsel, axis=0, keepdims=True)  # (1, B)
+        for k in range(SUB):
+            upd = jax.lax.dot_general(
+                dl, x_sub(k), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                # (1, W)
+            if fold:
+                upd = upd - fold_sc[pl.ds(1 + j, 1), :]
+            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+
+
+def _jacobi_kernel_f(border_ref, xt_ref, inner_ref, pkg_ref, gram_ref,
+                     gasr_ref, beta_ref, labels_ref, eps_ref, se_ref,
+                     srow_ref, msrow_ref, xsum_ref, esum0_ref,
+                     eps_out, beta_out, labels_out, v_out, bacc_out,
+                     p_sc, gp_sc, rb_sc, dpos_sc, krec_sc, dlane_sc,
+                     sms_sc, fold_sc, *, B, TN, K, G, J, packed=False):
+    """Fold-affine positional-argument adapter (pallas passes refs
+    positionally; the extra fold inputs/scratches are keyword-only in
+    _jacobi_kernel)."""
+    return _jacobi_kernel(border_ref, xt_ref, inner_ref, pkg_ref, gram_ref,
+                          gasr_ref, beta_ref, labels_ref, eps_ref, se_ref,
+                          eps_out, beta_out, labels_out, v_out, bacc_out,
+                          p_sc, gp_sc, rb_sc, dpos_sc, krec_sc, dlane_sc,
+                          B=B, TN=TN, K=K, G=G, J=J, packed=packed,
+                          srow_ref=srow_ref, msrow_ref=msrow_ref,
+                          xsum_ref=xsum_ref, esum0_ref=esum0_ref,
+                          sms_sc=sms_sc, fold_sc=fold_sc)
+
+
+def bayesr_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
+                         block_order, inner_perm, p_arr, z_arr,
+                         pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
+                         *, J: int = 8, tile_n: int = 512,
+                         interpret: bool = False,
+                         x_mean=None, x_scale=None, x_xsum=None,
+                         fold_affine: bool = False, row_valid=None):
+    """Jacobi-batched drop-in for bayesr_sweep_pallas (J blocks per round).
+
+    Same argument conventions as ops.pallas_sweep.bayesr_sweep_pallas;
+    supports dense f32 X and the fold-affine raw-code paths (int8 / 2-bit
+    packed, no real missing calls).  J must divide the block count.
+    """
+    nb, B, _ = gram.shape
+    if nb % J:
+        raise ValueError(f"jacobi sweep needs J | nb (J={J}, nb={nb})")
+    nr = nb // J
+    quantized = x_mean is not None
+    packed = quantized and XT_pad.dtype == jnp.int32
+    fold = bool(fold_affine) and quantized
+    if quantized and not fold:
+        raise ValueError("jacobi sweep supports dense or fold-affine "
+                         "quantized X only (missing calls: use the "
+                         "single-chain kernel)")
+    f32 = jnp.float32
+    if packed:
+        Mpad, Nw = XT_pad.shape
+        Npad = Nw * 16
+        TN = 2048
+        if Npad % TN or eps.shape[0] != Npad:
+            raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
+                             "matching pre-permuted eps")
+        if row_valid is None:
+            raise ValueError("packed fold_affine needs row_valid")
+        N = Npad
+        xt = XT_pad
+        eps2d = eps.astype(f32).reshape(1, Npad)
+        lane_mask = row_valid.astype(f32).reshape(1, Npad)
+    else:
+        Mpad, N = XT_pad.shape
+        TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+        Npad = -(-N // TN) * TN
+        eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
+        xt = (XT_pad if Npad == N
+              else jnp.pad(XT_pad, ((0, 0), (0, Npad - N))))
+        lane_mask = (jnp.arange(Npad) < N).astype(f32).reshape(1, Npad)
+    nt = Npad // TN
+    G, K = pi.shape
+    F = 3 * K + 4
+
+    pkg, inner_sel = build_pkg_jacobi(
+        xsq_pad, g_assign_pad, valid_pad, p_arr, z_arr, pi, cva,
+        sigmaE, sigmaGG, block_order, inner_perm, B=B, J=J)
+    border = block_order.astype(jnp.int32)
+    beta2 = beta_pad.astype(f32).reshape(nb, 1, B)
+    labels2 = labels_pad.astype(jnp.int32).reshape(nb, 1, B)
+    gasr3 = g_assign_pad.astype(jnp.int32).reshape(nb, 1, B)
+    se1 = sigmaE.astype(f32).reshape(1)
+
+    def im_xt(r, ph, j, t, border_ref):
+        return (border_ref[r * J + j], t)
+
+    def im_blk3(r, ph, j, t, border_ref):
+        return (border_ref[r * J + j], 0, 0)
+
+    def im_round(r, ph, j, t, border_ref):
+        return (r, 0, 0)
+
+    def im_full(r, ph, j, t, border_ref):
+        return (0, 0)
+
+    def im_pos3(r, ph, j, t, border_ref):
+        return (r * J + j, 0, 0)
+
+    x_tile_w = TN // 16 if packed else TN
+    in_specs = [
+        pl.BlockSpec((B, x_tile_w), im_xt),                # xt
+        pl.BlockSpec((1, J, B), im_round),                 # inner perms
+        pl.BlockSpec((1, B * J, F), im_round),             # pkg
+        pl.BlockSpec((1, B, B), im_blk3),                  # gram
+        pl.BlockSpec((1, 1, B), im_blk3),                  # gas row
+        pl.BlockSpec((1, 1, B), im_blk3),                  # beta
+        pl.BlockSpec((1, 1, B), im_blk3),                  # labels
+        pl.BlockSpec((1, Npad), im_full),                  # eps
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # sigmaE (1,)
+    ]
+    args = [xt, inner_sel, pkg, gram, gasr3, beta2, labels2, eps2d, se1]
+    scratch = [
+        pltpu.VMEM((J * B, B), f32),                       # P (one-hot)
+        pltpu.VMEM((J * B, B), f32),                       # Gp (pos order)
+        pltpu.VMEM((2 * J, B), f32),                       # r ; beta0
+        pltpu.VMEM((J, B), f32),                           # delta (pos)
+        pltpu.VMEM((J, B), f32),                           # krec (pos)
+        pltpu.VMEM((J, B), f32),                           # delta (lane)
+    ]
+    if fold:
+        row_b = functools.partial(pl.BlockSpec, (1, 1, B), im_blk3)
+        srow3 = x_scale.astype(f32).reshape(nb, 1, B)
+        msrow3 = (x_mean.astype(f32) * x_scale.astype(f32)).reshape(nb, 1, B)
+        xsum3 = x_xsum.astype(f32).reshape(nb, 1, B)
+        in_specs += [row_b(), row_b(), row_b(),
+                     pl.BlockSpec(memory_space=pltpu.SMEM)]  # esum0 (1,)
+        args += [srow3, msrow3, xsum3, jnp.sum(eps2d, axis=1)]
+        scratch += [pltpu.VMEM((3 * J, B), f32),           # srow;msrow;xsum
+                    pltpu.VMEM((1 + J, 1), f32)]           # esum ; dms_j
+    out_specs = [
+        pl.BlockSpec((1, Npad), im_full),                  # eps_out
+        pl.BlockSpec((1, 1, B), im_pos3),                  # beta_out
+        pl.BlockSpec((1, 1, B), im_pos3),                  # labels_out
+        pl.BlockSpec((1, G * K), im_full),                 # v_out
+        pl.BlockSpec((1, G), im_full),                     # bacc_out
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Npad), f32),
+        jax.ShapeDtypeStruct((nb, 1, B), f32),
+        jax.ShapeDtypeStruct((nb, 1, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, G * K), f32),
+        jax.ShapeDtypeStruct((1, G), f32),
+    ]
+    kernel = functools.partial(_jacobi_kernel_f if fold else _jacobi_kernel,
+                               B=B, TN=TN, K=K, G=G, J=J, packed=packed)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr, 2, J, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    eps_o, beta_o, labels_o, v_o, bacc_o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+    )(border, *args)
+
+    if fold:
+        eps_o = eps_o * lane_mask  # re-zero drifted pad lanes
+    # beta/labels rows are position-ordered (row p = block border[p]);
+    # scatter back to the marker layout
+    lane = jnp.arange(B, dtype=border.dtype)
+    idx = (border[:, None] * B + lane[None, :]).reshape(-1)
+    beta_flat = jnp.zeros((Mpad,), f32).at[idx].set(beta_o.reshape(-1))
+    labels_flat = jnp.zeros((Mpad,), jnp.int32).at[idx].set(
+        labels_o.reshape(-1))
+    return SweepResult(
+        eps=eps_o[0, :N].astype(eps.dtype),
+        beta=beta_flat.astype(beta_pad.dtype),
+        labels=labels_flat,
+        v=v_o.reshape(G, K).astype(eps.dtype),
+        beta_acum=bacc_o[0].astype(eps.dtype),
+    )
