@@ -178,9 +178,11 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
         if fold:
             # code-domain r -> standardized domain (see pallas_sweep fold
             # notes); esum is the round-start sum over eps lanes, shared by
-            # all J blocks of the round
+            # all J blocks of the round.  Scalar read + splat (mosaic cannot
+            # broadcast a (1,1) vector to (J,B) in one op).
+            es = fold_sc[0, 0]
             rb_sc[0:J, :] = (rb_sc[0:J, :] * sms_sc[0:J, :]
-                             - sms_sc[J:2 * J, :] * fold_sc[0:1, 0:1])
+                             - sms_sc[J:2 * J, :] * es)
         # r rows to position order (one (1,B)x(B,B) MXU dot per block)
         for jj in range(J):
             rb_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(

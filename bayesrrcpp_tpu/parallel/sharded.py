@@ -415,15 +415,14 @@ class ShardedSpikeSlabSampler:
 
     # ---------------------------------------------------------------- step
 
-    def _step_local(self, state: SpikeSlabState, data: ShardedMarkerData):
-        """One Gibbs iteration on per-device shards (runs inside shard_map)."""
-        cfg = self.config
-        N, F, G = self.N, self.F, self.G
-        B, nb_loc, Mloc = self.B, self.nb_loc, self.Mloc
+    def _pre_marker(self, state: SpikeSlabState, data: ShardedMarkerData):
+        """Intercept + fixed-effect sweep (everything before the marker
+        sweep), on per-device shards; shared by the single-chain and fused
+        multi-chain step bodies (the latter vmaps this over chains)."""
+        N, F = self.N, self.F
         dt = self.dtype
-        im = lax.axis_index(AXIS_M)
-        (key, kmu, kforder, kfz, ksweep, ksE, ksF, ksG, kpi) = \
-            jax.random.split(state.key, 9)
+        keys = jax.random.split(state.key, 9)
+        (key, kmu, kforder, kfz, ksweep, ksE, ksF, ksG, kpi) = keys
 
         rv = data.row_valid
         # ---- intercept (masked so padded rows stay identically zero)
@@ -450,6 +449,17 @@ class ShardedSpikeSlabSampler:
                 return (eps, alpha), None
 
             (eps, alpha), _ = lax.scan(fbody, (eps, alpha), (forder, zf))
+        return keys, mu, eps, alpha, sigmaF
+
+    def _step_local(self, state: SpikeSlabState, data: ShardedMarkerData):
+        """One Gibbs iteration on per-device shards (runs inside shard_map)."""
+        cfg = self.config
+        N, F, G = self.N, self.F, self.G
+        B, nb_loc, Mloc = self.B, self.nb_loc, self.Mloc
+        dt = self.dtype
+        im = lax.axis_index(AXIS_M)
+        keys, mu, eps, alpha, sigmaF = self._pre_marker(state, data)
+        (key, kmu, kforder, kfz, ksweep, ksE, ksF, ksG, kpi) = keys
 
         # ---- marker sweep: one local block per round, psum'd eps update
         key_m = jax.random.fold_in(ksweep, im)
@@ -577,6 +587,179 @@ class ShardedSpikeSlabSampler:
             key=key, iteration=state.iteration + 1, mu=mu, beta=beta,
             labels=labels, eps=eps, sigmaE=sigmaE, sigmaGG=sigmaGG, pi=pi,
             alpha=alpha, sigmaF=sigmaF)
+
+    def _mc_step_local(self, state: SpikeSlabState, data: ShardedMarkerData):
+        """Fused multi-chain Gibbs iteration on per-device shards: state
+        leaves carry a leading chain axis C (sharded like the single-chain
+        state plus a replicated chain axis); each m-slice sweeps its local
+        blocks for ALL chains in ONE pallas kernel per chunk
+        (ops/pallas_multichain.py), with one cross-slice residual psum per
+        chunk.  Requires the pallas backend on an (m, 1) mesh -- the
+        standard >= 4-chain R-hat workflow at pod scale."""
+        from ..ops.pallas_multichain import bayesr_sweep_pallas_mc
+
+        nb_loc, B, G, K = self.nb_loc, self.B, self.G, self.K
+        dt = self.dtype
+        C = state.mu.shape[0]
+        im = lax.axis_index(AXIS_M)
+        keys, mu, eps, alpha, sigmaF = jax.vmap(
+            self._pre_marker, in_axes=(0, None))(state, data)
+        key, ksweep = keys[:, 0], keys[:, 4]
+        ksE, ksF, ksG, kpi = keys[:, 5], keys[:, 6], keys[:, 7], keys[:, 8]
+
+        # shared visit order from chain 0; independent per-chain marker-
+        # indexed p/z streams (the mc kernel's convention)
+        key_m = jax.random.fold_in(ksweep[0], im)
+        kb, ki = jax.random.split(key_m, 2)
+        border = jax.random.permutation(kb, nb_loc)
+        inner = jax.vmap(lambda k: jax.random.permutation(k, B))(
+            jax.random.split(ki, nb_loc))
+        kpz = jax.vmap(lambda k: jax.random.split(
+            jax.random.fold_in(k, im), 2))(ksweep)          # (C, 2, 2)
+        p_arr = jax.vmap(lambda k: jax.random.uniform(
+            k, (self.Mloc,), dtype=dt))(kpz[:, 0])
+        z_arr = jax.vmap(lambda k: jax.random.normal(
+            k, (self.Mloc,), dt))(kpz[:, 1])
+
+        Cchunk = min(self.chunk_blocks or 128, nb_loc)
+        beta, labels = state.beta, state.labels
+        v = lax.pcast(jnp.zeros((C, G, K), dt), (AXIS_M,), to="varying")
+        bacc = lax.pcast(jnp.zeros((C, G), dt), (AXIS_M,), to="varying")
+        for c0 in range(0, nb_loc, Cchunk):
+            cb = min(Cchunk, nb_loc - c0)
+            res = bayesr_sweep_pallas_mc(
+                data.XT, data.gram, data.xsq, eps, beta, labels,
+                lax.dynamic_slice_in_dim(border, c0, cb),
+                lax.dynamic_slice_in_dim(inner, c0, cb),
+                p_arr, z_arr, state.pi, data.cva, state.sigmaE,
+                state.sigmaGG, data.g_assign, data.valid,
+                interpret=self._pallas_interpret,
+                x_mean=data.x_mean if self.x_packed else None,
+                x_scale=data.x_scale if self.x_packed else None,
+                fold_affine=self._x_fold,
+                x_xsum=data.x_colsum if self.x_packed else None,
+                row_valid=data.row_valid if self.x_packed else None)
+            eps = eps + lax.psum(res.eps.astype(dt) - eps, AXIS_M)
+            beta, labels = res.beta.astype(dt), res.labels
+            v = v + res.v.astype(dt)
+            bacc = bacc + res.beta_acum.astype(dt)
+
+        def hyp(state_c, key_c, eps_c, mu_c, alpha_c, sigmaF_c, beta_c,
+                labels_c, v_c, bacc_c, ksE_c, ksF_c, ksG_c, kpi_c):
+            return self._hypers(state_c, data, key_c, eps_c, mu_c, alpha_c,
+                                sigmaF_c, beta_c, labels_c, v_c, bacc_c,
+                                ksE_c, ksF_c, ksG_c, kpi_c)
+
+        return jax.vmap(hyp)(state, key, eps, mu, alpha, sigmaF, beta,
+                             labels, v, bacc, ksE, ksF, ksG, kpi)
+
+    def init_chains(self, key, n_chains: int) -> SpikeSlabState:
+        """Batched fresh-chain init: state leaves gain a leading chain axis
+        (replicated over the mesh; everything else sharded as in init)."""
+        sh = lambda spec: NamedSharding(self.mesh, spec)
+        specs = jax.tree.map(lambda s: P(*((None,) + tuple(s))),
+                             self.state_specs)
+        fn = jax.jit(jax.vmap(self._init_impl, in_axes=(0, None, None)),
+                     out_shardings=jax.tree.map(sh, specs))
+        return fn(jax.random.split(key, n_chains), self.Y,
+                  self.data.prior_pi)
+
+    def _get_mc_run_steps(self, n: int, C: int):
+        kk = ("mc", n, C)
+        fn = self._run_steps_cache.get(kk)
+        if fn is None:
+            specs = jax.tree.map(lambda s: P(*((None,) + tuple(s))),
+                                 self.state_specs)
+
+            def body(state, data):
+                return lax.fori_loop(
+                    0, n, lambda i, s: self._mc_step_local(s, data), state)
+
+            fn = jax.jit(shard_map(body, self.mesh,
+                                   in_specs=(specs, self.data_specs),
+                                   out_specs=specs, check_vma=False),
+                         donate_argnums=(0,))
+            self._run_steps_cache[kk] = fn
+        return fn
+
+    def step_chains(self, state: SpikeSlabState) -> SpikeSlabState:
+        """One fused multi-chain iteration (state leaves batched over C);
+        pallas backend on an (m, 1) mesh only."""
+        if self.backend != "pallas":
+            raise ValueError("step_chains requires backend='pallas'")
+        C = state.mu.shape[0]
+        return self._get_mc_run_steps(1, C)(state, self.data)
+
+    def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
+                   collect: bool = True, emit_chunk: int = 32,
+                   progress=None):
+        """Run n_chains fused chains, all column-sharded over the mesh --
+        the aggregate-throughput R-hat workflow at pod scale (the reference
+        runs one chain per R process, src/BayesRv2.cpp:171).  Collected
+        arrays gain a chain axis after the emission axis."""
+        from ..models.driver import run_chain
+
+        if self.backend != "pallas":
+            raise ValueError("run_chains requires backend='pallas'")
+        state = self.init_chains(key, n_chains)
+        C = n_chains
+
+        if self.x_packed:
+            from .distributed import replicate
+            n_perm_np = np.asarray(replicate(self.data.n_perm, self.mesh))
+
+        def postprocess(rows):
+            rows["beta"] = rows["beta"][:, :, : self.M]
+            rows["comp"] = rows["comp"][:, :, : self.M]
+            if self.x_packed and self.config.emit_epsilon:
+                eps_orig = np.zeros_like(rows["epsilon"])
+                eps_orig[:, :, n_perm_np] = rows["epsilon"]
+                rows["epsilon"] = eps_orig[:, :, : self.N]
+            else:
+                rows["epsilon"] = rows["epsilon"][:, :, : self.N]
+            if not self.config.emit_epsilon:
+                rows["epsilon"] = rows["epsilon"][:, :, :0]
+            return rows
+
+        def emit_fn(st, n_emits, thinning):
+            kk = ("mc_emit", n_emits, thinning, C)
+            fn = self._emit_cache.get(kk)
+            if fn is None:
+                specs = jax.tree.map(lambda s: P(*((None,) + tuple(s))),
+                                     self.state_specs)
+                row_specs = {
+                    "iteration": P(None), "mu": P(None),
+                    "beta": P(None, None, AXIS_M),
+                    "sigmaE": P(None), "sigmaG": P(None),
+                    "comp": P(None, None, AXIS_M),
+                    "epsilon": P(None, None, AXIS_N),
+                    "alpha": P(None), "sigmaF": P(None),
+                }
+                if jax.process_count() > 1:
+                    row_specs = jax.tree.map(lambda _: P(), row_specs)
+
+                def body(state, data):
+                    def one(state, _):
+                        state = lax.fori_loop(
+                            0, thinning,
+                            lambda i, s: self._mc_step_local(s, data), state)
+                        return state, jax.vmap(self._emit_one)(state)
+
+                    return lax.scan(one, state, None, length=n_emits)
+
+                fn = jax.jit(shard_map(body, self.mesh,
+                                       in_specs=(specs, self.data_specs),
+                                       out_specs=(specs, row_specs),
+                                       check_vma=False),
+                             donate_argnums=(0,))
+                self._emit_cache[kk] = fn
+            return fn(st, self.data)
+
+        return run_chain(
+            state, chain,
+            steps_fn=lambda st, n: self._get_mc_run_steps(n, C)(st, self.data),
+            emit_fn=emit_fn, postprocess=postprocess, collect=collect,
+            emit_chunk=emit_chunk, progress=progress)
 
     # ------------------------------------------------------------- drivers
 

@@ -44,7 +44,7 @@ def cpu_reference_rate(N: int, n_markers: int = 2000) -> float:
 
 
 def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
-               chains=1, dtype_name="f32", label=""):
+               chains=1, dtype_name="f32", label="", jacobi=1):
     """Run one bench config; returns the result record."""
     import jax
     import jax.numpy as jnp
@@ -96,7 +96,8 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
     else:
         cva = np.array([0.0001, 0.001, 0.01], np.float64)
         smp = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
-                               transposed=True, dtype=dtype, **extra)
+                               transposed=True, dtype=dtype,
+                               jacobi_blocks=jacobi, **extra)
     jax.block_until_ready(smp.data.gram)
     setup_s = time.perf_counter() - t0
 
@@ -128,6 +129,7 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
            "snp_updates_per_sec": round(rate, 1),
            "N": N, "M": M, "iters": iters, "block": B,
            "sampler": sampler, "x_dtype": x_dtype, "chains": chains,
+           "jacobi": jacobi,
            "platform": platform,
            "iter_ms": round(1e3 * elapsed / iters, 1),
            "gibbs_iters_per_min": round(60 * iters / elapsed, 2),
@@ -145,6 +147,10 @@ SUITE = [
          x_dtype="dense"),
     dict(label="biobank-packed-1chain", N=100_352, M=503_808, iters=5,
          x_dtype="2bit"),
+    # single chain, J=8 Jacobi-batched serial solve (ops/pallas_jacobi.py);
+    # B=256 so the in-kernel P/Gp scratch fits VMEM
+    dict(label="biobank-packed-jacobi8", N=100_352, M=503_808, iters=5,
+         x_dtype="2bit", jacobi=8, B=256),
     dict(label="biobank-packed-8chain", N=100_352, M=503_808, iters=5,
          x_dtype="2bit", chains=8),
     dict(label="biobank-horseshoe", N=100_352, M=503_808, iters=5,
@@ -222,6 +228,7 @@ def main():
         x_dtype=os.environ.get("BENCH_XDTYPE", "dense"),
         sampler=os.environ.get("BENCH_SAMPLER", "bayesr"),
         chains=int(os.environ.get("BENCH_CHAINS", 1)),
+        jacobi=int(os.environ.get("BENCH_JACOBI", 1)),
         dtype_name=os.environ.get("BENCH_DTYPE", "f32"))
     base = cpu_reference_rate(rec["N"])
     rec["cpu_ref_rate"] = round(base, 1)

@@ -198,3 +198,27 @@ def test_sharded_packed_horseshoe(dosage_sim):
     bh = out["beta"].mean(0)
     assert np.isfinite(bh).all()
     assert np.corrcoef(bh[:10], beta_true[:10])[0, 1] > 0.85
+
+
+def test_sharded_run_chains_fused(sim):
+    """Fused multi-chain x column sharding: C chains swept in one kernel
+    per chunk on an (m, 1) mesh (VERDICT round-1 item 5)."""
+    s = ShardedSpikeSlabSampler(sim.X, sim.Y, CVA, BayesRConfig(block_size=32),
+                                make_mesh(4, 1), dtype=jnp.float32,
+                                backend="pallas", chunk_blocks=3)
+    chain = ChainConfig(max_iterations=120, burn_in=60, thinning=3)
+    _, out = s.run_chains(jax.random.PRNGKey(11), 3, chain)
+    assert out["beta"].shape[1] == 3           # chain axis
+    bh = out["beta"].mean(axis=(0, 1))         # pool chains
+    corr = np.corrcoef(sim.beta_true, bh[: s.M])[0, 1]
+    assert corr > 0.75, corr
+    # chains are genuinely distinct
+    assert np.std(out["sigmaE"], axis=1).max() > 0
+    # residual bookkeeping per chain
+    st = s.init_chains(jax.random.PRNGKey(12), 2)
+    st = s.step_chains(st)
+    beta = np.asarray(st.beta)[:, : s.M]
+    for c in range(2):
+        eps_direct = sim.Y - float(st.mu[c]) - sim.X @ beta[c]
+        np.testing.assert_allclose(np.asarray(st.eps)[c, : s.N], eps_direct,
+                                   atol=2e-3)
