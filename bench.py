@@ -147,16 +147,17 @@ SUITE = [
          x_dtype="dense"),
     dict(label="biobank-packed-1chain", N=100_352, M=503_808, iters=5,
          x_dtype="2bit"),
-    # single chain, J=8 Jacobi-batched serial solve (ops/pallas_jacobi.py);
-    # B=256 so the in-kernel P/Gp scratch fits VMEM
-    dict(label="biobank-packed-jacobi8", N=100_352, M=503_808, iters=5,
-         x_dtype="2bit", jacobi=8, B=256),
+    # single chain, J=16 Jacobi-batched serial solve (ops/pallas_jacobi.py);
+    # B=256 so the in-kernel P/Gp scratch fits VMEM.  Measured 165.9 ms/iter
+    # vs 439 ms for the serial kernel (BENCH.md round 2)
+    dict(label="biobank-packed-jacobi16", N=100_352, M=503_808, iters=5,
+         x_dtype="2bit", jacobi=16, B=256),
     dict(label="biobank-packed-8chain", N=100_352, M=503_808, iters=5,
          x_dtype="2bit", chains=8),
     dict(label="biobank-horseshoe", N=100_352, M=503_808, iters=5,
          x_dtype="2bit", sampler="horseshoe"),
 ]
-HEADLINE = "biobank-packed-1chain"
+HEADLINE = "biobank-packed-jacobi16"
 
 
 def main():
