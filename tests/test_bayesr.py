@@ -59,6 +59,7 @@ def test_residual_invariant(sim):
     np.testing.assert_allclose(np.asarray(st.eps), eps_direct, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_recovery_ungrouped(sim):
     """Posterior means recover simulated effects (vignette-style check,
     reference: src/BayesRv2.cpp:320-330)."""
@@ -81,6 +82,7 @@ def test_recovery_ungrouped(sim):
     assert out["epsilon"].shape[1] == s.N
 
 
+@pytest.mark.slow
 def test_groups_with_fixed_effects():
     sim = simulate.simulate_bayesr(seed=11, N=700, M=240, n_causal=30, h2=0.5,
                                    n_groups=2, n_fixed=3)
@@ -158,6 +160,7 @@ def test_checkpoint_resume_bitwise(sim):
     np.testing.assert_array_equal(np.asarray(st.eps), np.asarray(resumed.eps))
 
 
+@pytest.mark.slow
 def test_single_slab_component():
     """K=2 (one slab) -- the reference's own smoke config uses cva=0.5 scalar
     (src/BayesRv2.cpp:309,315); exercises the K-1==1 shapes in every backend."""

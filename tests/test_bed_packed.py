@@ -201,6 +201,7 @@ def test_packed_checkpoint_resume_bitwise(tmp_path):
     assert float(cont.sigmaE) == float(resumed.sigmaE)
 
 
+@pytest.mark.slow
 def test_groups_fixed_effects_packed(tmp_path):
     """Grouped variant (per-group cva/pi/sigmaG + fixed effects) on packed
     2-bit genotypes."""

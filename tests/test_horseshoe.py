@@ -50,6 +50,7 @@ def test_residual_invariant(sim):
     np.testing.assert_allclose(np.asarray(st.eps), eps_direct, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_recovery(sim):
     cfg = _hs_config(600, 400, 30)
     s = HorseshoeSampler(sim.X, sim.Y, cfg, backend="blocked", dtype=jnp.float64)

@@ -106,6 +106,7 @@ def test_jacobi_fold_quantized_equals_dense(x_dtype):
                                rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_jacobi_sampler_recovery():
     """Statistical validation of the J>1 Markov kernel: effect recovery on
     the embedded-smoke recipe (src/BayesRv2.cpp:298-315 scaled down),

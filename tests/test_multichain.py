@@ -118,6 +118,7 @@ def test_mc_equals_single_groups():
     _mc_vs_single(sim, np.tile(CVA, (2, 1)), g_assign=sim.g_assign, C=2)
 
 
+@pytest.mark.slow
 def test_mc_fused_full_chain_recovery():
     """run_chains(fused=True): chains are independent, finite, and recover
     the simulated effects."""

@@ -58,6 +58,7 @@ def test_residual_invariant_2d_mesh(sim):
     assert np.all(np.asarray(st.eps)[s.N:] == 0.0)
 
 
+@pytest.mark.slow
 def test_recovery_model_parallel(sim):
     """Block-Jacobi across 4 m-slices preserves the posterior (statistical)."""
     s = _sampler(sim, 4, 2)
@@ -73,6 +74,7 @@ def test_recovery_model_parallel(sim):
     assert out["epsilon"].shape[1] == s.N
 
 
+@pytest.mark.slow
 def test_groups_fixed_effects_sharded():
     sim = simulate.simulate_bayesr(seed=33, N=250, M=120, n_causal=15, h2=0.5,
                                    n_groups=2, n_fixed=2)
@@ -87,6 +89,7 @@ def test_groups_fixed_effects_sharded():
     assert np.isfinite(out["beta"]).all()
 
 
+@pytest.mark.slow
 def test_pallas_sharded_recovery(sim):
     """Pallas local sweeps + chunked psum on an (m, 1) mesh: posterior holds."""
     s = ShardedSpikeSlabSampler(sim.X, sim.Y, CVA, BayesRConfig(block_size=32),
@@ -105,6 +108,7 @@ def test_pallas_sharded_recovery(sim):
                                atol=5e-3)
 
 
+@pytest.mark.slow
 def test_sharded_horseshoe(sim):
     from bayesrrcpp_tpu import HorseshoeConfig
     from bayesrrcpp_tpu.parallel.sharded import ShardedHorseshoeSampler

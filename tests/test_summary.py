@@ -7,6 +7,9 @@ import pytest
 from bayesrrcpp_tpu import BayesRConfig, ChainConfig, SpikeSlabSampler, simulate
 from bayesrrcpp_tpu.utils import summary
 
+# every test consumes the module-scoped 4-chain 300-iteration run
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def run():
