@@ -7,6 +7,7 @@ and each shard's marker order comes from its first local chain).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bayesrrcpp_tpu import BayesRConfig, ChainConfig, SpikeSlabSampler, simulate
 from bayesrrcpp_tpu.parallel.chains import ChainParallelRunner, chain_mesh
@@ -38,6 +39,7 @@ def test_chain_parallel_matches_per_shard_fused():
                                    err_msg=f"shard {g} diverged")
 
 
+@pytest.mark.slow
 def test_chain_parallel_full_run():
     sim = simulate.simulate_bayesr(seed=92, N=200, M=64, n_causal=8, h2=0.6)
     s = SpikeSlabSampler(sim.X, sim.Y, np.array([0.001, 0.01, 0.1]),

@@ -85,6 +85,7 @@ def _nomissing_dosage(seed, N, M):
 
 
 @pytest.mark.parametrize("x_dtype", ["int8", "2bit"])
+@pytest.mark.slow
 def test_jacobi_fold_quantized_equals_dense(x_dtype):
     """Fold-affine quantized Jacobi == dense Jacobi (same chain keys)."""
     dosage, dense, y = _nomissing_dosage(41, 150, 96)

@@ -112,6 +112,7 @@ def test_mc_equals_single_ungrouped():
     _mc_vs_single(sim, CVA)
 
 
+@pytest.mark.slow
 def test_mc_equals_single_groups():
     sim = simulate.simulate_bayesr(seed=82, N=140, M=64, n_causal=8, h2=0.5,
                                    n_groups=2)
@@ -138,6 +139,7 @@ def test_mc_fused_full_chain_recovery():
     assert not np.allclose(bh[0], bh[1])
 
 
+@pytest.mark.slow
 def test_mc_fold_affine_int8():
     """Quantized no-missing X: fused MC == dense MC on the same matrix."""
     rng = np.random.default_rng(84)
@@ -168,6 +170,7 @@ def test_mc_fold_affine_int8():
                                rtol=3e-4, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_mc_quantized_missing_falls_back():
     rng = np.random.default_rng(85)
     dosage = rng.binomial(2, 0.4, size=(60, 32)).astype(float)
@@ -227,6 +230,7 @@ def test_hs_mc_equals_single():
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_hs_mc_full_chain():
     from bayesrrcpp_tpu import HorseshoeConfig, HorseshoeSampler
 

@@ -41,6 +41,7 @@ def test_pallas_equals_blocked_ungrouped():
                                    rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_equals_blocked_groups():
     sim = simulate.simulate_bayesr(seed=62, N=160, M=96, n_causal=12, h2=0.5,
                                    n_groups=3)
@@ -75,6 +76,7 @@ def test_pallas_padding_path():
     np.testing.assert_allclose(np.asarray(st.eps), eps_direct, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_equals_blocked_horseshoe():
     from bayesrrcpp_tpu import HorseshoeConfig, HorseshoeSampler
 
@@ -95,6 +97,7 @@ def test_pallas_equals_blocked_horseshoe():
     np.testing.assert_allclose(float(st_b.tau), float(st_p.tau), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_quantized_int8_equals_dense():
     """int8 in-kernel decode == dense f32 on the same standardized matrix."""
     rng = np.random.default_rng(65)
@@ -170,6 +173,7 @@ def test_packed_2bit_equals_dense():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chunked_calls_equal_single_call():
     """SMEM-bounded chunking (multiple pallas calls/sweep) is exact."""
     from bayesrrcpp_tpu.ops import block_sweep as bs
@@ -217,6 +221,7 @@ def _nomissing_dosage(seed, N, M):
     return dosage, dense, y
 
 
+@pytest.mark.slow
 def test_fold_affine_int8_equals_dense():
     """No-missing data activates the fold-affine raw-code kernel; it must
     match the dense f32 sweep (standardization applied post-dot)."""
@@ -277,6 +282,7 @@ def test_missing_data_disables_fold():
     assert np.isfinite(np.asarray(st.beta)).all()
 
 
+@pytest.mark.slow
 def test_prepacked_words_equal_host_packed():
     """Device-resident pre-packed words (the chunked Gram/stats build) must
     reproduce the host-packed 2-bit path exactly: same gram/xsq/colsums and
