@@ -127,6 +127,11 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
         SUB, W = 1, TN
 
         def x_sub(k):
+            # fold-mode int8 codes must cast before the dot (the compiled
+            # TPU lowering of a mixed int8 x f32 dot_general differs from
+            # the proven f32 path; matches pallas_sweep.py's fold branch)
+            if fold and xt_ref.dtype != jnp.float32:
+                return xt_ref[...].astype(f32)
             return xt_ref[...]
 
     first = jnp.logical_and(

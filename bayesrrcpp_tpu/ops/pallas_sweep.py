@@ -49,6 +49,14 @@ from .sweep import SweepResult
 # (tools/solve_ablation.py).  Comma-separated names; OFF in production.
 _ABLATE = frozenset(
     s for s in os.environ.get("BAYESR_SOLVE_ABLATE", "").split(",") if s)
+if _ABLATE:  # pragma: no cover - debug-only path
+    import warnings
+
+    warnings.warn(
+        f"BAYESR_SOLVE_ABLATE={sorted(_ABLATE)} is set: parts of the "
+        "production solve are DISABLED and sampling results are invalid. "
+        "This is a measurement-only mode (tools/solve_ablation.py).",
+        RuntimeWarning, stacklevel=2)
 
 
 def _selection_scalars(logL, p_s, K):

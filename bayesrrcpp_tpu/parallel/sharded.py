@@ -105,9 +105,9 @@ def _packed_shard_setup(mesh, X, x_on_device, prepacked, transposed, x_stats,
         m_real = min(hi, M) - lo      # real (non-pad) markers in this slab
         if m_real < 0:
             m_real = 0
-        mean_np = np.pad(np.asarray(x_stats[0], np.float64)[:m_real or None],
+        mean_np = np.pad(np.asarray(x_stats[0], np.float64)[:m_real],
                          (0, hi - lo - m_real)).astype(np.float32)
-        scl = np.asarray(x_stats[1], np.float64)[:m_real or None]
+        scl = np.asarray(x_stats[1], np.float64)[:m_real]
         scl = np.where(scl > 0, 1.0 / np.where(scl > 0, scl, 1.0), 0.0)
         scale_np = np.pad(scl, (0, hi - lo - m_real)).astype(np.float32)
         if x_process_shard and (words.shape[0] != m_real

@@ -22,9 +22,21 @@ REF = os.environ.get("GRAFT_REF", "/root/reference")
 
 DRIVERS = {
     # name -> (driver file, reference TU, needs_openmp)
+    #
+    # bayesr/groups/grstart compile WITHOUT -fopenmp: their emission sites
+    # carry an `#ifdef _OPENMP / #else` inline-writer branch (enqueue +
+    # immediate try_dequeue + write, e.g. src/BayesRv2Groups.cpp:322-329)
+    # that is single-threaded and drops nothing -- the OpenMP
+    # producer/consumer split instead races (the consumer exits as soon as
+    # flag==1 WITHOUT draining, src/BayesRv2Groups.cpp:340-355, and on a
+    # small box can drop every row).  HorseshoeR has no inline-writer
+    # branch (its consumer section alone opens the file and writes the
+    # header, src/HorseshoeR.cpp:271-297), so it must keep OpenMP and the
+    # test runs a long-enough chain that the consumer wakes while the
+    # producer still runs.
     "bayesr": ("driver_bayesr.cpp", "BayesRv2.cpp", False),
-    "groups": ("driver_groups.cpp", "BayesRv2Groups.cpp", True),
-    "grstart": ("driver_grstart.cpp", "BRv2Grstart.cpp", True),
+    "groups": ("driver_groups.cpp", "BayesRv2Groups.cpp", False),
+    "grstart": ("driver_grstart.cpp", "BRv2Grstart.cpp", False),
     "horseshoe": ("driver_horseshoe.cpp", "HorseshoeR.cpp", True),
 }
 

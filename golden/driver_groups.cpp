@@ -1,8 +1,8 @@
 // Standalone driver for the UNMODIFIED reference BayesRSamplerV2Groups
-// (/root/reference/src/BayesRv2Groups.cpp).  Needs -fopenmp (the file
-// includes <omp.h> unconditionally and only writes rows from the consumer
-// thread); the tape comparison matches rows by iteration, tolerating the
-// reference's documented tail-drop (src/BayesRv2Groups.cpp:340-355).
+// (/root/reference/src/BayesRv2Groups.cpp).  Compiled WITHOUT OpenMP so
+// the sampler's `#else` inline-writer branch runs (enqueue + immediate
+// dequeue + write, src/BayesRv2Groups.cpp:322-329): single-threaded,
+// deterministic, no consumer tail-drop race (src/BayesRv2Groups.cpp:340-355).
 //
 // argv: input.bin output.csv max_iter burn_in thinning sigma0 v0E s02E v0G s02G
 // input.bin: i64 N, M, G, Km1, F, X (N*M), Y (N), cva (G*Km1 col-major),

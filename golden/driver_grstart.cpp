@@ -1,6 +1,6 @@
 // Standalone driver for the UNMODIFIED reference BRV2Grstart
-// (/root/reference/src/BRv2Grstart.cpp).  Compiled with -fopenmp (see
-// driver_groups.cpp).
+// (/root/reference/src/BRv2Grstart.cpp).  Compiled WITHOUT OpenMP so the
+// inline-writer branch runs (see driver_groups.cpp).
 //
 // argv: input.bin output.csv max_iter burn_in thinning sigma0 v0E s02E v0G s02G
 // input.bin: i64 N, M, G, Km1, mu (1), beta (M), sigmaE (1), sigmaGG (G),

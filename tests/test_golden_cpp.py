@@ -94,9 +94,9 @@ def test_golden_cpp_groups(binaries, tmp_path):
     inp = str(tmp_path / "in.bin")
     gc.write_groups_input(inp, X, Y, cva2, g_assign, fixed)
     csv, trace = gc.run_ref(binaries["groups"], inp, str(tmp_path),
-                            [14, 10, 1, 1.0, *HYPS], seed=3)
+                            [44, 10, 1, 1.0, *HYPS], seed=3)
     tape = gc.Tape(gc.parse_trace(trace), rtol=1e-8)
-    rows = gc.mirror_groups(X, Y, cva2, g_assign, fixed, HYPS, 14, 10, 1,
+    rows = gc.mirror_groups(X, Y, cva2, g_assign, fixed, HYPS, 44, 10, 1,
                             tape)
     tape.done()
     _, csv_rows = gc.read_csv_rows(csv)
@@ -131,9 +131,9 @@ def test_golden_cpp_grstart(binaries, tmp_path):
     inp = str(tmp_path / "in.bin")
     gc.write_grstart_input(inp, X, start, cva2, g_assign)
     csv, trace = gc.run_ref(binaries["grstart"], inp, str(tmp_path),
-                            [14, 10, 1, 1.0, *HYPS], seed=4)
+                            [44, 10, 1, 1.0, *HYPS], seed=4)
     tape = gc.Tape(gc.parse_trace(trace), rtol=1e-8)
-    rows = gc.mirror_grstart(X, start, cva2, g_assign, HYPS, 14, 10, 1, tape)
+    rows = gc.mirror_grstart(X, start, cva2, g_assign, HYPS, 44, 10, 1, tape)
     tape.done()
     _, csv_rows = gc.read_csv_rows(csv)
     _compare(csv_rows, rows, M,
