@@ -93,7 +93,7 @@ class SpikeSlabSampler:
                  variant: Optional[str] = None, transposed: bool = False,
                  x_dtype: str = "dense", x_stats=None,
                  n_individuals: Optional[int] = None,
-                 jacobi_blocks: int = 1):
+                 jacobi_blocks: Optional[int] = None):
         if x_dtype not in ("dense", "int8", "2bit"):
             raise ValueError(f"unknown x_dtype {x_dtype!r}")
         if backend is None:
@@ -160,11 +160,18 @@ class SpikeSlabSampler:
         fixed = np.asarray(fixed)
         F = fixed.shape[1]
 
-        self.jacobi = int(jacobi_blocks)
+        auto_j = jacobi_blocks is None
+        self.jacobi = 1 if auto_j else int(jacobi_blocks)
         if self.jacobi < 1:
             raise ValueError("jacobi_blocks must be >= 1")
         B = min(config.block_size, 1 << max(1, (M - 1).bit_length()))
         B = max(8, min(B, config.block_size))
+        if auto_j and backend == "pallas":
+            # default to the Jacobi-batched kernel sized to (M, B, VMEM);
+            # J=1 (exact sequential) for small M (ops/pallas_jacobi.py)
+            from ..ops.pallas_jacobi import auto_jacobi
+
+            self.jacobi, B = auto_jacobi(M, B)
         # block count must be a multiple of the Jacobi round width J (the
         # fast kernel sweeps J blocks per round, ops/pallas_jacobi.py)
         unit = B * self.jacobi
@@ -225,8 +232,13 @@ class SpikeSlabSampler:
                 raise ValueError("jacobi_blocks > 1 requires the pallas "
                                  "backend")
             if self.x_quantized and not self._x_fold:
-                raise ValueError("jacobi_blocks > 1 supports dense or "
-                                 "missing-free quantized X only")
+                if auto_j:
+                    # real missing calls: only the single-chain in-kernel
+                    # decode path handles them; fall back to J=1
+                    self.jacobi = 1
+                else:
+                    raise ValueError("jacobi_blocks > 1 supports dense or "
+                                     "missing-free quantized X only")
 
         prior_pi = self._prior_pi(cva2)
         self.data = MarkerData(

@@ -63,7 +63,8 @@ class HorseshoeSampler:
                  backend: Optional[str] = None,
                  permutation: Optional[str] = None, transposed: bool = False,
                  x_dtype: str = "dense", x_stats=None,
-                 n_individuals: Optional[int] = None):
+                 n_individuals: Optional[int] = None,
+                 jacobi_blocks: Optional[int] = None):
         if x_dtype not in ("dense", "int8", "2bit"):
             raise ValueError(f"unknown x_dtype {x_dtype!r}")
         if backend is None:
@@ -100,11 +101,25 @@ class HorseshoeSampler:
             N, M = X.shape
         if Y.shape != (N,):
             raise ValueError("Y must have the same number of rows as X")
+        auto_j = jacobi_blocks is None
+        self.jacobi = 1 if auto_j else int(jacobi_blocks)
+        if self.jacobi < 1:
+            raise ValueError("jacobi_blocks must be >= 1")
         B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
-        Mpad = -(-M // B) * B
+        if auto_j and backend == "pallas":
+            # default to the Jacobi-batched kernel sized to (M, B, VMEM);
+            # J=1 (exact sequential) for small M (ops/pallas_jacobi.py)
+            from ..ops.pallas_jacobi import auto_jacobi
+
+            self.jacobi, B = auto_jacobi(M, B)
+        # block count must be a multiple of the Jacobi round width J (the
+        # fast kernel sweeps J blocks per round, ops/pallas_jacobi.py)
+        unit = B * self.jacobi
+        Mpad = -(-M // unit) * unit
         if Mpad // B >= 64:
             # 8-aligned block count at scale (same codegen blowup as bayesr)
-            Mpad = -(-M // (8 * B)) * (8 * B)
+            unit8 = B * 8 * self.jacobi // np.gcd(8, self.jacobi)
+            Mpad = -(-M // unit8) * unit8
         self.N, self.M, self.Mpad, self.B, self.nb = N, M, Mpad, B, Mpad // B
         self.config = config
         self.backend = backend
@@ -142,6 +157,17 @@ class HorseshoeSampler:
                     else jnp.zeros((0, 0, 0), self.dtype))
         self._pallas_interpret = jax.devices()[0].platform != "tpu"
         self._x_fold = self.x_quantized and not has_missing
+        if self.jacobi > 1:
+            if backend != "pallas":
+                raise ValueError("jacobi_blocks > 1 requires the pallas "
+                                 "backend")
+            if self.x_quantized and not self._x_fold:
+                if auto_j:
+                    # real missing calls: fall back to the exact J=1 kernel
+                    self.jacobi = 1
+                else:
+                    raise ValueError("jacobi_blocks > 1 supports dense or "
+                                     "missing-free quantized X only")
         self.data = HorseshoeData(XT=XT, xsq=xsq, gram=gram,
                                   valid=jnp.asarray(np.arange(Mpad) < M),
                                   x_mean=x_mean, x_scale=x_scale,
@@ -351,7 +377,20 @@ class HorseshoeSampler:
         z_arr = jax.random.normal(kz, (Mpad,), dt)
         if self.permutation == "blocked":
             border, inner = bs.block_orders(korder, nb, B)
-            if self.backend == "pallas":
+            if self.backend == "pallas" and self.jacobi > 1:
+                from ..ops.pallas_jacobi import horseshoe_jacobi_pallas
+
+                eps, beta = horseshoe_jacobi_pallas(
+                    data.XT, data.gram, data.xsq, eps, state.beta,
+                    border, inner, z_arr, state.lam, state.tau, state.c2,
+                    state.sigmaE, data.valid,
+                    J=self.jacobi, interpret=self._pallas_interpret,
+                    x_mean=data.x_mean if self.x_quantized else None,
+                    x_scale=data.x_scale if self.x_quantized else None,
+                    fold_affine=self._x_fold,
+                    x_xsum=data.x_colsum if self.x_quantized else None,
+                    row_valid=data.row_valid if self.x_packed else None)
+            elif self.backend == "pallas":
                 from ..ops.pallas_sweep import horseshoe_sweep_pallas
 
                 eps, beta = horseshoe_sweep_pallas(

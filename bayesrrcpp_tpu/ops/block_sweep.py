@@ -253,6 +253,48 @@ def bayesr_jacobi_sweep(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     return SweepResult(eps, beta, labels, v, bacc)
 
 
+def horseshoe_jacobi_sweep(XT_pad, gram, xsq_pad, eps, beta_pad,
+                           block_order, inner_perm, z_arr,
+                           lam_pad, tau, c2, sigmaE, valid_pad, *, J: int):
+    """Block-Jacobi dense horseshoe sweep: J blocks per round against the
+    round-start residual (plain-XLA oracle for
+    ops/pallas_jacobi.horseshoe_jacobi_pallas; J=1 is exactly
+    horseshoe_block_sweep).  Reference per-marker math:
+    src/HorseshoeR.cpp:219-240."""
+    Mpad, N = XT_pad.shape
+    nb, B, _ = gram.shape
+    nr = nb // J
+    bsel = block_order.reshape(nr, J)
+    inner_by = inner_perm[block_order].reshape(nr, J, B)
+    z_blk = z_arr.reshape(nr, J, B)
+
+    def round_body(carry, xs):
+        eps, beta = carry
+        bs, inners, z_r = xs
+        eps0 = eps                       # all J blocks see the round start
+        upd = jnp.zeros_like(eps)
+        for j in range(J):
+            start = bs[j] * B
+            Xb = lax.dynamic_slice_in_dim(XT_pad, start, B, axis=0)
+            Gb = gram[bs[j]]
+            beta_b = lax.dynamic_slice_in_dim(beta, start, B)
+            xsq_b = lax.dynamic_slice_in_dim(xsq_pad, start, B)
+            lam_b = lax.dynamic_slice_in_dim(lam_pad, start, B)
+            valid_b = lax.dynamic_slice_in_dim(valid_pad, start, B)
+            r = Xb @ eps0
+            r, beta_b, delta = horseshoe_inner_solve(
+                r, Gb, beta_b, xsq_b, lam_b, valid_b, inners[j], z_r[j],
+                tau, c2, sigmaE)
+            upd = upd + delta @ Xb
+            beta = lax.dynamic_update_slice_in_dim(beta, beta_b, start,
+                                                   axis=0)
+        return (eps0 - upd, beta), None
+
+    (eps, beta), _ = lax.scan(round_body, (eps, beta_pad),
+                              (bsel, inner_by, z_blk))
+    return eps, beta
+
+
 def horseshoe_block_sweep(XT_pad, gram, xsq_pad, eps, beta_pad,
                           block_order, inner_perm, z_arr,
                           lam_pad, tau, c2, sigmaE, valid_pad):

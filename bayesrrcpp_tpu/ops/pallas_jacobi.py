@@ -52,6 +52,32 @@ from jax.experimental.pallas import tpu as pltpu
 from .sweep import SweepResult
 
 
+def auto_jacobi(M: int, B: int):
+    """Default (J, B) for the Jacobi-batched sweep when the caller did not
+    pick one (VERDICT round-2 ask: the fast path without magic kwargs).
+
+    Constraints:
+    - VMEM: the kernel's two (J*B, B) f32 scratches (P one-hot + Gp) must
+      fit the ~16 MiB VMEM alongside the X tile / Gram block / pkg operands;
+      budget J*B^2 <= 2^20 elements (8 MiB for the pair).
+    - staleness: the cross-block Jacobi window is J*B markers per round;
+      cap it at M/8 so small problems stay (near-)sequential.  J=1 is the
+      exact sequential kernel.
+
+    B may shrink to 256 when that buys a larger J -- measured faster on v5e
+    (BENCH.md round 2: J=16/B=256 at 165.9 ms beats J=4-feasible B=512).
+    """
+    best_j, best_b = 1, B
+    for Bc in dict.fromkeys((B, min(B, 256))):
+        jmax_vmem = max(1, (1 << 20) // (Bc * Bc))
+        J = 1
+        while J * 2 <= jmax_vmem and (J * 2) * Bc * 8 <= M:
+            J *= 2
+        if J > best_j:
+            best_j, best_b = J, Bc
+    return best_j, best_b
+
+
 def build_pkg_jacobi(xsq, gas, valid, p, z, pi, cva, sigmaE, sigmaGG,
                      border, inner, *, B, J):
     """Per-iteration packed operand (nr, B*J, 3K+4): row s*J + j holds
@@ -330,6 +356,683 @@ def _jacobi_kernel_f(border_ref, xt_ref, inner_ref, pkg_ref, gram_ref,
                           srow_ref=srow_ref, msrow_ref=msrow_ref,
                           xsum_ref=xsum_ref, esum0_ref=esum0_ref,
                           sms_sc=sms_sc, fold_sc=fold_sc)
+
+
+def _round_solve_kernel(inner_ref, pkg_ref, gram_ref, gasr_ref,
+                        beta_ref, labels_ref, r_ref, se_ref,
+                        dlane_out, beta_out, labels_out, v_out, bacc_out,
+                        p_sc, gp_sc, rb_sc, dpos_sc, krec_sc,
+                        *, B, K, G, J):
+    """Solve-only round kernel: the batched serial phase of _jacobi_kernel
+    with r precomputed OUTSIDE (partial X'eps matmul + psum over the "n"
+    mesh axis) and the rank-1 eps update applied OUTSIDE (delta'X matmul +
+    psum over "m").  This is what makes the pallas fast path row-shardable
+    (Dn > 1): the two X-streaming passes become sharded XLA matmuls and
+    only the VMEM-sized sequential solve stays in pallas.
+
+    Inputs are one round's J blocks: r (J, B) lane-order standardized-domain
+    correlations, gram (J, B, B), beta/labels/gas (J, B), inner (J, B),
+    pkg (B*J, 3K+4) with row s*J + j = position s of block j
+    (build_pkg_jacobi layout).  Outputs dlane/beta/labels (J, B) lane-order
+    and the v/bacc accumulators.  Reference per-update semantics:
+    src/BayesRv2.cpp:186-245."""
+    ph = pl.program_id(0)
+    j = pl.program_id(1)
+    f32 = jnp.float32
+    sE = se_ref[0]
+
+    @pl.when(jnp.logical_and(ph == 0, j == 0))
+    def _init():
+        v_out[...] = jnp.zeros_like(v_out)
+        bacc_out[...] = jnp.zeros_like(bacc_out)
+
+    @pl.when(ph == 0)
+    def _per_block_precompute():
+        # one-hot permutation P_j[m, s] = (m == inner_j[s]); exact in f32
+        sub = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        pj = (sub == inner_ref[pl.ds(j, 1), :]).astype(f32)    # (B, B)
+        p_sc[pl.ds(j * B, B), :] = pj
+        gp1 = jax.lax.dot_general(gram_ref[0], pj, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        gp_sc[pl.ds(j * B, B), :] = jax.lax.dot_general(
+            pj, gp1, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        rb_sc[pl.ds(J + j, 1), :] = jax.lax.dot_general(
+            beta_ref[...], pj, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        rb_sc[pl.ds(j, 1), :] = r_ref[...]                     # lane order
+
+    @pl.when(jnp.logical_and(ph == 1, j == 0))
+    def _solve():
+        dpos_sc[...] = jnp.zeros_like(dpos_sc)
+        krec_sc[...] = jnp.full((J, B), -1.0, f32)
+        # r rows to position order (one (1,B)x(B,B) MXU dot per block)
+        for jj in range(J):
+            rb_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
+                rb_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(f32)
+        Kf = jnp.float32(K)
+        half_invsE = 0.5 / sE
+
+        def body(s, _):
+            row = pkg_ref[pl.ds(s * J, J), :]                  # (J, 3K+4)
+            lp = row[:, 0:K]
+            invd = row[:, K:2 * K]
+            sd = row[:, 2 * K:3 * K]
+            p_s = row[:, 3 * K:3 * K + 1]
+            z_s = row[:, 3 * K + 1:3 * K + 2]
+            xsq_j = row[:, 3 * K + 2:3 * K + 3]
+            okf = row[:, 3 * K + 3:3 * K + 4]
+
+            maskf = (lane == s).astype(f32)                    # (1, B)
+            both = jnp.sum(rb_sc[...] * maskf, axis=1, keepdims=True)
+            r_jl = both[0:J, :]                                # (J, 1)
+            beta_old = both[J:2 * J, :]
+
+            num = r_jl + beta_old * xsq_j                      # (J, 1)
+            muk = num * invd                                   # (J, K)
+            logL = lp + (half_invsE * num) * muk
+            logLs = logL[:, 1:]
+
+            # reference categorical draw with the overflow guard
+            # (src/BayesRv2.cpp:216-242), all J blocks in lockstep
+            k_sel = jnp.full((J, 1), Kf, f32)
+            acum = jnp.zeros((J, 1), f32)
+            for k in range(K):
+                lk = logL[:, k:k + 1]
+                guard = jnp.max(jnp.abs(logLs - lk), axis=1,
+                                keepdims=True) > 700.0
+                Ssum = jnp.sum(jnp.exp(logL - lk), axis=1, keepdims=True)
+                w = jnp.where(guard, jnp.zeros((J, 1), f32), 1.0 / Ssum)
+                acum = acum + w
+                hit = jnp.logical_and(p_s <= acum, k_sel == Kf)
+                k_sel = jnp.where(hit, jnp.float32(k), k_sel)
+            hitm = k_sel < Kf
+
+            selm = (kcol == k_sel).astype(f32)                 # (J, K)
+            mu_sel = jnp.sum(muk * selm, axis=1, keepdims=True)
+            sd_sel = jnp.sum(sd * selm, axis=1, keepdims=True)
+            beta_drawn = mu_sel + sd_sel * z_s
+            beta_new = jnp.where(hitm, beta_drawn, beta_old)
+            d = okf * (beta_new - beta_old)                    # (J, 1)
+
+            for jj in range(J):
+                rb_sc[pl.ds(jj, 1), :] -= (
+                    gp_sc[pl.ds(jj * B + s, 1), :] * d[jj:jj + 1, :])
+            dpos_sc[...] += maskf * d                          # (J, B)
+            take = okf * hitm.astype(f32)
+            kv = jnp.where(take > 0, k_sel, jnp.float32(-1.0))
+            krec_sc[...] += maskf * (kv + 1.0)
+            return ()
+
+        lax.fori_loop(0, B, body, (), unroll=False)
+
+    @pl.when(ph == 1)
+    def _reconstruct_block():
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
+                  == j).astype(f32)
+        dlane_j = jax.lax.dot_general(
+            jnp.sum(dpos_sc[...] * rowsel, axis=0, keepdims=True),
+            p_sc[pl.ds(j * B, B), :],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (1, B)
+        dlane_out[...] = dlane_j
+        beta_new_b = beta_ref[...] + dlane_j                   # (1, B)
+        beta_out[...] = beta_new_b
+        krec_j = jax.lax.dot_general(
+            jnp.sum(krec_sc[...] * rowsel, axis=0, keepdims=True),
+            p_sc[pl.ds(j * B, B), :],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (1, B)
+        labels_out[...] = jnp.where(krec_j >= 0.0, krec_j.astype(jnp.int32),
+                                    labels_ref[...])
+        gas_row = gasr_ref[...]                                # (1, B) int32
+        slab2 = jnp.where(krec_j > 0.0, beta_new_b * beta_new_b, 0.0)
+        vcols = []
+        bcols = []
+        for g in range(G):
+            gm = (gas_row == g).astype(f32)
+            for k in range(K):
+                km = (krec_j == jnp.float32(k)).astype(f32)
+                vcols.append(jnp.sum(km * gm, axis=1, keepdims=True))
+            bcols.append(jnp.sum(slab2 * gm, axis=1, keepdims=True))
+        v_out[...] += jnp.concatenate(vcols, axis=1)           # (1, G*K)
+        bacc_out[...] += jnp.concatenate(bcols, axis=1)        # (1, G)
+
+
+def bayesr_round_solve_pallas(r_rows, gram_rows, beta_rows, labels_rows,
+                              gas_rows, inner_rows, pkg, sigmaE, *,
+                              K: int, G: int, interpret: bool = False):
+    """One round's batched sequential solve for the split (row-shardable)
+    sweep.  All operands are the round's J blocks (VMEM-sized; no X):
+
+    r_rows (J, B) standardized-domain correlations (lane order),
+    gram_rows (J, B, B), beta/labels/gas_rows (J, B), inner_rows (J, B),
+    pkg (B*J, 3K+4) in build_pkg_jacobi row order, sigmaE scalar.
+
+    Returns (dlane (J, B), beta_new (J, B), labels_new (J, B),
+    v (G, K), bacc (G,)) -- all lane-order f32/int32.
+    """
+    J, B = r_rows.shape
+    f32 = jnp.float32
+
+    def im_full2(ph, j):
+        return (0, 0)
+
+    def im_j2(ph, j):
+        return (j, 0)
+
+    def im_j3(ph, j):
+        return (j, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(2, J),
+        in_specs=[
+            pl.BlockSpec((J, B), im_full2),                    # inner
+            pl.BlockSpec((B * J, 3 * K + 4), im_full2),        # pkg
+            pl.BlockSpec((1, B, B), im_j3),                    # gram
+            pl.BlockSpec((1, B), im_j2),                       # gas row
+            pl.BlockSpec((1, B), im_j2),                       # beta
+            pl.BlockSpec((1, B), im_j2),                       # labels
+            pl.BlockSpec((1, B), im_j2),                       # r
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # sigmaE (1,)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), im_j2),                       # dlane
+            pl.BlockSpec((1, B), im_j2),                       # beta_out
+            pl.BlockSpec((1, B), im_j2),                       # labels_out
+            pl.BlockSpec((1, G * K), im_full2),                # v_out
+            pl.BlockSpec((1, G), im_full2),                    # bacc_out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((J * B, B), f32),                       # P (one-hot)
+            pltpu.VMEM((J * B, B), f32),                       # Gp
+            pltpu.VMEM((2 * J, B), f32),                       # r ; beta0
+            pltpu.VMEM((J, B), f32),                           # delta (pos)
+            pltpu.VMEM((J, B), f32),                           # krec (pos)
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((J, B), f32),
+        jax.ShapeDtypeStruct((J, B), f32),
+        jax.ShapeDtypeStruct((J, B), jnp.int32),
+        jax.ShapeDtypeStruct((1, G * K), f32),
+        jax.ShapeDtypeStruct((1, G), f32),
+    ]
+    kernel = functools.partial(_round_solve_kernel, B=B, K=K, G=G, J=J)
+    dlane, beta_o, labels_o, v_o, bacc_o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(inner_rows.astype(jnp.int32), pkg.astype(f32),
+      gram_rows.astype(f32), gas_rows.astype(jnp.int32),
+      beta_rows.astype(f32), labels_rows.astype(jnp.int32),
+      r_rows.astype(f32), sigmaE.astype(f32).reshape(1))
+    return dlane, beta_o, labels_o, v_o.reshape(G, K), bacc_o.reshape(G)
+
+
+def _hs_round_solve_kernel(inner_ref, pkg_ref, gram_ref, beta_ref, r_ref,
+                           dlane_out, beta_out,
+                           p_sc, gp_sc, rb_sc, dpos_sc, *, B, J):
+    """Horseshoe solve-only round kernel (see _round_solve_kernel): the
+    dense conjugate draw has no selection loop or label/v/bacc outputs.
+    Reference per-update semantics: src/HorseshoeR.cpp:219-240."""
+    ph = pl.program_id(0)
+    j = pl.program_id(1)
+    f32 = jnp.float32
+
+    @pl.when(ph == 0)
+    def _per_block_precompute():
+        sub = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        pj = (sub == inner_ref[pl.ds(j, 1), :]).astype(f32)    # (B, B)
+        p_sc[pl.ds(j * B, B), :] = pj
+        gp1 = jax.lax.dot_general(gram_ref[0], pj, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        gp_sc[pl.ds(j * B, B), :] = jax.lax.dot_general(
+            pj, gp1, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        rb_sc[pl.ds(J + j, 1), :] = jax.lax.dot_general(
+            beta_ref[...], pj, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        rb_sc[pl.ds(j, 1), :] = r_ref[...]                     # lane order
+
+    @pl.when(jnp.logical_and(ph == 1, j == 0))
+    def _solve():
+        dpos_sc[...] = jnp.zeros_like(dpos_sc)
+        for jj in range(J):
+            rb_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
+                rb_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+        def body(s, _):
+            row = pkg_ref[pl.ds(s * J, J), :]                  # (J, 5)
+            invd = row[:, 0:1]
+            sd = row[:, 1:2]
+            z_s = row[:, 2:3]
+            xsq_j = row[:, 3:4]
+            okf = row[:, 4:5]
+
+            maskf = (lane == s).astype(f32)
+            both = jnp.sum(rb_sc[...] * maskf, axis=1, keepdims=True)
+            r_jl = both[0:J, :]
+            beta_old = both[J:2 * J, :]
+
+            num = r_jl + beta_old * xsq_j
+            beta_new = num * invd + sd * z_s
+            d = okf * (beta_new - beta_old)
+
+            for jj in range(J):
+                rb_sc[pl.ds(jj, 1), :] -= (
+                    gp_sc[pl.ds(jj * B + s, 1), :] * d[jj:jj + 1, :])
+            dpos_sc[...] += maskf * d
+            return ()
+
+        lax.fori_loop(0, B, body, (), unroll=False)
+
+    @pl.when(ph == 1)
+    def _reconstruct_block():
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
+                  == j).astype(f32)
+        dlane_j = jax.lax.dot_general(
+            jnp.sum(dpos_sc[...] * rowsel, axis=0, keepdims=True),
+            p_sc[pl.ds(j * B, B), :],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        dlane_out[...] = dlane_j
+        beta_out[...] = beta_ref[...] + dlane_j
+
+
+def horseshoe_round_solve_pallas(r_rows, gram_rows, beta_rows, inner_rows,
+                                 pkg, *, interpret: bool = False):
+    """One round's batched horseshoe solve for the split (row-shardable)
+    sweep.  pkg is (B*J, 5) in build_pkg_hs_jacobi row order.  Returns
+    (dlane (J, B), beta_new (J, B)) lane-order f32."""
+    J, B = r_rows.shape
+    f32 = jnp.float32
+
+    def im_full2(ph, j):
+        return (0, 0)
+
+    def im_j2(ph, j):
+        return (j, 0)
+
+    def im_j3(ph, j):
+        return (j, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(2, J),
+        in_specs=[
+            pl.BlockSpec((J, B), im_full2),                    # inner
+            pl.BlockSpec((B * J, 5), im_full2),                # pkg
+            pl.BlockSpec((1, B, B), im_j3),                    # gram
+            pl.BlockSpec((1, B), im_j2),                       # beta
+            pl.BlockSpec((1, B), im_j2),                       # r
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B), im_j2),                       # dlane
+            pl.BlockSpec((1, B), im_j2),                       # beta_out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((J * B, B), f32),                       # P
+            pltpu.VMEM((J * B, B), f32),                       # Gp
+            pltpu.VMEM((2 * J, B), f32),                       # r ; beta0
+            pltpu.VMEM((J, B), f32),                           # delta (pos)
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((J, B), f32),
+        jax.ShapeDtypeStruct((J, B), f32),
+    ]
+    kernel = functools.partial(_hs_round_solve_kernel, B=B, J=J)
+    dlane, beta_o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(inner_rows.astype(jnp.int32), pkg.astype(f32), gram_rows.astype(f32),
+      beta_rows.astype(f32), r_rows.astype(f32))
+    return dlane, beta_o
+
+
+def build_pkg_hs_jacobi(xsq, valid, z, lam, tau, c2, sigmaE,
+                        border, inner, *, B, J):
+    """Horseshoe per-iteration packed operand (nr, B*J, 5): row s*J + j
+    holds position s of the j-th block of the round, fields
+    [1/denom, sd, z, xsq, valid].
+
+    denom/sd use the regularized-horseshoe effective prior variance
+    s_j = tau*c2*lam_j/(tau*lam_j + c2) with lambda fixed during the sweep
+    (src/HorseshoeR.cpp:224, 234), evaluated vectorized over all markers
+    then gathered into sweep order.  Also returns the (nr, J, B) inner
+    permutation operand."""
+    f32 = jnp.float32
+    Mpad = xsq.shape[0]
+    nb = Mpad // B
+    nr = nb // J
+    xsq = xsq.astype(f32)
+    lam = lam.astype(f32)
+    tauf = tau.astype(f32)
+    sE = sigmaE.astype(f32)
+    s_j = tauf * c2 * lam / (tauf * lam + c2)
+    denom = xsq + sE / s_j
+    tbl = jnp.stack([1.0 / denom, jnp.sqrt(sE / denom), xsq,
+                     valid.astype(f32)], axis=1)              # (Mpad, 4)
+
+    bsel = border.reshape(nr, J)                              # (nr, J)
+    inner_sel = jnp.take(inner, bsel, axis=0)                 # (nr, J, B)
+    gidx = bsel[:, :, None] * B + inner_sel                   # (nr, J, B)
+    per = jnp.take(tbl, gidx.reshape(-1), axis=0).reshape(nr, J, B, 4)
+    z3 = z.astype(f32).reshape(nr, J, B)[..., None]           # position-idx
+    pkg = jnp.concatenate([per[..., :2], z3, per[..., 2:]], axis=3)
+    pkg = pkg.transpose(0, 2, 1, 3).reshape(nr, B * J, 5)     # row s*J + j
+    return pkg, inner_sel.astype(jnp.int32)
+
+
+def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
+                      xt_ref, inner_ref, pkg_ref, gram_ref,
+                      beta_ref, eps_ref,
+                      eps_out, beta_out,
+                      p_sc, gp_sc, rb_sc, dpos_sc, dlane_sc,
+                      *, B, TN, J, packed=False,
+                      srow_ref=None, msrow_ref=None, xsum_ref=None,
+                      esum0_ref=None, sms_sc=None, fold_sc=None):
+    """Jacobi-batched horseshoe sweep: J blocks of ONE chain per serial
+    step (src/HorseshoeR.cpp:219-240).  Identical phase structure to
+    _jacobi_kernel minus the selection loop and label/v/bacc outputs --
+    the per-step dependent chain is just num -> beta -> rank-1."""
+    r = pl.program_id(0)
+    ph = pl.program_id(1)
+    j = pl.program_id(2)
+    t = pl.program_id(3)
+    f32 = jnp.float32
+    fold = srow_ref is not None
+
+    if packed:
+        SUB, W = 16, TN // 16
+
+        def x_sub(k):
+            c = (xt_ref[...] >> (2 * k)) & 3                  # (B, W) int32
+            return c.astype(f32)
+    else:
+        SUB, W = 1, TN
+
+        def x_sub(k):
+            if fold and xt_ref.dtype != jnp.float32:
+                return xt_ref[...].astype(f32)
+            return xt_ref[...]
+
+    first = jnp.logical_and(
+        r == 0, jnp.logical_and(ph == 0, jnp.logical_and(j == 0, t == 0)))
+
+    @pl.when(first)
+    def _init():
+        eps_out[...] = eps_ref[...]
+        if fold:
+            fold_sc[0:1, :] = jnp.full((1, 1), esum0_ref[0], f32)
+
+    @pl.when(jnp.logical_and(ph == 0, t == 0))
+    def _per_block_precompute():
+        sub = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        pj = (sub == inner_ref[0, pl.ds(j, 1), :]).astype(f32)  # (B, B)
+        p_sc[pl.ds(j * B, B), :] = pj
+        gp1 = jax.lax.dot_general(gram_ref[0], pj, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        gp_sc[pl.ds(j * B, B), :] = jax.lax.dot_general(
+            pj, gp1, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        rb_sc[pl.ds(J + j, 1), :] = jax.lax.dot_general(
+            beta_ref[0], pj, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        rb_sc[pl.ds(j, 1), :] = jnp.zeros((1, B), f32)
+        if fold:
+            sms_sc[pl.ds(j, 1), :] = srow_ref[0]
+            sms_sc[pl.ds(J + j, 1), :] = msrow_ref[0]
+            sms_sc[pl.ds(2 * J + j, 1), :] = xsum_ref[0]
+
+    @pl.when(ph == 0)
+    def _accumulate_r():
+        for k in range(SUB):
+            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]      # (1, W)
+            rb_sc[pl.ds(j, 1), :] += jax.lax.dot_general(
+                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                   # (1, B)
+
+    @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(j == 0, t == 0)))
+    def _solve():
+        dpos_sc[...] = jnp.zeros_like(dpos_sc)
+        if fold:
+            es = fold_sc[0, 0]
+            rb_sc[0:J, :] = (rb_sc[0:J, :] * sms_sc[0:J, :]
+                             - sms_sc[J:2 * J, :] * es)
+        for jj in range(J):
+            rb_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
+                rb_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+
+        def body(s, _):
+            row = pkg_ref[0, pl.ds(s * J, J), :]              # (J, 5)
+            invd = row[:, 0:1]
+            sd = row[:, 1:2]
+            z_s = row[:, 2:3]
+            xsq_j = row[:, 3:4]
+            okf = row[:, 4:5]
+
+            maskf = (lane == s).astype(f32)                   # (1, B)
+            both = jnp.sum(rb_sc[...] * maskf, axis=1, keepdims=True)
+            r_jl = both[0:J, :]                               # (J, 1)
+            beta_old = both[J:2 * J, :]
+
+            num = r_jl + beta_old * xsq_j                     # (J, 1)
+            beta_new = num * invd + sd * z_s
+            d = okf * (beta_new - beta_old)                   # (J, 1)
+
+            for jj in range(J):
+                rb_sc[pl.ds(jj, 1), :] -= (
+                    gp_sc[pl.ds(jj * B + s, 1), :] * d[jj:jj + 1, :])
+            dpos_sc[...] += maskf * d                         # (J, B)
+            return ()
+
+        lax.fori_loop(0, B, body, (), unroll=False)
+
+        for jj in range(J):
+            dlane_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
+                dpos_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        if fold:
+            dl = dlane_sc[...]                                # (J, B)
+            sub = jnp.sum(dl * sms_sc[2 * J:3 * J, :], axis=1, keepdims=True)
+            fold_sc[0:1, :] -= jnp.sum(sub, axis=0, keepdims=True)
+            fold_sc[1:1 + J, :] = jnp.sum(dl * sms_sc[J:2 * J, :], axis=1,
+                                          keepdims=True)
+            dlane_sc[...] = dl * sms_sc[0:J, :]
+
+    @pl.when(jnp.logical_and(ph == 1, t == 0))
+    def _reconstruct_block():
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
+                  == j).astype(f32)
+        dlane_j = jax.lax.dot_general(
+            jnp.sum(dpos_sc[...] * rowsel, axis=0, keepdims=True),
+            p_sc[pl.ds(j * B, B), :],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (1, B)
+        beta_out[0] = beta_ref[0] + dlane_j
+
+    @pl.when(ph == 1)
+    def _apply_update():
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
+                  == j).astype(f32)
+        dl = jnp.sum(dlane_sc[...] * rowsel, axis=0, keepdims=True)  # (1, B)
+        for k in range(SUB):
+            upd = jax.lax.dot_general(
+                dl, x_sub(k), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                   # (1, W)
+            if fold:
+                upd = upd - fold_sc[pl.ds(1 + j, 1), :]
+            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+
+
+def _hs_jacobi_kernel_f(border_ref, xt_ref, inner_ref, pkg_ref, gram_ref,
+                        beta_ref, eps_ref,
+                        srow_ref, msrow_ref, xsum_ref, esum0_ref,
+                        eps_out, beta_out,
+                        p_sc, gp_sc, rb_sc, dpos_sc, dlane_sc,
+                        sms_sc, fold_sc, *, B, TN, J, packed=False):
+    """Fold-affine positional-argument adapter (see _jacobi_kernel_f)."""
+    return _hs_jacobi_kernel(border_ref, xt_ref, inner_ref, pkg_ref,
+                             gram_ref, beta_ref, eps_ref,
+                             eps_out, beta_out,
+                             p_sc, gp_sc, rb_sc, dpos_sc, dlane_sc,
+                             B=B, TN=TN, J=J, packed=packed,
+                             srow_ref=srow_ref, msrow_ref=msrow_ref,
+                             xsum_ref=xsum_ref, esum0_ref=esum0_ref,
+                             sms_sc=sms_sc, fold_sc=fold_sc)
+
+
+def horseshoe_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
+                            block_order, inner_perm, z_arr,
+                            lam_pad, tau, c2, sigmaE, valid_pad,
+                            *, J: int = 8, tile_n: int = 512,
+                            interpret: bool = False,
+                            x_mean=None, x_scale=None, x_xsum=None,
+                            fold_affine: bool = False, row_valid=None):
+    """Jacobi-batched drop-in for horseshoe_sweep_pallas (J blocks/round).
+
+    Same argument conventions as ops.pallas_sweep.horseshoe_sweep_pallas;
+    supports dense f32 X and the fold-affine raw-code paths (int8 / 2-bit
+    packed, no real missing calls).  J must divide the block count.
+    Semantics: exact sequential within each block, block-Jacobi across the
+    J blocks of a round (see the module docstring); J=1 equals the serial
+    kernel's math exactly.
+    """
+    nb, B, _ = gram.shape
+    if nb % J:
+        raise ValueError(f"jacobi sweep needs J | nb (J={J}, nb={nb})")
+    nr = nb // J
+    quantized = x_mean is not None
+    packed = quantized and XT_pad.dtype == jnp.int32
+    fold = bool(fold_affine) and quantized
+    if quantized and not fold:
+        raise ValueError("jacobi sweep supports dense or fold-affine "
+                         "quantized X only (missing calls: use the "
+                         "single-chain kernel)")
+    f32 = jnp.float32
+    if packed:
+        Mpad, Nw = XT_pad.shape
+        Npad = Nw * 16
+        TN = 2048
+        if Npad % TN or eps.shape[0] != Npad:
+            raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
+                             "matching pre-permuted eps")
+        if row_valid is None:
+            raise ValueError("packed fold_affine needs row_valid")
+        N = Npad
+        xt = XT_pad
+        eps2d = eps.astype(f32).reshape(1, Npad)
+        lane_mask = row_valid.astype(f32).reshape(1, Npad)
+    else:
+        Mpad, N = XT_pad.shape
+        TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+        Npad = -(-N // TN) * TN
+        eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
+        xt = (XT_pad if Npad == N
+              else jnp.pad(XT_pad, ((0, 0), (0, Npad - N))))
+        lane_mask = (jnp.arange(Npad) < N).astype(f32).reshape(1, Npad)
+    nt = Npad // TN
+
+    pkg, inner_sel = build_pkg_hs_jacobi(
+        xsq_pad, valid_pad, z_arr, lam_pad, tau, c2, sigmaE,
+        block_order, inner_perm, B=B, J=J)
+    border = block_order.astype(jnp.int32)
+    beta2 = beta_pad.astype(f32).reshape(nb, 1, B)
+
+    def im_xt(r, ph, j, t, border_ref):
+        return (border_ref[r * J + j], t)
+
+    def im_blk3(r, ph, j, t, border_ref):
+        return (border_ref[r * J + j], 0, 0)
+
+    def im_round(r, ph, j, t, border_ref):
+        return (r, 0, 0)
+
+    def im_full(r, ph, j, t, border_ref):
+        return (0, 0)
+
+    def im_pos3(r, ph, j, t, border_ref):
+        return (r * J + j, 0, 0)
+
+    x_tile_w = TN // 16 if packed else TN
+    in_specs = [
+        pl.BlockSpec((B, x_tile_w), im_xt),                   # xt
+        pl.BlockSpec((1, J, B), im_round),                    # inner perms
+        pl.BlockSpec((1, B * J, 5), im_round),                # pkg
+        pl.BlockSpec((1, B, B), im_blk3),                     # gram
+        pl.BlockSpec((1, 1, B), im_blk3),                     # beta
+        pl.BlockSpec((1, Npad), im_full),                     # eps
+    ]
+    args = [xt, inner_sel, pkg, gram, beta2, eps2d]
+    scratch = [
+        pltpu.VMEM((J * B, B), f32),                          # P (one-hot)
+        pltpu.VMEM((J * B, B), f32),                          # Gp (pos order)
+        pltpu.VMEM((2 * J, B), f32),                          # r ; beta0
+        pltpu.VMEM((J, B), f32),                              # delta (pos)
+        pltpu.VMEM((J, B), f32),                              # delta (lane)
+    ]
+    if fold:
+        row_b = functools.partial(pl.BlockSpec, (1, 1, B), im_blk3)
+        srow3 = x_scale.astype(f32).reshape(nb, 1, B)
+        msrow3 = (x_mean.astype(f32) * x_scale.astype(f32)).reshape(nb, 1, B)
+        xsum3 = x_xsum.astype(f32).reshape(nb, 1, B)
+        in_specs += [row_b(), row_b(), row_b(),
+                     pl.BlockSpec(memory_space=pltpu.SMEM)]   # esum0 (1,)
+        args += [srow3, msrow3, xsum3, jnp.sum(eps2d, axis=1)]
+        scratch += [pltpu.VMEM((3 * J, B), f32),              # srow;msrow;xsum
+                    pltpu.VMEM((1 + J, 1), f32)]              # esum ; dms_j
+    out_specs = [
+        pl.BlockSpec((1, Npad), im_full),                     # eps_out
+        pl.BlockSpec((1, 1, B), im_pos3),                     # beta_out
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Npad), f32),
+        jax.ShapeDtypeStruct((nb, 1, B), f32),
+    ]
+    kernel = functools.partial(
+        _hs_jacobi_kernel_f if fold else _hs_jacobi_kernel,
+        B=B, TN=TN, J=J, packed=packed)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr, 2, J, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    eps_o, beta_o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+    )(border, *args)
+
+    if fold:
+        eps_o = eps_o * lane_mask  # re-zero drifted pad lanes
+    lane = jnp.arange(B, dtype=border.dtype)
+    idx = (border[:, None] * B + lane[None, :]).reshape(-1)
+    beta_flat = jnp.zeros((Mpad,), f32).at[idx].set(beta_o.reshape(-1))
+    return (eps_o[0, :N].astype(eps.dtype),
+            beta_flat.astype(beta_pad.dtype))
 
 
 def bayesr_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,

@@ -170,7 +170,8 @@ class ShardedSpikeSlabSampler:
                  n_individuals: Optional[int] = None,
                  has_missing: Optional[bool] = None,
                  x_process_shard: bool = False,
-                 n_markers: Optional[int] = None):
+                 n_markers: Optional[int] = None,
+                 split_sweep: Optional[bool] = None):
         if tuple(mesh.axis_names) != (AXIS_M, AXIS_N):
             raise ValueError("mesh must have axis names ('m', 'n')")
         if x_dtype not in ("dense", "2bit"):
@@ -183,11 +184,21 @@ class ShardedSpikeSlabSampler:
             raise ValueError(f"unknown backend {backend!r}")
         if x_dtype == "2bit" and backend != "pallas":
             raise ValueError("x_dtype='2bit' requires backend='pallas'")
-        if backend == "pallas" and self.Dn != 1:
-            # the pallas local sweep computes r from full rows; shard markers
-            # only and keep eps replicated (eps is KBs, X is GBs -- the
-            # natural BayesR layout at pod scale)
-            raise ValueError("backend='pallas' requires an (m, 1) mesh")
+        # pallas on an (m, n>1) mesh runs the SPLIT sweep: partial
+        # r = X'eps as a sharded XLA matmul (+psum over "n"), the
+        # VMEM-sized batched serial solve in a solve-only pallas kernel
+        # (ops/pallas_jacobi.bayesr_round_solve_pallas), and the rank-1
+        # eps update as a sharded matmul (+psum over "m").  Dn == 1 keeps
+        # the fused in-kernel path (eps resident in VMEM, X streamed
+        # twice); ``split_sweep=True`` forces the split path there too
+        # (used by the n-axis exactness tests).
+        self._split = (backend == "pallas"
+                       and (self.Dn > 1 if split_sweep is None
+                            else bool(split_sweep)))
+        if backend == "pallas" and self.Dn != 1 and x_dtype != "dense":
+            raise ValueError("backend='pallas' with Dn > 1 supports dense "
+                             "f32 X only (2-bit packed: use an (m, 1) "
+                             "mesh, where X words cannot row-shard)")
         self.backend = backend
         # blocks each m-slice sweeps between cross-slice residual syncs:
         # 1 = tightest (one psum per block round), larger = fewer collectives
@@ -471,8 +482,12 @@ class ShardedSpikeSlabSampler:
         z_arr = jax.random.normal(kz, (nb_loc, B), dt)
 
         if self.backend == "pallas":
-            eps, beta, labels, v, bacc = self._pallas_local_sweep(
-                state, data, eps, border, inner, p_arr, z_arr)
+            if self._split:
+                eps, beta, labels, v, bacc = self._pallas_split_sweep(
+                    state, data, eps, border, inner, p_arr, z_arr)
+            else:
+                eps, beta, labels, v, bacc = self._pallas_local_sweep(
+                    state, data, eps, border, inner, p_arr, z_arr)
             return self._hypers(state, data, key, eps, mu, alpha, sigmaF,
                                 beta, labels, v, bacc, ksE, ksF, ksG, kpi)
 
@@ -548,6 +563,67 @@ class ShardedSpikeSlabSampler:
             beta, labels = res.beta, res.labels
             v = v + res.v
             bacc = bacc + res.beta_acum
+        return eps, beta, labels, v, bacc
+
+    def _pallas_split_sweep(self, state, data, eps, border, inner,
+                            p_arr, z_arr):
+        """Row-shardable (Dn > 1) pallas sweep: per round of J blocks,
+        r = X'eps is a sharded XLA matmul psum'd over "n", the batched
+        serial solve runs in the solve-only kernel (identical math to the
+        single-chip Jacobi kernel's solve phase), and the combined rank-1
+        eps update is a sharded matmul psum'd over "m".  Cross-block
+        semantics: exact sequential within a block, block-Jacobi across
+        the Dm*J blocks of a round -- the same relaxation as the fused
+        (m, 1) path per chunk."""
+        from ..ops.pallas_jacobi import (bayesr_round_solve_pallas,
+                                         build_pkg_jacobi)
+
+        nb_loc, B, G, K = self.nb_loc, self.B, self.G, self.K
+        dt = self.dtype
+        J = min(self.chunk_blocks or 8, nb_loc)
+        while nb_loc % J:       # largest divisor of the block count <= J
+            J -= 1
+        nr = nb_loc // J
+        # build_pkg_jacobi wants inner by BLOCK id; _step_local draws it by
+        # sweep position (border is a permutation, so scatter re-keys it)
+        inner_by_block = jnp.zeros_like(inner).at[border].set(inner)
+        pkg, inner_sel = build_pkg_jacobi(
+            data.xsq, data.g_assign, data.valid,
+            p_arr.reshape(-1), z_arr.reshape(-1),
+            state.pi, data.cva, state.sigmaE, state.sigmaGG,
+            border, inner_by_block, B=B, J=J)
+        bsel = border.reshape(nr, J).astype(jnp.int32)
+        lane = jnp.arange(B, dtype=jnp.int32)
+        Nloc = data.XT.shape[1]
+        XTb = data.XT.reshape(nb_loc, B, Nloc)
+        v0 = lax.pcast(jnp.zeros((G, K), dt), (AXIS_M,), to="varying")
+        bacc0 = lax.pcast(jnp.zeros((G,), dt), (AXIS_M,), to="varying")
+
+        def round_body(carry, xs):
+            eps, beta, labels, v, bacc = carry
+            bs_j, pkg_r, inner_r = xs
+            idx = (bs_j[:, None] * B + lane[None, :]).reshape(-1)  # (J*B,)
+            Xc = jnp.take(XTb, bs_j, axis=0).reshape(J * B, Nloc)
+            r = lax.psum(Xc @ eps, AXIS_N).reshape(J, B)
+            gram_r = jnp.take(data.gram, bs_j, axis=0)
+            beta_r = jnp.take(beta, idx).reshape(J, B)
+            labels_r = jnp.take(labels, idx).reshape(J, B)
+            gas_r = jnp.take(data.g_assign, idx).reshape(J, B)
+            dlane, beta_new, labels_new, v_r, bacc_r = \
+                bayesr_round_solve_pallas(
+                    r, gram_r, beta_r, labels_r, gas_r, inner_r, pkg_r,
+                    state.sigmaE, K=K, G=G,
+                    interpret=self._pallas_interpret)
+            upd = (dlane.reshape(1, J * B).astype(dt) @ Xc)[0]
+            eps = eps - lax.psum(upd, AXIS_M)
+            beta = beta.at[idx].set(beta_new.reshape(-1).astype(dt))
+            labels = labels.at[idx].set(labels_new.reshape(-1))
+            return (eps, beta, labels, v + v_r.astype(dt),
+                    bacc + bacc_r.astype(dt)), None
+
+        (eps, beta, labels, v, bacc), _ = lax.scan(
+            round_body, (eps, state.beta, state.labels, v0, bacc0),
+            (bsel, pkg, inner_sel))
         return eps, beta, labels, v, bacc
 
     def _hypers(self, state, data, key, eps, mu, alpha, sigmaF,
@@ -875,7 +951,8 @@ class ShardedHorseshoeSampler:
                  n_individuals: Optional[int] = None,
                  has_missing: Optional[bool] = None,
                  x_process_shard: bool = False,
-                 n_markers: Optional[int] = None):
+                 n_markers: Optional[int] = None,
+                 split_sweep: Optional[bool] = None):
         from ..models.state import HorseshoeState
         from ..ops.block_sweep import horseshoe_inner_solve  # noqa: F401
 
@@ -891,8 +968,13 @@ class ShardedHorseshoeSampler:
             raise ValueError(f"unknown backend {backend!r}")
         if x_dtype == "2bit" and backend != "pallas":
             raise ValueError("x_dtype='2bit' requires backend='pallas'")
-        if backend == "pallas" and self.Dn != 1:
-            raise ValueError("backend='pallas' requires an (m, 1) mesh")
+        # Dn > 1 runs the split sweep (see ShardedSpikeSlabSampler)
+        self._split = (backend == "pallas"
+                       and (self.Dn > 1 if split_sweep is None
+                            else bool(split_sweep)))
+        if backend == "pallas" and self.Dn != 1 and x_dtype != "dense":
+            raise ValueError("backend='pallas' with Dn > 1 supports dense "
+                             "f32 X only (2-bit packed: use an (m, 1) mesh)")
         self.backend = backend
         self.chunk_blocks = chunk_blocks
         self._pallas_interpret = jax.devices()[0].platform != "tpu"
@@ -1088,7 +1170,10 @@ class ShardedHorseshoeSampler:
             jax.random.split(ki, nb_loc))
         z_arr = jax.random.normal(kz, (nb_loc, B), dt)
 
-        if self.backend == "pallas":
+        if self.backend == "pallas" and self._split:
+            eps, beta = self._pallas_split_sweep(state, data, eps, border,
+                                                 inner, z_arr)
+        elif self.backend == "pallas":
             from ..ops.pallas_sweep import horseshoe_sweep_pallas
 
             C = min(self.chunk_blocks or 128, nb_loc)
@@ -1154,6 +1239,48 @@ class ShardedHorseshoeSampler:
             key=key, iteration=state.iteration + 1, mu=mu, beta=beta, eps=eps,
             sigmaE=sigmaE, lam=lam, v=v, tau=tau.astype(dt),
             eta=eta.astype(dt), c2=c2.astype(dt))
+
+    def _pallas_split_sweep(self, state, data, eps, border, inner, z_arr):
+        """Row-shardable (Dn > 1) horseshoe sweep; see
+        ShardedSpikeSlabSampler._pallas_split_sweep for the design."""
+        from ..ops.pallas_jacobi import (build_pkg_hs_jacobi,
+                                         horseshoe_round_solve_pallas)
+
+        nb_loc, B = self.nb_loc, self.B
+        dt = self.dtype
+        J = min(self.chunk_blocks or 8, nb_loc)
+        while nb_loc % J:
+            J -= 1
+        nr = nb_loc // J
+        inner_by_block = jnp.zeros_like(inner).at[border].set(inner)
+        pkg, inner_sel = build_pkg_hs_jacobi(
+            data["xsq"], data["valid"], z_arr.reshape(-1),
+            state.lam, state.tau, state.c2, state.sigmaE,
+            border, inner_by_block, B=B, J=J)
+        bsel = border.reshape(nr, J).astype(jnp.int32)
+        lane = jnp.arange(B, dtype=jnp.int32)
+        Nloc = data["XT"].shape[1]
+        XTb = data["XT"].reshape(nb_loc, B, Nloc)
+
+        def round_body(carry, xs):
+            eps, beta = carry
+            bs_j, pkg_r, inner_r = xs
+            idx = (bs_j[:, None] * B + lane[None, :]).reshape(-1)
+            Xc = jnp.take(XTb, bs_j, axis=0).reshape(J * B, Nloc)
+            r = lax.psum(Xc @ eps, AXIS_N).reshape(J, B)
+            gram_r = jnp.take(data["gram"], bs_j, axis=0)
+            beta_r = jnp.take(beta, idx).reshape(J, B)
+            dlane, beta_new = horseshoe_round_solve_pallas(
+                r, gram_r, beta_r, inner_r, pkg_r,
+                interpret=self._pallas_interpret)
+            upd = (dlane.reshape(1, J * B).astype(dt) @ Xc)[0]
+            eps = eps - lax.psum(upd, AXIS_M)
+            beta = beta.at[idx].set(beta_new.reshape(-1).astype(dt))
+            return (eps, beta), None
+
+        (eps, beta), _ = lax.scan(round_body, (eps, state.beta),
+                                  (bsel, pkg, inner_sel))
+        return eps, beta
 
     # ------------------------------------------------------------- drivers
 

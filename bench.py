@@ -44,7 +44,7 @@ def cpu_reference_rate(N: int, n_markers: int = 2000) -> float:
 
 
 def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
-               chains=1, dtype_name="f32", label="", jacobi=1):
+               chains=1, dtype_name="f32", label="", jacobi=None):
     """Run one bench config; returns the result record."""
     import jax
     import jax.numpy as jnp
@@ -92,7 +92,8 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
         from bayesrrcpp_tpu.models.horseshoe import HorseshoeSampler
 
         smp = HorseshoeSampler(XT, Y, HorseshoeConfig(block_size=B),
-                               transposed=True, dtype=jnp.float32, **extra)
+                               transposed=True, dtype=jnp.float32,
+                               jacobi_blocks=jacobi, **extra)
     else:
         cva = np.array([0.0001, 0.001, 0.01], np.float64)
         smp = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
@@ -129,7 +130,7 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
            "snp_updates_per_sec": round(rate, 1),
            "N": N, "M": M, "iters": iters, "block": B,
            "sampler": sampler, "x_dtype": x_dtype, "chains": chains,
-           "jacobi": jacobi,
+           "jacobi": smp.jacobi, "block_used": smp.B,
            "platform": platform,
            "iter_ms": round(1e3 * elapsed / iters, 1),
            "gibbs_iters_per_min": round(60 * iters / elapsed, 2),
@@ -229,7 +230,8 @@ def main():
         x_dtype=os.environ.get("BENCH_XDTYPE", "dense"),
         sampler=os.environ.get("BENCH_SAMPLER", "bayesr"),
         chains=int(os.environ.get("BENCH_CHAINS", 1)),
-        jacobi=int(os.environ.get("BENCH_JACOBI", 1)),
+        jacobi=(int(os.environ["BENCH_JACOBI"])
+                if os.environ.get("BENCH_JACOBI") else None),
         dtype_name=os.environ.get("BENCH_DTYPE", "f32"))
     base = cpu_reference_rate(rec["N"])
     rec["cpu_ref_rate"] = round(base, 1)

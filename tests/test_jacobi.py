@@ -11,9 +11,10 @@ import numpy as np
 import pytest
 
 from bayesrrcpp_tpu import BayesRConfig, ChainConfig, GroupsConfig, \
-    SpikeSlabSampler, simulate
+    HorseshoeConfig, HorseshoeSampler, SpikeSlabSampler, simulate
 from bayesrrcpp_tpu.ops import block_sweep as bs
-from bayesrrcpp_tpu.ops.pallas_jacobi import bayesr_jacobi_pallas
+from bayesrrcpp_tpu.ops.pallas_jacobi import (bayesr_jacobi_pallas,
+                                              horseshoe_jacobi_pallas)
 
 CVA = np.array([0.001, 0.01, 0.1])
 
@@ -118,6 +119,85 @@ def test_jacobi_sampler_recovery():
                          backend="pallas", dtype=jnp.float32,
                          jacobi_blocks=5)
     _, out = s.run(jax.random.PRNGKey(7), ChainConfig(150, 75, 5))
+    bh = out["beta"].mean(axis=0)
+    corr = np.corrcoef(sim.beta_true, bh)[0, 1]
+    assert corr > 0.8, corr
+    assert np.isfinite(out["sigmaE"]).all()
+
+
+def _hs_sweep_args(seed, N, M, B):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((N, M)).astype(np.float32)
+    XT = jnp.asarray(X.T)
+    xsq = jnp.sum(XT * XT, axis=1)
+    gram = bs.gram_blocks(XT, B)
+    nb = M // B
+    eps = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    beta = jnp.zeros(M, jnp.float32).at[3].set(0.25)
+    border, inner = bs.block_orders(jax.random.PRNGKey(seed), nb, B)
+    z = jax.random.normal(jax.random.PRNGKey(seed + 2), (M,), jnp.float32)
+    lam = jnp.asarray(rng.uniform(0.1, 2.0, M).astype(np.float32))
+    tau = jnp.float32(0.05)
+    c2 = jnp.float32(1.5)
+    sigmaE = jnp.float32(0.8)
+    valid = jnp.ones(M, bool)
+    return (XT, gram, xsq, eps, beta, border, inner, z,
+            lam, tau, c2, sigmaE, valid)
+
+
+@pytest.mark.parametrize("J", [2, 4])
+def test_hs_jacobi_kernel_equals_oracle(J):
+    args = _hs_sweep_args(51 + J, N=96, M=128, B=16)
+    eps_r, beta_r = bs.horseshoe_jacobi_sweep(*args, J=J)
+    eps_o, beta_o = horseshoe_jacobi_pallas(*args, J=J, interpret=True)
+    np.testing.assert_allclose(np.asarray(beta_r), np.asarray(beta_o),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(eps_r), np.asarray(eps_o),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_hs_jacobi_j1_equals_blocked():
+    """J=1 is sequential block order: must equal the blocked sweep."""
+    args = _hs_sweep_args(61, N=80, M=96, B=16)
+    eps_r, beta_r = bs.horseshoe_block_sweep(*args)
+    eps_o, beta_o = horseshoe_jacobi_pallas(*args, J=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(beta_r), np.asarray(beta_o),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(eps_r), np.asarray(eps_o),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_hs_jacobi_fold_quantized_equals_dense():
+    """Fold-affine 2-bit horseshoe Jacobi == dense Jacobi (same keys)."""
+    dosage, dense, y = _nomissing_dosage(43, 150, 96)
+    cfg = HorseshoeConfig(block_size=16)
+    s_d = HorseshoeSampler(dense, y, cfg, backend="pallas",
+                           dtype=jnp.float32, jacobi_blocks=3)
+    s_q = HorseshoeSampler(dosage, y, cfg, x_dtype="2bit",
+                           dtype=jnp.float32, jacobi_blocks=3)
+    assert s_q._x_fold
+    key = jax.random.PRNGKey(44)
+    st_d, st_q = s_d.init(key), s_q.init(key)
+    for _ in range(3):
+        st_d, st_q = s_d.step(st_d), s_q.step(st_q)
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_q.beta),
+                               rtol=3e-4, atol=3e-6)
+    np.testing.assert_allclose(float(st_d.sigmaE), float(st_q.sigmaE),
+                               rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_hs_jacobi_sampler_recovery():
+    """Statistical validation of the J>1 horseshoe Markov kernel on the
+    embedded-smoke recipe (src/HorseshoeR.cpp:305-325 scaled down)."""
+    sim = simulate.simulate_bayesr(seed=79, N=400, M=160, n_causal=16,
+                                   h2=0.5)
+    A = (1.0 / np.sqrt(400)) * 16.0 / (160 - 16.0)
+    s = HorseshoeSampler(sim.X, sim.Y, HorseshoeConfig(block_size=16, A=A),
+                         backend="pallas", dtype=jnp.float32,
+                         jacobi_blocks=5)
+    _, out = s.run(jax.random.PRNGKey(8), ChainConfig(150, 75, 5))
     bh = out["beta"].mean(axis=0)
     corr = np.corrcoef(sim.beta_true, bh)[0, 1]
     assert corr > 0.8, corr

@@ -131,6 +131,73 @@ def test_sharded_horseshoe(sim):
                                    atol=5e-3)
 
 
+def test_pallas_split_n_axis_exact(sim):
+    """Row-sharded pallas fast path (VERDICT round-2 #1): the (2,2)-mesh
+    split sweep matches the (2,1) split sweep -- the n axis only
+    reassociates the r psum and the rank-1 update."""
+    s22 = ShardedSpikeSlabSampler(sim.X, sim.Y, CVA,
+                                  BayesRConfig(block_size=32),
+                                  make_mesh(2, 2), dtype=jnp.float32,
+                                  backend="pallas")
+    s21 = ShardedSpikeSlabSampler(sim.X, sim.Y, CVA,
+                                  BayesRConfig(block_size=32),
+                                  make_mesh(2, 1), dtype=jnp.float32,
+                                  backend="pallas", split_sweep=True)
+    assert s22._split and s21._split
+    key = jax.random.PRNGKey(0)
+    st22, st21 = s22.init(key), s21.init(key)
+    for _ in range(3):
+        st22, st21 = s22.step(st22), s21.step(st21)
+    np.testing.assert_array_equal(np.asarray(st22.labels),
+                                  np.asarray(st21.labels))
+    np.testing.assert_allclose(np.asarray(st22.beta), np.asarray(st21.beta),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st22.eps), np.asarray(st21.eps),
+                               rtol=2e-4, atol=2e-5)
+    # residual bookkeeping stays tight (f32 kernel; the split path's
+    # invariant is ~100x tighter than the fused path's 5e-3 bound because
+    # eps updates are XLA matmuls in the state dtype)
+    beta = np.asarray(st22.beta)[: s22.M]
+    eps_direct = sim.Y - float(st22.mu) - sim.X @ beta
+    np.testing.assert_allclose(np.asarray(st22.eps)[: s22.N], eps_direct,
+                               atol=1e-5)
+
+
+def test_pallas_split_horseshoe_n_axis(sim):
+    from bayesrrcpp_tpu import HorseshoeConfig
+    from bayesrrcpp_tpu.parallel.sharded import ShardedHorseshoeSampler
+
+    cfg = HorseshoeConfig(A=0.05, block_size=32)
+    s22 = ShardedHorseshoeSampler(sim.X, sim.Y, cfg, make_mesh(2, 2),
+                                  dtype=jnp.float32, backend="pallas")
+    s21 = ShardedHorseshoeSampler(sim.X, sim.Y, cfg, make_mesh(2, 1),
+                                  dtype=jnp.float32, backend="pallas",
+                                  split_sweep=True)
+    key = jax.random.PRNGKey(0)
+    st22, st21 = s22.init(key), s21.init(key)
+    for _ in range(3):
+        st22, st21 = s22.step(st22), s21.step(st21)
+    np.testing.assert_allclose(np.asarray(st22.beta), np.asarray(st21.beta),
+                               rtol=2e-4, atol=2e-6)
+    beta = np.asarray(st22.beta)[: s22.M]
+    eps_direct = sim.Y - float(st22.mu) - sim.X @ beta
+    np.testing.assert_allclose(np.asarray(st22.eps)[: s22.N], eps_direct,
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_pallas_split_recovery(sim):
+    """Posterior recovery through the full (2,2)-mesh split-sweep chain."""
+    s = ShardedSpikeSlabSampler(sim.X, sim.Y, CVA, BayesRConfig(block_size=32),
+                                make_mesh(2, 2), dtype=jnp.float32,
+                                backend="pallas", chunk_blocks=2)
+    chain = ChainConfig(max_iterations=400, burn_in=200, thinning=2)
+    _, out = s.run(jax.random.PRNGKey(5), chain)
+    beta_hat = out["beta"].mean(axis=0)
+    corr = np.corrcoef(sim.beta_true, beta_hat)[0, 1]
+    assert corr > 0.8, corr
+
+
 # ------------------------------------------------------------ packed 2-bit X
 
 
