@@ -43,6 +43,101 @@ def cpu_reference_rate(N: int, n_markers: int = 2000) -> float:
     return n_markers / elapsed
 
 
+def _write_ref_input(path, dims, arrays):
+    import struct
+
+    with open(path, "wb") as f:
+        for d in dims:
+            f.write(struct.pack("<q", int(d)))
+        for a in arrays:
+            f.write(np.asarray(a, np.float64).tobytes(order="F"))
+
+
+def _time_ref(binary, inp, workdir, iters, extra_args):
+    """Wall-clock one reference run of `iters` iterations with emission
+    suppressed (thinning > iters -> no post-burn-in emissions, no CSV I/O;
+    no GRAFT_TRACE in env -> no RNG tracing)."""
+    import subprocess
+
+    csv = os.path.join(workdir, "t.csv")
+    env = {k: v for k, v in os.environ.items() if k != "GRAFT_TRACE"}
+    env["OMP_NUM_THREADS"] = "2"
+    args = [binary, inp, csv, str(iters), "1", "1000000"] + \
+        [str(a) for a in extra_args]
+    t0 = time.perf_counter()
+    r = subprocess.run(args, env=env, capture_output=True, text=True,
+                       timeout=900)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-500:])
+    return time.perf_counter() - t0
+
+
+def measured_reference_rates():
+    """SNP-updates/s of the COMPILED UNMODIFIED reference samplers
+    (golden/build.py -O3 timing build; the same translation units the
+    golden-parity tests pin bit-exactly) at BASELINE.md configs 1-3 scale.
+
+    Per-run setup cost (input parse + init pass) is removed by differencing
+    a long and a short chain.  The reference cannot represent the biobank
+    headline config at all (dense f64 X, src/BayesRv2.cpp:60), so the
+    headline ratio scales the measured rate linearly in N -- conservative,
+    since the reference's per-update working set (3 O(N) f64 passes,
+    src/BayesRv2.cpp:191,201,243) falls out of cache as N grows.
+
+    Returns {sampler: {...}} or None when the toolchain/reference tree is
+    unavailable (bench then falls back to the NumPy proxy)."""
+    import sys
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "golden"))
+    try:
+        from build import build_all
+
+        bins = build_all(opt=True)
+    except Exception:
+        return None
+    if not bins:
+        return None
+    rng = np.random.default_rng(7)
+    out = {}
+    hyps = [0.01, 0.001, 0.001, 0.001, 0.001]   # sigma0, v0E, s02E, v0G, s02G
+    # >= 10 iters: the reference's decile progress print divides by
+    # max_iterations/10 in integer math (src/BayesRv2.cpp:173) -> SIGFPE
+    # below 10
+    lo_it, hi_it = 10, 30
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            for name, N, M in (("bayesr", 2000, 10000),
+                               ("bayesr", 5000, 10000),
+                               ("horseshoe", 2000, 10000)):
+                X = rng.standard_normal((N, M))
+                X = (X - X.mean(0)) / X.std(0, ddof=1)
+                bt = np.zeros(M)
+                bt[:100] = rng.normal(0, 0.07, 100)
+                Y = X @ bt + rng.normal(0, 0.7, N)
+                inp = os.path.join(td, f"{name}_{N}.bin")
+                if name == "bayesr":
+                    _write_ref_input(inp, (N, M, 3),
+                                     (X, Y, np.array([0.001, 0.01, 0.1])))
+                    extra = hyps
+                else:
+                    _write_ref_input(inp, (N, M), (X, Y))
+                    A = (1.0 / np.sqrt(N)) * 100.0 / (M - 100.0)
+                    extra = [A, 0.001, 0.001, 1.0, 1.0, 1.0, 10.0, 10.0]
+                t_lo = _time_ref(bins[name], inp, td, lo_it, extra)
+                t_hi = _time_ref(bins[name], inp, td, hi_it, extra)
+                rate = M * (hi_it - lo_it) / max(t_hi - t_lo, 1e-9)
+                out[f"{name}-N{N}"] = {
+                    "sampler": name, "N": N, "M": M,
+                    "snp_updates_per_sec": round(rate, 1),
+                    "iters_timed": hi_it - lo_it,
+                    "platform": "cpu-reference(-O3)"}
+    except Exception as e:
+        out["error"] = repr(e)[:200]
+    return out or None
+
+
 def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
                chains=1, dtype_name="f32", label="", jacobi=None):
     """Run one bench config; returns the result record."""
@@ -204,13 +299,31 @@ def main():
                               "suite": suite}))
             return
         base = cpu_reference_rate(head["N"])
+        ref = measured_reference_rates()
+        vs = vs_kind = None
+        anchor = next((ref[k] for k in ("bayesr-N5000", "bayesr-N2000")
+                       if ref and k in ref), None)
+        if anchor:
+            # the reference cannot represent the headline config (dense f64
+            # X, src/BayesRv2.cpp:60); scale its measured rate linearly in
+            # N (per-update cost is 3 O(N) f64 passes, src/BayesRv2.cpp:
+            # 191,201,243), anchored at the largest measured N
+            ref_at_head = (anchor["snp_updates_per_sec"] * anchor["N"]
+                           / head["N"])
+            vs = round(head["snp_updates_per_sec"] / ref_at_head, 2)
+            vs_kind = "measured-reference-scaled-N"
+        if vs is None:
+            vs, vs_kind = round(head["snp_updates_per_sec"] / base, 2), \
+                "numpy-proxy"
         print(json.dumps({
             "metric": "snp_updates_per_sec",
             "value": head["snp_updates_per_sec"],
             "unit": "SNP-updates/s",
-            "vs_baseline": round(head["snp_updates_per_sec"] / base, 2),
+            "vs_baseline": vs,
+            "vs_baseline_kind": vs_kind,
             "headline": head["label"],
-            "cpu_ref_rate": round(base, 1),
+            "cpu_proxy_rate": round(base, 1),
+            "reference_measured": ref,
             "suite": suite,
         }))
         return

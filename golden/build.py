@@ -41,8 +41,13 @@ DRIVERS = {
 }
 
 
-def build_all(outdir: str | None = None, verbose: bool = False):
-    outdir = outdir or os.path.join(HERE, "build")
+def build_all(outdir: str | None = None, verbose: bool = False,
+              opt: bool = False):
+    """``opt=True`` builds TIMING binaries (-O3 -march=native, separate
+    outdir): same unmodified reference TUs, used by bench.py to measure the
+    actual reference per-SNP-update rate (BASELINE.md configs 1-3) instead
+    of a NumPy proxy."""
+    outdir = outdir or os.path.join(HERE, "build_opt" if opt else "build")
     gxx = shutil.which("g++")
     ref_src = os.path.join(REF, "src")
     if gxx is None or not os.path.isdir(ref_src):
@@ -57,13 +62,14 @@ def build_all(outdir: str | None = None, verbose: bool = False):
     srcs += [os.path.join(HERE, d[0]) for d in DRIVERS.values()]
     newest = max(os.path.getmtime(p) for p in srcs)
     fresh = os.path.exists(stamp) and os.path.getmtime(stamp) >= newest
+    opt_flags = (["-O3", "-march=native", "-DNDEBUG"] if opt else ["-O1"])
     for name, (driver, ref_tu, omp) in DRIVERS.items():
         binary = os.path.join(outdir, f"ref_{name}")
         out[name] = binary
         if fresh and os.path.exists(binary):
             continue
         cmd = [
-            gxx, "-O1", "-std=c++14", "-w",
+            gxx, *opt_flags, "-std=c++14", "-w",
             "-I", shim, "-include", os.path.join(shim, "graft_shim.h"),
             f"-DGRAFT_REF_SAMPLER=\"{os.path.join(ref_src, ref_tu)}\"",
             os.path.join(HERE, driver),
