@@ -277,6 +277,38 @@ def packed_stats_local(words_loc, mean_loc, scale_loc, *, N, B,
          jnp.zeros((Mloc,), f32)), varying))
 
 
+def int8_stats_local(codes_loc, mean_loc, scale_loc, *, B, varying=()):
+    """xsq / Gram blocks / decoded column sums for a LOCAL shard of int8
+    genotype codes ((Mloc, N) int8) -- runs inside shard_map, one m-slice
+    per device (the int8 analog of packed_stats_local; no lane permutation
+    in this storage mode).
+
+    Returns (xsq (Mloc,), gram (nb_loc, B, B), xsum (Mloc,))."""
+    f32 = jnp.float32
+    Mloc, N = codes_loc.shape
+    nb_loc = Mloc // B
+
+    def block_stats(i, carry):
+        xsq_a, gram_a, xsum_a = carry
+        blk = lax.dynamic_slice_in_dim(codes_loc, i * B, B)
+        mb = lax.dynamic_slice_in_dim(mean_loc, i * B, B)
+        sb = lax.dynamic_slice_in_dim(scale_loc, i * B, B)
+        g = blk.astype(f32)
+        x = (g - mb[:, None]) * sb[:, None]
+        x = jnp.where(blk == MISSING_CODE, 0.0, x)
+        z0 = jnp.zeros((), jnp.asarray(i).dtype)
+        return (lax.dynamic_update_slice_in_dim(
+                    xsq_a, jnp.sum(x * x, axis=1), i * B, 0),
+                lax.dynamic_update_slice(gram_a, (x @ x.T)[None],
+                                         (i, z0, z0)),
+                lax.dynamic_update_slice_in_dim(
+                    xsum_a, jnp.sum(x, axis=1), i * B, 0))
+
+    return lax.fori_loop(0, nb_loc, block_stats, _mark(
+        (jnp.zeros((Mloc,), f32), jnp.zeros((nb_loc, B, B), f32),
+         jnp.zeros((Mloc,), f32)), varying))
+
+
 def _mark(tree, varying):
     """Mark zero-init loop carries as varying over the given shard_map axes
     (required by shard_map's varying-manual-axis tracking)."""

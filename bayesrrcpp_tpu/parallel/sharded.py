@@ -160,6 +160,49 @@ def _packed_shard_setup(mesh, X, x_on_device, prepacked, transposed, x_stats,
             perm, has_missing)
 
 
+def _int8_shard_setup(mesh, X, transposed, x_stats, M, Mpad, B):
+    """int8-code device setup for the sharded samplers: codes sharded
+    P(m) (full rows, (m, 1) mesh), per-slice xsq/Gram/colsum built inside
+    shard_map (genotypes.int8_stats_local).  Returns
+    (XT, x_mean, x_scale, xsq, gram, x_colsum, has_missing)."""
+    from ..ops import genotypes
+
+    if x_stats is not None:
+        means = np.asarray(x_stats[0], np.float64)
+        sds = np.asarray(x_stats[1], np.float64)
+        codes = np.asarray(X if transposed else X.T, np.int8)
+    else:
+        Xh = np.asarray(X, np.float64)
+        XTh = np.ascontiguousarray(Xh if transposed else Xh.T)
+        means = np.nanmean(XTh, axis=1)
+        sds = np.nanstd(XTh, axis=1, ddof=1)
+        ch = np.where(np.isnan(XTh), float(genotypes.MISSING_CODE), XTh)
+        if not np.isin(np.unique(ch), [0.0, 1.0, 2.0, 3.0]).all():
+            raise ValueError(
+                "x_dtype='int8' expects raw dosages in {0,1,2} (+NaN)")
+        codes = ch.astype(np.int8)
+    has_missing = bool(np.any(codes == genotypes.MISSING_CODE))
+    scales = np.where(sds > 0, 1.0 / np.where(sds > 0, sds, 1.0), 0.0)
+    codes = np.pad(codes, ((0, Mpad - M), (0, 0)),
+                   constant_values=genotypes.MISSING_CODE)
+    XT = put_global(mesh, P(AXIS_M), codes)
+    x_mean = put_global(mesh, P(AXIS_M),
+                        np.pad(means, (0, Mpad - M)).astype(np.float32))
+    x_scale = put_global(mesh, P(AXIS_M),
+                         np.pad(scales, (0, Mpad - M)).astype(np.float32))
+
+    def shard_fn(c_loc, m_loc, s_loc):
+        return genotypes.int8_stats_local(c_loc, m_loc, s_loc, B=B,
+                                          varying=(AXIS_M,))
+
+    f = jax.jit(shard_map(
+        shard_fn, mesh,
+        in_specs=(P(AXIS_M), P(AXIS_M), P(AXIS_M)),
+        out_specs=(P(AXIS_M), P(AXIS_M, None, None), P(AXIS_M))))
+    xsq, gram, x_colsum = f(XT, x_mean, x_scale)
+    return XT, x_mean, x_scale, xsq, gram, x_colsum, has_missing
+
+
 class ShardedSpikeSlabSampler:
     """BayesR sampler sharded over a ("m", "n") device mesh."""
 
@@ -174,16 +217,16 @@ class ShardedSpikeSlabSampler:
                  split_sweep: Optional[bool] = None):
         if tuple(mesh.axis_names) != (AXIS_M, AXIS_N):
             raise ValueError("mesh must have axis names ('m', 'n')")
-        if x_dtype not in ("dense", "2bit"):
+        if x_dtype not in ("dense", "int8", "2bit"):
             raise ValueError(f"unknown x_dtype {x_dtype!r} (sharded supports "
-                             "dense f32 and 2-bit packed)")
+                             "dense f32, int8 codes, and 2-bit packed)")
         self.mesh = mesh
         self.Dm = mesh.shape[AXIS_M]
         self.Dn = mesh.shape[AXIS_N]
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
-        if x_dtype == "2bit" and backend != "pallas":
-            raise ValueError("x_dtype='2bit' requires backend='pallas'")
+        if x_dtype in ("int8", "2bit") and backend != "pallas":
+            raise ValueError(f"x_dtype={x_dtype!r} requires backend='pallas'")
         # pallas on an (m, n>1) mesh runs the SPLIT sweep: partial
         # r = X'eps as a sharded XLA matmul (+psum over "n"), the
         # VMEM-sized batched serial solve in a solve-only pallas kernel
@@ -197,8 +240,8 @@ class ShardedSpikeSlabSampler:
                             else bool(split_sweep)))
         if backend == "pallas" and self.Dn != 1 and x_dtype != "dense":
             raise ValueError("backend='pallas' with Dn > 1 supports dense "
-                             "f32 X only (2-bit packed: use an (m, 1) "
-                             "mesh, where X words cannot row-shard)")
+                             "f32 X only (quantized codes: use an (m, 1) "
+                             "mesh, where code rows cannot row-shard)")
         self.backend = backend
         # blocks each m-slice sweeps between cross-slice residual syncs:
         # 1 = tightest (one psum per block round), larger = fewer collectives
@@ -211,6 +254,7 @@ class ShardedSpikeSlabSampler:
         self.config = config
         self.dtype = jnp.dtype(dtype)
         self.x_packed = x_dtype == "2bit"
+        self.x_quantized = x_dtype in ("int8", "2bit")
 
         x_on_device = isinstance(X, jax.Array)
         if not x_on_device:
@@ -218,6 +262,9 @@ class ShardedSpikeSlabSampler:
         prepacked = self.x_packed and X.dtype == jnp.int32
         Y = np.asarray(Y)
         self.x_process_shard = bool(x_process_shard)
+        if self.x_process_shard and x_dtype == "int8":
+            raise ValueError("x_process_shard supports dense and pre-packed "
+                             "2-bit input (int8: pass the full code matrix)")
         if self.x_process_shard:
             # multi-host: X holds only THIS process's marker slice
             # (parallel/distributed.py::process_marker_range); the global
@@ -294,6 +341,12 @@ class ShardedSpikeSlabSampler:
                 mesh, X, x_on_device, prepacked, transposed, x_stats,
                 has_missing, M, N, Mpad, Npad, B,
                 x_process_shard=self.x_process_shard)
+        elif self.x_quantized:   # int8 codes, full rows on an (m, 1) mesh
+            (XT, x_mean, x_scale, xsq, gram, x_colsum,
+             self._has_missing) = _int8_shard_setup(
+                mesh, X, transposed, x_stats, M, Mpad, B)
+            row_valid = put_global(mesh, P(AXIS_N), np.arange(Npad) < N)
+            n_perm = empty_i
         else:
             self._has_missing = False
             if self.x_process_shard:
@@ -319,7 +372,7 @@ class ShardedSpikeSlabSampler:
             x_mean = x_scale = x_colsum = empty_f
             row_valid = put_global(mesh, P(AXIS_N), np.arange(Npad) < N)
             n_perm = empty_i
-        self._x_fold = self.x_packed and not self._has_missing
+        self._x_fold = self.x_quantized and not self._has_missing
 
         fixedTh = np.zeros((F, Npad), self.dtype)
         fixedTh[:, :N] = fixed.T
@@ -351,9 +404,9 @@ class ShardedSpikeSlabSampler:
             key=P(), iteration=P(), mu=P(), beta=P(AXIS_M), labels=P(AXIS_M),
             eps=P(AXIS_N), sigmaE=P(), sigmaGG=P(), pi=P(), alpha=P(),
             sigmaF=P())
-        mspec = P(AXIS_M) if self.x_packed else P()
+        mspec = P(AXIS_M) if self.x_quantized else P()
         self.data_specs = ShardedMarkerData(
-            XT=P(AXIS_M) if self.x_packed else P(AXIS_M, AXIS_N),
+            XT=P(AXIS_M) if self.x_quantized else P(AXIS_M, AXIS_N),
             xsq=P(AXIS_M), gram=P(AXIS_M, None, None),
             g_assign=P(AXIS_M), valid=P(AXIS_M), row_valid=P(AXIS_N),
             cva=P(), prior_pi=P(), fixedT=P(None, AXIS_N), fsq=P(),
@@ -553,10 +606,10 @@ class ShardedSpikeSlabSampler:
                 state.pi, data.cva, state.sigmaE, state.sigmaGG,
                 data.g_assign, data.valid,
                 interpret=self._pallas_interpret, inner_positional=True,
-                x_mean=data.x_mean if self.x_packed else None,
-                x_scale=data.x_scale if self.x_packed else None,
+                x_mean=data.x_mean if self.x_quantized else None,
+                x_scale=data.x_scale if self.x_quantized else None,
                 fold_affine=self._x_fold,
-                x_xsum=data.x_colsum if self.x_packed else None,
+                x_xsum=data.x_colsum if self.x_quantized else None,
                 row_valid=data.row_valid if self.x_packed else None)
             delta_eps = res.eps - eps
             eps = eps + lax.psum(delta_eps, AXIS_M)
@@ -710,10 +763,10 @@ class ShardedSpikeSlabSampler:
                 p_arr, z_arr, state.pi, data.cva, state.sigmaE,
                 state.sigmaGG, data.g_assign, data.valid,
                 interpret=self._pallas_interpret,
-                x_mean=data.x_mean if self.x_packed else None,
-                x_scale=data.x_scale if self.x_packed else None,
+                x_mean=data.x_mean if self.x_quantized else None,
+                x_scale=data.x_scale if self.x_quantized else None,
                 fold_affine=self._x_fold,
-                x_xsum=data.x_colsum if self.x_packed else None,
+                x_xsum=data.x_colsum if self.x_quantized else None,
                 row_valid=data.row_valid if self.x_packed else None)
             eps = eps + lax.psum(res.eps.astype(dt) - eps, AXIS_M)
             beta, labels = res.beta.astype(dt), res.labels
@@ -958,29 +1011,31 @@ class ShardedHorseshoeSampler:
 
         if tuple(mesh.axis_names) != (AXIS_M, AXIS_N):
             raise ValueError("mesh must have axis names ('m', 'n')")
-        if x_dtype not in ("dense", "2bit"):
+        if x_dtype not in ("dense", "int8", "2bit"):
             raise ValueError(f"unknown x_dtype {x_dtype!r} (sharded supports "
-                             "dense f32 and 2-bit packed)")
+                             "dense f32, int8 codes, and 2-bit packed)")
         self.mesh = mesh
         self.Dm = mesh.shape[AXIS_M]
         self.Dn = mesh.shape[AXIS_N]
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
-        if x_dtype == "2bit" and backend != "pallas":
-            raise ValueError("x_dtype='2bit' requires backend='pallas'")
+        if x_dtype in ("int8", "2bit") and backend != "pallas":
+            raise ValueError(f"x_dtype={x_dtype!r} requires backend='pallas'")
         # Dn > 1 runs the split sweep (see ShardedSpikeSlabSampler)
         self._split = (backend == "pallas"
                        and (self.Dn > 1 if split_sweep is None
                             else bool(split_sweep)))
         if backend == "pallas" and self.Dn != 1 and x_dtype != "dense":
             raise ValueError("backend='pallas' with Dn > 1 supports dense "
-                             "f32 X only (2-bit packed: use an (m, 1) mesh)")
+                             "f32 X only (quantized codes: use an (m, 1) "
+                             "mesh)")
         self.backend = backend
         self.chunk_blocks = chunk_blocks
         self._pallas_interpret = jax.devices()[0].platform != "tpu"
         self.config = config
         self.dtype = jnp.dtype(dtype)
         self.x_packed = x_dtype == "2bit"
+        self.x_quantized = x_dtype in ("int8", "2bit")
 
         x_on_device = isinstance(X, jax.Array)
         if not x_on_device:
@@ -1032,6 +1087,12 @@ class ShardedHorseshoeSampler:
                 mesh, X, x_on_device, prepacked, transposed, x_stats,
                 has_missing, M, N, Mpad, Npad, B,
                 x_process_shard=self.x_process_shard)
+        elif self.x_quantized:   # int8 codes, full rows on an (m, 1) mesh
+            (XT, x_mean, x_scale, xsq, gram, x_colsum,
+             self._has_missing) = _int8_shard_setup(
+                mesh, X, transposed, x_stats, M, Mpad, B)
+            row_valid = put_global(mesh, P(AXIS_N), np.arange(Npad) < N)
+            n_perm = empty_i
         else:
             self._has_missing = False
             if self.x_process_shard:
@@ -1057,7 +1118,7 @@ class ShardedHorseshoeSampler:
             x_mean = x_scale = x_colsum = empty_f
             row_valid = put_global(mesh, P(AXIS_N), np.arange(Npad) < N)
             n_perm = empty_i
-        self._x_fold = self.x_packed and not self._has_missing
+        self._x_fold = self.x_quantized and not self._has_missing
 
         Yh = np.pad(Y.astype(self.dtype), (0, Npad - N))
         if self.x_packed:
@@ -1076,9 +1137,9 @@ class ShardedHorseshoeSampler:
         self.state_specs = HorseshoeState(
             key=P(), iteration=P(), mu=P(), beta=P(AXIS_M), eps=P(AXIS_N),
             sigmaE=P(), lam=P(AXIS_M), v=P(AXIS_M), tau=P(), eta=P(), c2=P())
-        mspec = P(AXIS_M) if self.x_packed else P()
+        mspec = P(AXIS_M) if self.x_quantized else P()
         self.data_specs = {
-            "XT": P(AXIS_M) if self.x_packed else P(AXIS_M, AXIS_N),
+            "XT": P(AXIS_M) if self.x_quantized else P(AXIS_M, AXIS_N),
             "xsq": P(AXIS_M),
             "gram": P(AXIS_M, None, None), "valid": P(AXIS_M),
             "row_valid": P(AXIS_N),
@@ -1189,10 +1250,10 @@ class ShardedHorseshoeSampler:
                     state.lam, state.tau, state.c2, state.sigmaE,
                     data["valid"], interpret=self._pallas_interpret,
                     inner_positional=True,
-                    x_mean=data["x_mean"] if self.x_packed else None,
-                    x_scale=data["x_scale"] if self.x_packed else None,
+                    x_mean=data["x_mean"] if self.x_quantized else None,
+                    x_scale=data["x_scale"] if self.x_quantized else None,
                     fold_affine=self._x_fold,
-                    x_xsum=data["x_colsum"] if self.x_packed else None,
+                    x_xsum=data["x_colsum"] if self.x_quantized else None,
                     row_valid=data["row_valid"] if self.x_packed else None)
                 eps = eps + lax.psum(eps_new - eps, AXIS_M)
         else:

@@ -255,6 +255,61 @@ def test_sharded_packed_prepacked_words(dosage_sim, tmp_path):
     assert np.abs(out_h["beta"].mean(0) - out_p["beta"].mean(0)).max() < 2e-3
 
 
+def test_sharded_int8_bayesr(dosage_sim):
+    """int8 codes column-sharded over an (m, 1) mesh (VERDICT round-2 #8:
+    storage-mode parity with the single-chip sampler): per-slice stats
+    inside shard_map, in-kernel decode sweeps, and a 3-step match against
+    the dense sharded chain under the same keys."""
+    dos, Y, beta_true = dosage_sim
+    Xs = np.where(np.isnan(dos), np.nanmean(dos, 0)[None, :], dos)
+    Xs = (Xs - np.nanmean(dos, 0)) / np.nanstd(
+        np.where(np.isnan(dos), np.nanmean(dos, 0)[None, :], dos), 0, ddof=1)
+    cva = np.array([1e-4, 1e-3, 1e-2])
+    mesh = make_mesh(4, 1)
+    s_i = ShardedSpikeSlabSampler(dos, Y, cva, BayesRConfig(block_size=32),
+                                  mesh, backend="pallas", x_dtype="int8")
+    assert s_i._has_missing and not s_i._x_fold
+    _, out = s_i.run(jax.random.PRNGKey(0), ChainConfig(60, 20, 4))
+    bh = out["beta"].mean(0)
+    assert np.isfinite(bh).all()
+    assert np.corrcoef(bh[:10], beta_true[:10])[0, 1] > 0.85
+
+    # missing-free data: int8 fold chain matches the dense chain stepwise
+    rng = np.random.default_rng(43)
+    dos2 = rng.integers(0, 3, size=(200, 96)).astype(float)
+    dense2 = (dos2 - dos2.mean(0)) / dos2.std(0, ddof=1)
+    Y2 = dense2[:, 0] + rng.normal(0, 1, 200)
+    s_d = ShardedSpikeSlabSampler(dense2, Y2, cva, BayesRConfig(block_size=16),
+                                  mesh, backend="pallas", dtype=jnp.float32)
+    s_q = ShardedSpikeSlabSampler(dos2, Y2, cva, BayesRConfig(block_size=16),
+                                  mesh, backend="pallas", x_dtype="int8")
+    assert s_q._x_fold
+    key = jax.random.PRNGKey(1)
+    st_d, st_q = s_d.init(key), s_q.init(key)
+    for _ in range(3):
+        st_d, st_q = s_d.step(st_d), s_q.step(st_q)
+    np.testing.assert_array_equal(np.asarray(st_d.labels),
+                                  np.asarray(st_q.labels))
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_q.beta),
+                               rtol=3e-4, atol=3e-6)
+
+
+def test_sharded_int8_horseshoe(dosage_sim):
+    from bayesrrcpp_tpu.config import HorseshoeConfig
+    from bayesrrcpp_tpu.parallel.sharded import ShardedHorseshoeSampler
+
+    dos, Y, beta_true = dosage_sim
+    N, M = dos.shape
+    A = (1.0 / np.sqrt(N)) * 10 / (M - 10)
+    s = ShardedHorseshoeSampler(dos, Y, HorseshoeConfig(A=A, block_size=32),
+                                make_mesh(4, 1), backend="pallas",
+                                x_dtype="int8")
+    _, out = s.run(jax.random.PRNGKey(2), ChainConfig(80, 30, 4))
+    bh = out["beta"].mean(0)
+    assert np.isfinite(bh).all()
+    assert np.corrcoef(bh[:10], beta_true[:10])[0, 1] > 0.85
+
+
 def test_sharded_packed_horseshoe(dosage_sim):
     from bayesrrcpp_tpu.config import HorseshoeConfig
     from bayesrrcpp_tpu.parallel.sharded import ShardedHorseshoeSampler
