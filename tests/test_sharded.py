@@ -100,12 +100,16 @@ def test_pallas_sharded_recovery(sim):
     beta_hat = out["beta"].mean(axis=0)
     corr = np.corrcoef(sim.beta_true, beta_hat)[0, 1]
     assert corr > 0.8
-    # residual bookkeeping stays exact under chunked psum
+    # residual bookkeeping under chunked psum: the kernel tracks eps in
+    # f32, so after 5 iterations the drift vs the f64 direct residual is
+    # O(iters * eps_f32 * |eps|) ~ 5e-7 here (measured, 3 seeds); 1e-5
+    # gives a 20x margin while still catching any real bookkeeping bug
+    # (round-1/2 bound was 5e-3 -- 4 orders looser than reality)
     st, _ = s.run(jax.random.PRNGKey(6), ChainConfig(5, 1, 1), collect=False)
     beta = np.asarray(st.beta)[: s.M]
     eps_direct = sim.Y - float(st.mu) - sim.X @ beta
     np.testing.assert_allclose(np.asarray(st.eps)[: s.N], eps_direct,
-                               atol=5e-3)
+                               atol=1e-5)
 
 
 @pytest.mark.slow
@@ -127,8 +131,11 @@ def test_sharded_horseshoe(sim):
         st, _ = s.run(jax.random.PRNGKey(8), ChainConfig(4, 1, 1),
                       collect=False)
         eps_direct = sim.Y - float(st.mu) - sim.X @ np.asarray(st.beta)[: s.M]
+        # f32-kernel drift is ~5e-7 at this scale (see
+        # test_pallas_sharded_recovery); 1e-5 keeps a 20x margin
         np.testing.assert_allclose(np.asarray(st.eps)[: s.N], eps_direct,
-                                   atol=5e-3)
+                                   atol=1e-5 if backend == "pallas"
+                                   else 1e-8)
 
 
 def test_pallas_split_n_axis_exact(sim):
