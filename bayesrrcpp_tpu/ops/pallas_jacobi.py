@@ -18,10 +18,13 @@ to the single-chain kernel's math exactly.
 Layout (everything forced by the dynamic-index-on-sublanes rule):
 
 - the kernel re-permutes each block to POSITION order on entry: a one-hot
-  permutation matrix P_j (built from the block's inner permutation, exact
-  in f32) permutes r, beta, and the Gram block (Gp_j = P_j' G_j P_j, two
-  (B,B) MXU matmuls per block) so the serial loop indexes everything by the
-  shared position s -- no per-j dynamic marker indices survive;
+  permutation matrix P_j (built on demand from the block's inner
+  permutation, exact in f32) permutes r and beta, while the Gram blocks
+  arrive PRE-permuted and INTERLEAVED from XLA (_build_gp_interleaved:
+  row s*J + j of the per-round operand is Gp_j[s, :]) so the serial loop
+  indexes everything by the shared position s -- no per-j dynamic marker
+  indices survive, and the J rank-1 updates of a step collapse to one
+  dynamic sublane slice + one (J, B) FMA;
 - per-(position, j) constants (K log-priors, reciprocal denominators, slab
   sds, p/z variates, xsq, valid) are precomputed OUTSIDE (build_pkg_jacobi,
   vectorized XLA) into a (nr, B*J, 3K+4) operand whose row s*J + j is
@@ -64,11 +67,13 @@ def auto_jacobi(M: int, B: int):
       cap it at M/8 so small problems stay (near-)sequential.  J=1 is the
       exact sequential kernel.
 
-    B may shrink to 256 when that buys a larger J -- measured faster on v5e
-    (BENCH.md round 2: J=16/B=256 at 165.9 ms beats J=4-feasible B=512).
+    B may shrink to 128 when that buys a larger J -- the serial-step count
+    is Mpad/J, so maximizing J at the smallest full-lane block wins
+    (measured on v5e: J=16/B=256 at 165.9 ms beat J=4-feasible B=512 in
+    round 2; the interleaved-Gp kernel makes J=64/B=128 feasible).
     """
     best_j, best_b = 1, B
-    for Bc in dict.fromkeys((B, min(B, 256))):
+    for Bc in dict.fromkeys((B, min(B, 256), 128)):
         jmax_vmem = max(1, (1 << 20) // (Bc * Bc))
         J = 1
         while J * 2 <= jmax_vmem and (J * 2) * Bc * 8 <= M:
@@ -76,6 +81,35 @@ def auto_jacobi(M: int, B: int):
         if J > best_j:
             best_j, best_b = J, Bc
     return best_j, best_b
+
+
+def _build_gp_interleaved(gram, border, inner_sel, *, B, J):
+    """Interleaved position-order Gram operand (nr, B*J, B): row s*J + j is
+    Gp_j[s, :] where Gp_j = G_{border[r*J+j]} permuted to this iteration's
+    position order (rows AND cols by inner_j).  Built as two XLA gathers +
+    one transpose (~2 HBM passes over Mpad*B*4 bytes per iteration); lets
+    the kernel's serial step do its J rank-1 updates as ONE dynamic sublane
+    slice + ONE (J, B) FMA."""
+    nr = border.shape[0] // J
+    bsel = border.reshape(nr * J)
+    g_sel = jnp.take(gram, bsel, axis=0)                   # (nr*J, B, B)
+    inn = inner_sel.reshape(nr * J, B).astype(jnp.int32)
+    rows = jnp.take_along_axis(g_sel, inn[:, :, None], axis=1)
+    gpb = jnp.take_along_axis(rows, inn[:, None, :], axis=2)
+    return (gpb.reshape(nr, J, B, B).transpose(0, 2, 1, 3)
+            .reshape(nr, B * J, B).astype(jnp.float32))
+
+
+def _packed_tile_n(Npad, B):
+    """Largest N-tile (a 2048-multiple dividing Npad) whose (B, TN/16)
+    int32 X tile stays <= 1 MiB: fewer, fatter grid steps on the two
+    X-streaming phases (the (nr, 2, J, nt) grid at TN=2048 was ~200k
+    invocations per iteration at biobank scale)."""
+    nt_total = Npad // 2048
+    for k in range(min(nt_total, max(1, 2048 // B)), 0, -1):
+        if nt_total % k == 0:
+            return 2048 * k
+    return 2048
 
 
 def build_pkg_jacobi(xsq, gas, valid, p, z, pi, cva, sigmaE, sigmaGG,
@@ -128,10 +162,10 @@ def build_pkg_jacobi(xsq, gas, valid, p, z, pi, cva, sigmaE, sigmaGG,
 
 
 def _jacobi_kernel(border_ref,                              # scalar prefetch
-                   xt_ref, inner_ref, pkg_ref, gram_ref, gasr_ref,
+                   xt_ref, inner_ref, pkg_ref, gpint_ref, gasr_ref,
                    beta_ref, labels_ref, eps_ref, se_ref,
                    eps_out, beta_out, labels_out, v_out, bacc_out,
-                   p_sc, gp_sc, rb_sc, dpos_sc, krec_sc, dlane_sc,
+                   rb_sc, dpos_sc, krec_sc, dlane_sc,
                    *, B, TN, K, G, J, packed=False,
                    srow_ref=None, msrow_ref=None, xsum_ref=None,
                    esum0_ref=None, sms_sc=None, fold_sc=None):
@@ -142,6 +176,14 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
     f32 = jnp.float32
     fold = srow_ref is not None
     sE = se_ref[0]
+
+    def onehot_p(jj):
+        # one-hot permutation P_j[m, s] = (m == inner_j[s]); exact in f32.
+        # Rebuilt on demand (an iota compare) instead of cached in VMEM --
+        # the old (J*B, B) P scratch cost 2-4 MiB that the streamed
+        # interleaved-Gp operand now needs.
+        sub = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        return (sub == inner_ref[0, pl.ds(jj, 1), :]).astype(f32)
 
     if packed:
         SUB, W = 16, TN // 16
@@ -173,17 +215,10 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
 
     @pl.when(jnp.logical_and(ph == 0, t == 0))
     def _per_block_precompute():
-        # one-hot permutation P_j[m, s] = (m == inner_j[s]); exact in f32
-        sub = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-        pj = (sub == inner_ref[0, pl.ds(j, 1), :]).astype(f32)  # (B, B)
-        p_sc[pl.ds(j * B, B), :] = pj
-        # Gp_j = P_j' (G_j P_j): the Gram block in position order (MXU)
-        gp1 = jax.lax.dot_general(gram_ref[0], pj, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
-        gp_sc[pl.ds(j * B, B), :] = jax.lax.dot_general(
-            pj, gp1, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
-        # pre-block betas in position order; zero this block's r row
+        # pre-block betas in position order; zero this block's r row.
+        # (Gp_j = P_j' G_j P_j now arrives pre-gathered from XLA in the
+        # interleaved gpint operand -- no in-kernel Gram permute.)
+        pj = onehot_p(j)
         rb_sc[pl.ds(J + j, 1), :] = jax.lax.dot_general(
             beta_ref[0], pj, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
@@ -217,7 +252,7 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
         # r rows to position order (one (1,B)x(B,B) MXU dot per block)
         for jj in range(J):
             rb_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
-                rb_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                rb_sc[jj:jj + 1, :], onehot_p(jj),
                 (((1,), (0,)), ((), ())), preferred_element_type=f32)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
@@ -267,10 +302,12 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
             beta_new = jnp.where(hitm, beta_drawn, beta_old)
             d = okf * (beta_new - beta_old)                # (J, 1)
 
-            # rank-1 updates against the position-ordered Gram rows
-            for jj in range(J):
-                rb_sc[pl.ds(jj, 1), :] -= (
-                    gp_sc[pl.ds(jj * B + s, 1), :] * d[jj:jj + 1, :])
+            # rank-1 updates against the position-ordered Gram rows: the
+            # interleaved gpint row s*J + jj is Gp_jj[s, :], so ONE dynamic
+            # sublane slice + ONE (J, B) FMA covers all J blocks (was J
+            # separate (1, B) row updates -- the dominant per-step cost)
+            A = gpint_ref[0, pl.ds(s * J, J), :]           # (J, B)
+            rb_sc[0:J, :] -= A * d
             dpos_sc[...] += maskf * d                      # (J, B)
             take = okf * hitm.astype(f32)
             kv = jnp.where(take > 0, k_sel, jnp.float32(-1.0))
@@ -284,7 +321,7 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
         # code-domain eps update
         for jj in range(J):
             dlane_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
-                dpos_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                dpos_sc[jj:jj + 1, :], onehot_p(jj),
                 (((1,), (1,)), ((), ())), preferred_element_type=f32)
         if fold:
             dl = dlane_sc[...]                             # (J, B) unscaled
@@ -300,15 +337,14 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
         # select this block's row, un-permute krec via P_j (one-hot, exact)
         rowsel = (jax.lax.broadcasted_iota(jnp.int32, (J, 1), 0)
                   == j).astype(f32)
+        pj = onehot_p(j)
         dlane_j = jax.lax.dot_general(
-            jnp.sum(dpos_sc[...] * rowsel, axis=0, keepdims=True),
-            p_sc[pl.ds(j * B, B), :],
+            jnp.sum(dpos_sc[...] * rowsel, axis=0, keepdims=True), pj,
             (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (1, B)
         beta_new_b = beta_ref[0] + dlane_j                 # (1, B)
         beta_out[0] = beta_new_b
         krec_j = jax.lax.dot_general(
-            jnp.sum(krec_sc[...] * rowsel, axis=0, keepdims=True),
-            p_sc[pl.ds(j * B, B), :],
+            jnp.sum(krec_sc[...] * rowsel, axis=0, keepdims=True), pj,
             (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (1, B)
         labels_out[0] = jnp.where(krec_j >= 0.0, krec_j.astype(jnp.int32),
                                   labels_ref[0])
@@ -339,19 +375,19 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
-def _jacobi_kernel_f(border_ref, xt_ref, inner_ref, pkg_ref, gram_ref,
+def _jacobi_kernel_f(border_ref, xt_ref, inner_ref, pkg_ref, gpint_ref,
                      gasr_ref, beta_ref, labels_ref, eps_ref, se_ref,
                      srow_ref, msrow_ref, xsum_ref, esum0_ref,
                      eps_out, beta_out, labels_out, v_out, bacc_out,
-                     p_sc, gp_sc, rb_sc, dpos_sc, krec_sc, dlane_sc,
+                     rb_sc, dpos_sc, krec_sc, dlane_sc,
                      sms_sc, fold_sc, *, B, TN, K, G, J, packed=False):
     """Fold-affine positional-argument adapter (pallas passes refs
     positionally; the extra fold inputs/scratches are keyword-only in
     _jacobi_kernel)."""
-    return _jacobi_kernel(border_ref, xt_ref, inner_ref, pkg_ref, gram_ref,
+    return _jacobi_kernel(border_ref, xt_ref, inner_ref, pkg_ref, gpint_ref,
                           gasr_ref, beta_ref, labels_ref, eps_ref, se_ref,
                           eps_out, beta_out, labels_out, v_out, bacc_out,
-                          p_sc, gp_sc, rb_sc, dpos_sc, krec_sc, dlane_sc,
+                          rb_sc, dpos_sc, krec_sc, dlane_sc,
                           B=B, TN=TN, K=K, G=G, J=J, packed=packed,
                           srow_ref=srow_ref, msrow_ref=msrow_ref,
                           xsum_ref=xsum_ref, esum0_ref=esum0_ref,
@@ -739,10 +775,10 @@ def build_pkg_hs_jacobi(xsq, valid, z, lam, tau, c2, sigmaE,
 
 
 def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
-                      xt_ref, inner_ref, pkg_ref, gram_ref,
+                      xt_ref, inner_ref, pkg_ref, gpint_ref,
                       beta_ref, eps_ref,
                       eps_out, beta_out,
-                      p_sc, gp_sc, rb_sc, dpos_sc, dlane_sc,
+                      rb_sc, dpos_sc, dlane_sc,
                       *, B, TN, J, packed=False,
                       srow_ref=None, msrow_ref=None, xsum_ref=None,
                       esum0_ref=None, sms_sc=None, fold_sc=None):
@@ -756,6 +792,10 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
     t = pl.program_id(3)
     f32 = jnp.float32
     fold = srow_ref is not None
+
+    def onehot_p(jj):
+        sub = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        return (sub == inner_ref[0, pl.ds(jj, 1), :]).astype(f32)
 
     if packed:
         SUB, W = 16, TN // 16
@@ -782,14 +822,7 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
 
     @pl.when(jnp.logical_and(ph == 0, t == 0))
     def _per_block_precompute():
-        sub = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-        pj = (sub == inner_ref[0, pl.ds(j, 1), :]).astype(f32)  # (B, B)
-        p_sc[pl.ds(j * B, B), :] = pj
-        gp1 = jax.lax.dot_general(gram_ref[0], pj, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32)
-        gp_sc[pl.ds(j * B, B), :] = jax.lax.dot_general(
-            pj, gp1, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32)
+        pj = onehot_p(j)
         rb_sc[pl.ds(J + j, 1), :] = jax.lax.dot_general(
             beta_ref[0], pj, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
@@ -816,7 +849,7 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
                              - sms_sc[J:2 * J, :] * es)
         for jj in range(J):
             rb_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
-                rb_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                rb_sc[jj:jj + 1, :], onehot_p(jj),
                 (((1,), (0,)), ((), ())), preferred_element_type=f32)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
@@ -838,9 +871,8 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
             beta_new = num * invd + sd * z_s
             d = okf * (beta_new - beta_old)                   # (J, 1)
 
-            for jj in range(J):
-                rb_sc[pl.ds(jj, 1), :] -= (
-                    gp_sc[pl.ds(jj * B + s, 1), :] * d[jj:jj + 1, :])
+            A = gpint_ref[0, pl.ds(s * J, J), :]              # (J, B)
+            rb_sc[0:J, :] -= A * d
             dpos_sc[...] += maskf * d                         # (J, B)
             return ()
 
@@ -848,7 +880,7 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
 
         for jj in range(J):
             dlane_sc[pl.ds(jj, 1), :] = jax.lax.dot_general(
-                dpos_sc[jj:jj + 1, :], p_sc[pl.ds(jj * B, B), :],
+                dpos_sc[jj:jj + 1, :], onehot_p(jj),
                 (((1,), (1,)), ((), ())), preferred_element_type=f32)
         if fold:
             dl = dlane_sc[...]                                # (J, B)
@@ -864,7 +896,7 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
                   == j).astype(f32)
         dlane_j = jax.lax.dot_general(
             jnp.sum(dpos_sc[...] * rowsel, axis=0, keepdims=True),
-            p_sc[pl.ds(j * B, B), :],
+            onehot_p(j),
             (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (1, B)
         beta_out[0] = beta_ref[0] + dlane_j
 
@@ -882,17 +914,17 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
-def _hs_jacobi_kernel_f(border_ref, xt_ref, inner_ref, pkg_ref, gram_ref,
+def _hs_jacobi_kernel_f(border_ref, xt_ref, inner_ref, pkg_ref, gpint_ref,
                         beta_ref, eps_ref,
                         srow_ref, msrow_ref, xsum_ref, esum0_ref,
                         eps_out, beta_out,
-                        p_sc, gp_sc, rb_sc, dpos_sc, dlane_sc,
+                        rb_sc, dpos_sc, dlane_sc,
                         sms_sc, fold_sc, *, B, TN, J, packed=False):
     """Fold-affine positional-argument adapter (see _jacobi_kernel_f)."""
     return _hs_jacobi_kernel(border_ref, xt_ref, inner_ref, pkg_ref,
-                             gram_ref, beta_ref, eps_ref,
+                             gpint_ref, beta_ref, eps_ref,
                              eps_out, beta_out,
-                             p_sc, gp_sc, rb_sc, dpos_sc, dlane_sc,
+                             rb_sc, dpos_sc, dlane_sc,
                              B=B, TN=TN, J=J, packed=packed,
                              srow_ref=srow_ref, msrow_ref=msrow_ref,
                              xsum_ref=xsum_ref, esum0_ref=esum0_ref,
@@ -930,10 +962,10 @@ def horseshoe_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
     if packed:
         Mpad, Nw = XT_pad.shape
         Npad = Nw * 16
-        TN = 2048
-        if Npad % TN or eps.shape[0] != Npad:
+        if Npad % 2048 or eps.shape[0] != Npad:
             raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
                              "matching pre-permuted eps")
+        TN = _packed_tile_n(Npad, B)
         if row_valid is None:
             raise ValueError("packed fold_affine needs row_valid")
         N = Npad
@@ -954,6 +986,7 @@ def horseshoe_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
         xsq_pad, valid_pad, z_arr, lam_pad, tau, c2, sigmaE,
         block_order, inner_perm, B=B, J=J)
     border = block_order.astype(jnp.int32)
+    gp_int = _build_gp_interleaved(gram, border, inner_sel, B=B, J=J)
     beta2 = beta_pad.astype(f32).reshape(nb, 1, B)
 
     def im_xt(r, ph, j, t, border_ref):
@@ -976,14 +1009,12 @@ def horseshoe_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
         pl.BlockSpec((B, x_tile_w), im_xt),                   # xt
         pl.BlockSpec((1, J, B), im_round),                    # inner perms
         pl.BlockSpec((1, B * J, 5), im_round),                # pkg
-        pl.BlockSpec((1, B, B), im_blk3),                     # gram
+        pl.BlockSpec((1, B * J, B), im_round),                # Gp interleaved
         pl.BlockSpec((1, 1, B), im_blk3),                     # beta
         pl.BlockSpec((1, Npad), im_full),                     # eps
     ]
-    args = [xt, inner_sel, pkg, gram, beta2, eps2d]
+    args = [xt, inner_sel, pkg, gp_int, beta2, eps2d]
     scratch = [
-        pltpu.VMEM((J * B, B), f32),                          # P (one-hot)
-        pltpu.VMEM((J * B, B), f32),                          # Gp (pos order)
         pltpu.VMEM((2 * J, B), f32),                          # r ; beta0
         pltpu.VMEM((J, B), f32),                              # delta (pos)
         pltpu.VMEM((J, B), f32),                              # delta (lane)
@@ -1063,10 +1094,10 @@ def bayesr_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     if packed:
         Mpad, Nw = XT_pad.shape
         Npad = Nw * 16
-        TN = 2048
-        if Npad % TN or eps.shape[0] != Npad:
+        if Npad % 2048 or eps.shape[0] != Npad:
             raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
                              "matching pre-permuted eps")
+        TN = _packed_tile_n(Npad, B)
         if row_valid is None:
             raise ValueError("packed fold_affine needs row_valid")
         N = Npad
@@ -1089,6 +1120,7 @@ def bayesr_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         xsq_pad, g_assign_pad, valid_pad, p_arr, z_arr, pi, cva,
         sigmaE, sigmaGG, block_order, inner_perm, B=B, J=J)
     border = block_order.astype(jnp.int32)
+    gp_int = _build_gp_interleaved(gram, border, inner_sel, B=B, J=J)
     beta2 = beta_pad.astype(f32).reshape(nb, 1, B)
     labels2 = labels_pad.astype(jnp.int32).reshape(nb, 1, B)
     gasr3 = g_assign_pad.astype(jnp.int32).reshape(nb, 1, B)
@@ -1114,17 +1146,15 @@ def bayesr_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         pl.BlockSpec((B, x_tile_w), im_xt),                # xt
         pl.BlockSpec((1, J, B), im_round),                 # inner perms
         pl.BlockSpec((1, B * J, F), im_round),             # pkg
-        pl.BlockSpec((1, B, B), im_blk3),                  # gram
+        pl.BlockSpec((1, B * J, B), im_round),             # Gp interleaved
         pl.BlockSpec((1, 1, B), im_blk3),                  # gas row
         pl.BlockSpec((1, 1, B), im_blk3),                  # beta
         pl.BlockSpec((1, 1, B), im_blk3),                  # labels
         pl.BlockSpec((1, Npad), im_full),                  # eps
         pl.BlockSpec(memory_space=pltpu.SMEM),             # sigmaE (1,)
     ]
-    args = [xt, inner_sel, pkg, gram, gasr3, beta2, labels2, eps2d, se1]
+    args = [xt, inner_sel, pkg, gp_int, gasr3, beta2, labels2, eps2d, se1]
     scratch = [
-        pltpu.VMEM((J * B, B), f32),                       # P (one-hot)
-        pltpu.VMEM((J * B, B), f32),                       # Gp (pos order)
         pltpu.VMEM((2 * J, B), f32),                       # r ; beta0
         pltpu.VMEM((J, B), f32),                           # delta (pos)
         pltpu.VMEM((J, B), f32),                           # krec (pos)
