@@ -100,13 +100,23 @@ def _build_gp_interleaved(gram, border, inner_sel, *, B, J):
             .reshape(nr, B * J, B).astype(jnp.float32))
 
 
-def _packed_tile_n(Npad, B):
-    """Largest N-tile (a 2048-multiple dividing Npad) whose (B, TN/16)
-    int32 X tile stays <= 1 MiB: fewer, fatter grid steps on the two
-    X-streaming phases (the (nr, 2, J, nt) grid at TN=2048 was ~200k
-    invocations per iteration at biobank scale)."""
+def _packed_tile_n(Npad, B, J=1, F=0):
+    """Largest N-tile (a 2048-multiple dividing Npad) that keeps the
+    kernel's VMEM residency under ~12.5 MiB of the ~16 MiB core budget:
+    fewer, fatter grid steps on the two X-streaming phases (the
+    (nr, 2, J, nt) grid at TN=2048 was ~200k invocations per iteration at
+    biobank scale; nt=1 removes the t axis entirely).
+
+    Residency model: double-buffered X tile (B*TN/4 bytes int32 words),
+    double-buffered interleaved-Gp round operand (J*B*B*4), double-buffered
+    pkg (B*J*F*4), ~1.5 MiB for eps / small operands / scratches."""
+    import os
+    cap_mb = float(os.environ.get("BAYESR_VMEM_CAP_MB", "13"))
+    budget = int(cap_mb * 2 ** 20) - 2 * (J * B * B * 4) - 2 * (B * J * F * 4)
+    budget -= int(1.2 * 2 ** 20) + 2 * Npad * 4
     nt_total = Npad // 2048
-    for k in range(min(nt_total, max(1, 2048 // B)), 0, -1):
+    kmax = max(1, budget // (2 * (B * 2048 // 4)))
+    for k in range(min(nt_total, kmax), 0, -1):
         if nt_total % k == 0:
             return 2048 * k
     return 2048
@@ -965,7 +975,7 @@ def horseshoe_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
         if Npad % 2048 or eps.shape[0] != Npad:
             raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
                              "matching pre-permuted eps")
-        TN = _packed_tile_n(Npad, B)
+        TN = _packed_tile_n(Npad, B, J, 5)
         if row_valid is None:
             raise ValueError("packed fold_affine needs row_valid")
         N = Npad
@@ -1097,7 +1107,7 @@ def bayesr_jacobi_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         if Npad % 2048 or eps.shape[0] != Npad:
             raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
                              "matching pre-permuted eps")
-        TN = _packed_tile_n(Npad, B)
+        TN = _packed_tile_n(Npad, B, J, 3 * pi.shape[1] + 4)
         if row_valid is None:
             raise ValueError("packed fold_affine needs row_valid")
         N = Npad

@@ -61,6 +61,22 @@ def build_all(outdir: str | None = None, verbose: bool = False,
              "RcppEigen.h", "driver_io.h", "Eigen/Core")]
     srcs += [os.path.join(HERE, d[0]) for d in DRIVERS.values()]
     newest = max(os.path.getmtime(p) for p in srcs)
+    # exclusive build lock: parallel pytest-xdist workers may call
+    # build_all concurrently; without it two compilers race on the same
+    # -o binary.  Freshness is re-checked after acquisition.
+    import fcntl
+    lockf = open(os.path.join(outdir, ".lock"), "w")
+    fcntl.flock(lockf, fcntl.LOCK_EX)
+    try:
+        return _build_locked(outdir, shim, out, stamp, newest, opt, verbose)
+    finally:
+        fcntl.flock(lockf, fcntl.LOCK_UN)
+        lockf.close()
+
+
+def _build_locked(outdir, shim, out, stamp, newest, opt, verbose):
+    gxx = shutil.which("g++")
+    ref_src = os.path.join(REF, "src")
     fresh = os.path.exists(stamp) and os.path.getmtime(stamp) >= newest
     opt_flags = (["-O3", "-march=native", "-DNDEBUG"] if opt else ["-O1"])
     for name, (driver, ref_tu, omp) in DRIVERS.items():

@@ -20,5 +20,14 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still mutab
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache: the tier is compile-bound (~15 s per distinct
+# (shape, static-n) executable; execution itself is ~free at test scale),
+# and the cache keys on HLO -- so identical sampler compiles de-dup across
+# tests, across xdist workers, and across pytest runs on the same box.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8, "virtual 8-device CPU mesh not active"
