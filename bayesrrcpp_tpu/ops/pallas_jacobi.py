@@ -72,15 +72,28 @@ def auto_jacobi(M: int, B: int):
     (measured on v5e: J=16/B=256 at 165.9 ms beat J=4-feasible B=512 in
     round 2; the interleaved-Gp kernel makes J=64/B=128 feasible).
     """
-    best_j, best_b = 1, B
+    import numpy as _np
+
+    def no_pad(J, Bc):
+        # the sampler pads Mpad to B*8*J/gcd(8,J) units; when X is a
+        # near-HBM-sized packed array, jnp.pad's transient second copy
+        # OOMs the chip -- prefer the largest J that divides M exactly
+        unit8 = Bc * 8 * J // _np.gcd(8, J)
+        return M % unit8 == 0
+
+    best = (1, B, no_pad(1, B))
     for Bc in dict.fromkeys((B, min(B, 256), 128)):
         jmax_vmem = max(1, (1 << 20) // (Bc * Bc))
         J = 1
         while J * 2 <= jmax_vmem and (J * 2) * Bc * 8 <= M:
             J *= 2
-        if J > best_j:
-            best_j, best_b = J, Bc
-    return best_j, best_b
+        while J > 1 and not no_pad(J, Bc) and no_pad(J // 2, Bc):
+            J //= 2
+        cand = (J, Bc, no_pad(J, Bc))
+        # rank: padding-free first, then largest J
+        if (cand[2], cand[0]) > (best[2], best[0]):
+            best = cand
+    return best[0], best[1]
 
 
 def _build_gp_interleaved(gram, border, inner_sel, *, B, J):

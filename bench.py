@@ -239,21 +239,24 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
 
 # BASELINE.md-derived suite (sized for one 16 GB v5e chip; see BENCH.md)
 SUITE = [
+    # jacobi=None -> auto_jacobi picks the Jacobi-batched kernel (J=32,
+    # B=128 at these scales -- the round-3 default fast path; measured
+    # 107.8 ms/iter at the biobank headline vs 165.9 round 2 / 439 serial)
     dict(label="dense-16kx49k", N=16_384, M=49_152, iters=10,
          x_dtype="dense"),
-    dict(label="biobank-packed-1chain", N=100_352, M=503_808, iters=5,
+    # exact-sequential reference kernel (J=1) kept as the semantics anchor
+    dict(label="biobank-packed-serial", N=100_352, M=503_808, iters=5,
+         x_dtype="2bit", jacobi=1),
+    dict(label="biobank-packed-auto", N=100_352, M=503_808, iters=5,
          x_dtype="2bit"),
-    # single chain, J=16 Jacobi-batched serial solve (ops/pallas_jacobi.py);
-    # B=256 so the in-kernel P/Gp scratch fits VMEM.  Measured 165.9 ms/iter
-    # vs 439 ms for the serial kernel (BENCH.md round 2)
-    dict(label="biobank-packed-jacobi16", N=100_352, M=503_808, iters=5,
-         x_dtype="2bit", jacobi=16, B=256),
+    # fused multi-chain kernel (ops/pallas_multichain.py) on its proven
+    # B=512 serial config (the mc kernel has no jacobi variant yet)
     dict(label="biobank-packed-8chain", N=100_352, M=503_808, iters=5,
-         x_dtype="2bit", chains=8),
+         x_dtype="2bit", chains=8, jacobi=1),
     dict(label="biobank-horseshoe", N=100_352, M=503_808, iters=5,
          x_dtype="2bit", sampler="horseshoe"),
 ]
-HEADLINE = "biobank-packed-jacobi16"
+HEADLINE = "biobank-packed-auto"
 
 
 def main():
