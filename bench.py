@@ -127,6 +127,12 @@ def measured_reference_rates():
                     extra = [A, 0.001, 0.001, 1.0, 1.0, 1.0, 10.0, 10.0]
                 t_lo = _time_ref(bins[name], inp, td, lo_it, extra)
                 t_hi = _time_ref(bins[name], inp, td, hi_it, extra)
+                if t_hi - t_lo < 0.05:  # noisy box: the two-point
+                    # difference lost the signal; retry once
+                    t_lo = _time_ref(bins[name], inp, td, lo_it, extra)
+                    t_hi = _time_ref(bins[name], inp, td, hi_it, extra)
+                if t_hi - t_lo < 0.05:
+                    continue            # drop rather than emit garbage
                 rate = M * (hi_it - lo_it) / max(t_hi - t_lo, 1e-9)
                 out[f"{name}-N{N}"] = {
                     "sampler": name, "N": N, "M": M,
