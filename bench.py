@@ -195,6 +195,19 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
         smp = HorseshoeSampler(XT, Y, HorseshoeConfig(block_size=B),
                                transposed=True, dtype=jnp.float32,
                                jacobi_blocks=jacobi, **extra)
+    elif sampler == "groups":
+        # grouped-annotation variant (BASELINE config 2/5 family): 4
+        # annotation groups with per-group sigmaG/pi (src/BayesRv2Groups.cpp)
+        from bayesrrcpp_tpu import GroupsConfig
+
+        cva = np.array([[0.0001, 0.001, 0.01],
+                        [0.0002, 0.002, 0.02],
+                        [0.0001, 0.001, 0.01],
+                        [0.0005, 0.005, 0.05]], np.float64)  # (G, K-1)
+        g_assign = (np.arange(M) % 4).astype(np.int32)
+        smp = SpikeSlabSampler(XT, Y, cva, GroupsConfig(block_size=B),
+                               g_assign=g_assign, transposed=True,
+                               dtype=dtype, jacobi_blocks=jacobi, **extra)
     else:
         cva = np.array([0.0001, 0.001, 0.01], np.float64)
         smp = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
@@ -261,6 +274,8 @@ SUITE = [
          x_dtype="2bit", chains=8, jacobi=1),
     dict(label="biobank-horseshoe", N=100_352, M=503_808, iters=5,
          x_dtype="2bit", sampler="horseshoe"),
+    dict(label="biobank-groups", N=100_352, M=503_808, iters=5,
+         x_dtype="2bit", sampler="groups"),
 ]
 HEADLINE = "biobank-packed-auto"
 
