@@ -64,7 +64,8 @@ class HorseshoeSampler:
                  permutation: Optional[str] = None, transposed: bool = False,
                  x_dtype: str = "dense", x_stats=None,
                  n_individuals: Optional[int] = None,
-                 jacobi_blocks: Optional[int] = None):
+                 jacobi_blocks: Optional[int] = None,
+                 jacobi_layout: str = "auto"):
         if x_dtype not in ("dense", "int8", "2bit"):
             raise ValueError(f"unknown x_dtype {x_dtype!r}")
         if backend is None:
@@ -105,13 +106,24 @@ class HorseshoeSampler:
         self.jacobi = 1 if auto_j else int(jacobi_blocks)
         if self.jacobi < 1:
             raise ValueError("jacobi_blocks must be >= 1")
+        if jacobi_layout not in ("auto", "row", "t"):
+            raise ValueError(f"unknown jacobi_layout {jacobi_layout!r}")
+        self.jacobi_layout = "row" if jacobi_layout == "auto" else jacobi_layout
         B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
         if auto_j and backend == "pallas":
             # default to the Jacobi-batched kernel sized to (M, B, VMEM);
             # J=1 (exact sequential) for small M (ops/pallas_jacobi.py)
-            from ..ops.pallas_jacobi import auto_jacobi
+            from ..ops.pallas_jacobi import auto_jacobi, auto_jacobi_plan
 
-            self.jacobi, B = auto_jacobi(M, B)
+            if jacobi_layout == "auto":
+                self.jacobi, B, self.jacobi_layout = auto_jacobi_plan(M, B)
+            elif jacobi_layout == "t":
+                self.jacobi, B, lay = auto_jacobi_plan(M, B)
+                if lay != "t":
+                    raise ValueError("no transposed jacobi plan for this M; "
+                                     "pass jacobi_blocks explicitly")
+            else:
+                self.jacobi, B = auto_jacobi(M, B)
         # block count must be a multiple of the Jacobi round width J (the
         # fast kernel sweeps J blocks per round, ops/pallas_jacobi.py)
         unit = B * self.jacobi
@@ -378,7 +390,11 @@ class HorseshoeSampler:
         if self.permutation == "blocked":
             border, inner = bs.block_orders(korder, nb, B)
             if self.backend == "pallas" and self.jacobi > 1:
-                from ..ops.pallas_jacobi import horseshoe_jacobi_pallas
+                if self.jacobi_layout == "t":
+                    from ..ops.pallas_jacobi_t import (
+                        horseshoe_jacobi_t_pallas as horseshoe_jacobi_pallas)
+                else:
+                    from ..ops.pallas_jacobi import horseshoe_jacobi_pallas
 
                 eps, beta = horseshoe_jacobi_pallas(
                     data.XT, data.gram, data.xsq, eps, state.beta,

@@ -75,10 +75,14 @@ def auto_jacobi(M: int, B: int):
     import numpy as _np
 
     def no_pad(J, Bc):
-        # the sampler pads Mpad to B*8*J/gcd(8,J) units; when X is a
-        # near-HBM-sized packed array, jnp.pad's transient second copy
-        # OOMs the chip -- prefer the largest J that divides M exactly
+        # the sampler pads Mpad to B*8*J/gcd(8,J) units AT SCALE (the
+        # nb % 8 codegen rule only kicks in at >= 64 blocks; below that
+        # the unit is just B*J); when X is a near-HBM-sized packed array,
+        # jnp.pad's transient second copy OOMs the chip -- prefer the
+        # largest J that divides M exactly
         unit8 = Bc * 8 * J // _np.gcd(8, J)
+        if M < 64 * Bc:
+            unit8 = Bc * J
         return M % unit8 == 0
 
     best = (1, B, no_pad(1, B))
@@ -94,6 +98,56 @@ def auto_jacobi(M: int, B: int):
         if (cand[2], cand[0]) > (best[2], best[0]):
             best = cand
     return best[0], best[1]
+
+
+def auto_jacobi_plan(M: int, B: int):
+    """Default (J, B, layout) for the Jacobi sweep; layout is "row"
+    (ops/pallas_jacobi.py, J on sublanes) or "t" (ops/pallas_jacobi_t.py,
+    J on lanes).
+
+    The transposed kernel caps J at 128 (the lane width) but cuts the
+    per-step dependent chain ~2x and the streamed Gram bytes B/32-fold, so
+    it prefers MANY SMALL blocks: the window W = J*B stays at the proven
+    4096-marker staleness cap (or M/8 for small problems) while J rides to
+    128.  The row kernel remains for explicit jacobi_blocks choices and
+    J > 128 experiments.
+
+    Ranking mirrors auto_jacobi: padding-free first (jnp.pad's transient
+    copy of a near-HBM packed X OOMs the chip), then largest J, then
+    largest B.  Falls back to the row-layout auto_jacobi when no transposed
+    candidate with J >= 8 exists (tiny M).
+    """
+    import numpy as _np
+
+    def unit8(J, Bc):
+        # the sampler pads Mpad to this unit at scale (nb % 8 == 0 for
+        # XLA codegen size); below 64 blocks it pads to B*J only
+        u = Bc * J
+        if M >= 64 * Bc:
+            u = Bc * 8 * J // _np.gcd(8, J)
+        return u
+
+    wmax = 1
+    while wmax * 2 <= max(1, M // 8) and wmax * 2 <= 4096:
+        wmax *= 2
+    best = None
+    w = wmax
+    while w >= 64:
+        J = min(128, w // 8)
+        Bc = w // J
+        cand = (M % unit8(J, Bc) == 0, J, Bc)
+        if best is None or cand > best:
+            best = cand
+        w //= 2
+    if best is not None and best[1] >= 8:
+        if not best[0]:
+            # no padding-free window: take the largest (padding was
+            # already unavoidable; dense/host paths pad cheaply)
+            J = min(128, wmax // 8)
+            return J, wmax // J, "t"
+        return best[1], best[2], "t"
+    J, Bc = auto_jacobi(M, B)
+    return J, Bc, "row"
 
 
 def _build_gp_interleaved(gram, border, inner_sel, *, B, J):
