@@ -512,13 +512,34 @@ class SpikeSlabSampler:
         p_arr = jax.random.uniform(kp, (Mpad,), dtype=dt)
         z_arr = jax.random.normal(kz, (Mpad,), dtype=dt)
         if self.permutation == "blocked":
+            if (self.backend == "pallas" and self.jacobi > 1
+                    and self.jacobi_layout == "t"):
+                # strided rounds: rho = round visit order, inner =
+                # canonical within-block permutations
+                from ..ops.pallas_jacobi_t import bayesr_jacobi_t_pallas
+
+                rho, inner = bs.strided_orders(korder, nb, B, self.jacobi)
+                res = bayesr_jacobi_t_pallas(
+                    data.XT, data.gram, data.xsq, eps, state.beta,
+                    state.labels, rho, inner, p_arr, z_arr, state.pi,
+                    data.cva, state.sigmaE, state.sigmaGG, data.g_assign,
+                    data.valid,
+                    J=self.jacobi, interpret=self._pallas_interpret,
+                    x_mean=data.x_mean if self.x_quantized else None,
+                    x_scale=data.x_scale if self.x_quantized else None,
+                    fold_affine=self._x_fold,
+                    x_xsum=data.x_colsum if self.x_quantized else None,
+                    row_valid=data.row_valid if self.x_packed else None)
+                eps, beta, labels, v, bacc = res
+                sigmaE, sigmaF, sigmaGG, pi = self._hyper_block(
+                    keys, eps, alpha, sigmaF, beta, v, bacc)
+                return SpikeSlabState(
+                    key=key, iteration=state.iteration + 1, mu=mu,
+                    beta=beta, labels=labels, eps=eps, sigmaE=sigmaE,
+                    sigmaGG=sigmaGG, pi=pi, alpha=alpha, sigmaF=sigmaF)
             border, inner = bs.block_orders(korder, nb, B)
             if self.backend == "pallas" and self.jacobi > 1:
-                if self.jacobi_layout == "t":
-                    from ..ops.pallas_jacobi_t import (
-                        bayesr_jacobi_t_pallas as bayesr_jacobi_pallas)
-                else:
-                    from ..ops.pallas_jacobi import bayesr_jacobi_pallas
+                from ..ops.pallas_jacobi import bayesr_jacobi_pallas
 
                 res = bayesr_jacobi_pallas(
                     data.XT, data.gram, data.xsq, eps, state.beta, state.labels,

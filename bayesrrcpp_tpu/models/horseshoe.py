@@ -388,13 +388,30 @@ class HorseshoeSampler:
         # ---- dense marker sweep
         z_arr = jax.random.normal(kz, (Mpad,), dt)
         if self.permutation == "blocked":
+            if (self.backend == "pallas" and self.jacobi > 1
+                    and self.jacobi_layout == "t"):
+                from ..ops.pallas_jacobi_t import horseshoe_jacobi_t_pallas
+
+                rho, inner = bs.strided_orders(korder, nb, B, self.jacobi)
+                eps, beta = horseshoe_jacobi_t_pallas(
+                    data.XT, data.gram, data.xsq, eps, state.beta,
+                    rho, inner, z_arr, state.lam, state.tau, state.c2,
+                    state.sigmaE, data.valid,
+                    J=self.jacobi, interpret=self._pallas_interpret,
+                    x_mean=data.x_mean if self.x_quantized else None,
+                    x_scale=data.x_scale if self.x_quantized else None,
+                    fold_affine=self._x_fold,
+                    x_xsum=data.x_colsum if self.x_quantized else None,
+                    row_valid=data.row_valid if self.x_packed else None)
+                lam, tau, c2, sigmaE = self._hyper_block(
+                    keys, eta, v, beta, eps, state.tau, data.valid)
+                return HorseshoeState(
+                    key=key, iteration=state.iteration + 1, mu=mu,
+                    beta=beta, eps=eps, sigmaE=sigmaE, lam=lam, v=v,
+                    tau=tau, eta=eta.astype(dt), c2=c2)
             border, inner = bs.block_orders(korder, nb, B)
             if self.backend == "pallas" and self.jacobi > 1:
-                if self.jacobi_layout == "t":
-                    from ..ops.pallas_jacobi_t import (
-                        horseshoe_jacobi_t_pallas as horseshoe_jacobi_pallas)
-                else:
-                    from ..ops.pallas_jacobi import horseshoe_jacobi_pallas
+                from ..ops.pallas_jacobi import horseshoe_jacobi_pallas
 
                 eps, beta = horseshoe_jacobi_pallas(
                     data.XT, data.gram, data.xsq, eps, state.beta,

@@ -80,6 +80,31 @@ def block_orders(key, nb, block_size, dtype=jnp.int32):
     return block_order, inner
 
 
+def strided_orders(key, nb, block_size, J, dtype=jnp.int32):
+    """Permutations for the strided-rounds transposed sweep
+    (ops/pallas_jacobi_t.py): the round visit order rho (nr,) plus the
+    canonical within-block permutations (nb, B), drawn as argsort of iid
+    uniforms -- one fused draw instead of nb vmapped ``permutation()``
+    calls (~3.7 ms -> ~0.5 ms at nb=16k on v5e).  Round rho[r] sweeps
+    blocks {j*nr + rho[r] : j < J} (fixed strided partition; the
+    equivalent flat block_order is ``(nr*arange(J)[None,:] +
+    rho[:,None]).reshape(-1)``)."""
+    nr = nb // J
+    kb, ki = jax.random.split(key)
+    rho = jax.random.permutation(kb, nr).astype(dtype)
+    inner = jnp.argsort(jax.random.uniform(ki, (nb, block_size)),
+                        axis=1).astype(dtype)
+    return rho, inner
+
+
+def strided_border(rho, J):
+    """The flat block_order equivalent to a strided-rounds rho (for
+    oracles and tests)."""
+    nr = rho.shape[0]
+    return (jnp.arange(J, dtype=rho.dtype)[None, :] * nr
+            + rho[:, None]).reshape(-1)
+
+
 def flat_order(block_order, inner_perm, block_size):
     """Flatten a block-restricted permutation into a global marker order."""
     return (block_order[:, None] * block_size + inner_perm[block_order]).reshape(-1)

@@ -1,54 +1,65 @@
-"""Transposed (B, J)-layout Jacobi sweep: the serial step reads lane vectors.
+"""Transposed (B, J)-layout Jacobi sweep with strided rounds.
 
-The round-3 interleaved-Gp kernel (ops/pallas_jacobi.py) spends ~2.6 us per
-serial step, dominated by the dependent chain's (2J, B) mask-multiply +
-lane-reduce that extracts position s's r/beta for all J blocks, and by
-per-step ops shaped (J, K)/(J, 1) that use J sublanes but only K lanes.
+Two findings drive this kernel's design (measured on v5e at the biobank
+headline, 2-bit packed N=100k x M=504k; see BENCH.md round 4):
 
-This kernel transposes the serial solve so J rides the LANE axis:
+1. The round-3 row-layout kernel's serial solve was NOT the bottleneck it
+   was modeled as: with the solve transposed so J rides the LANE axis the
+   entire batched sequential phase costs ~0.6 ms/iteration.  The real
+   costs are the X stream (~31 ms), the 2-bit decode + dot work, and --
+   the surprise -- ~48 ms/iteration of XLA glue: `jnp.take(gram, border)`
+   alone is ~15 ms (TPU gathers of 4 KB granules), the inner-permutation
+   take_along_axis pair ~7 ms, the 504k-element scatter-backs ~9 ms.
+2. TPU gathers/scatters with per-iteration random indices are 10-50x
+   slower than reshapes, transposes and batched one-hot matmuls of the
+   same volume.
+
+So this kernel eliminates per-iteration gathers/scatters entirely:
+
+- **Strided rounds**: round-slab r owns blocks {j*nr + r : j < J} -- a
+  FIXED partition (like the sharded sampler's Dm=J device slices, whose
+  posterior equivalence is validated in tests/test_sharded.py), maximally
+  spread in storage so same-round blocks are J*B*nr/J ~ M/J markers apart
+  (minimal LD -> minimal Jacobi staleness).  Randomness per iteration:
+  the round VISIT order rho (applied in the kernel's scalar-prefetch
+  index maps -- operands are built in canonical slab order, rho costs
+  nothing) and the within-block permutations.  Every marker is swept
+  exactly once per iteration in a random-in-block order, so this remains
+  a valid random-scan Gibbs kernel (reference sweep: a full shuffle,
+  src/BayesRv2.cpp:180-184; the blocked family approximates it, see
+  ARCHITECTURE.md).
+- Operand builds are reshapes + batched one-hot matmuls on the MXU
+  (einsum P'GP for the interleaved-Gp operand; einsum P'T for the pkg
+  fields) -- no take(), no take_along_axis().
+- Outputs leave in LANE order through rho-indexed output maps, so the
+  scatter-back is a transpose+reshape.
+
+Serial-step layout (the transposed solve):
 
 - r and the pre-block betas live in (B, J) scratches (row s = position s,
-  col j = round-block j): the per-step read is ONE dynamic sublane slice
-  ``rT[s, :]`` -- no mask, no reduction;
-- the per-(position, block) constants arrive as a (nr, B*F, J) operand
-  (row s*F + f is field f of position s): one dynamic sublane slice yields
-  an (F, J) tile and every selection op becomes a (K, J)/(1, J) lane
-  vector -- full 128-lane utilisation at J = 128;
-- the Gram rows arrive as a (nr, B*B, J) operand (row s*B + pos is
-  Gp_j[s, pos] in col j): the J rank-1 updates of a step are ONE dynamic
-  sublane slice + ONE (B, J) FMA into rT.
+  col j = round-block j): the per-step read is ONE dynamic sublane slice;
+- per-(position, block) constants arrive as a (nr, B*F, J) operand (row
+  s*F + f): one slice yields an (F, J) tile and every selection op is a
+  (K, J)/(1, J) lane vector -- full 128-lane utilisation at J = 128;
+- Gram rows arrive as a (nr, B*B, J) operand (row s*B + pos holds
+  Gp_j[s, pos]): the J rank-1 updates of a step are one slice + one
+  (B, J) FMA;
+- layout hops and in-kernel permutes are chunked one-hot MXU matmuls
+  (exact in f32: every output sums exactly one nonzero product).
 
-Round-scope permutation work is batched onto the MXU instead of looping
-over J blocks (a J-iteration fori_loop costs ~J x 0.25 us per round --
-~8 ms/iteration at J=128 on the biobank shape):
+Each grid step streams Q blocks' X tiles and fuses them into ONE
+MXU dot of contraction/output width Q*B (a B-wide dot would waste 3/4 of
+the MXU at B=32); the grid is (nr, 2, J/Q, nt).
 
-- beta and the group rows arrive PRE-PERMUTED to position order from XLA
-  (the builder already gathers per-iteration operands; beta_out/kpos_out
-  leave in position order and XLA scatters them back with the same index
-  map), so only r (computed in-kernel from the X stream) and the outgoing
-  deltas permute in-kernel;
-- those two permutes run as chunked one-hot matmuls: with Pcat the
-  (B, J*B) stacked one-hot [m, (j,s)] = (m == inner_j[s]),
-  r_pos = (r @ Pcat masked to its own block-diagonal) @ Itile -- two MXU
-  ops per 32-block chunk, exact in f32 (every sum adds one nonzero);
-- layout hops (B, J) <-> (J, B) are identity-matmul transposes (exact).
-
-Because the lane axis caps J at 128, the sweet spot pairs a large J with a
-small B at the same Jacobi window J*B (4096 markers per round -- the
-staleness validated in round 3); ops/pallas_jacobi.auto_jacobi_plan picks
-the (J, B) split by measurement.
-
-To keep grid overhead flat, each grid step streams Q blocks' X tiles
-(Q index-mapped views of the same array): the grid is (nr, 2, J/Q, nt).
-
-Semantics are identical to ops/pallas_jacobi.py: exact sequential Gibbs
-within each B-block, block-Jacobi across the J blocks of a round (the
-sharded Dm=J cross-slice semantics).  Reference per-update math:
-src/BayesRv2.cpp:186-245 (bayesr), src/HorseshoeR.cpp:219-240 (horseshoe).
+Semantics: exact sequential Gibbs within each B-block, block-Jacobi
+across the J blocks of a round.  Reference per-update math:
+src/BayesRv2.cpp:186-245 (bayesr), src/HorseshoeR.cpp:219-240
+(horseshoe).
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,41 +71,46 @@ from .sweep import SweepResult
 
 
 def auto_q(J: int) -> int:
-    """X-streams per grid step: amortise grid overhead without exceeding
-    the VMEM X-tile budget (Q double-buffered tiles)."""
+    """X-streams per grid step: amortise grid overhead and widen the
+    per-step MXU dot to Q*B lanes."""
     for q in (4, 2):
         if J % q == 0:
             return q
     return 1
 
 
-def build_gpT_interleaved(gram, border, inner_sel, *, B, J):
-    """Transposed interleaved-Gp operand (nr, B*B, J): row s*B + pos holds
-    Gp_j[s, pos] in column j, where Gp_j = G_{border[r*J+j]} permuted to
-    this iteration's position order (rows AND cols by inner_j)."""
-    nr = border.shape[0] // J
-    bsel = border.reshape(nr * J)
-    g_sel = jnp.take(gram, bsel, axis=0)                   # (nr*J, B, B)
-    inn = inner_sel.reshape(nr * J, B).astype(jnp.int32)
-    rows = jnp.take_along_axis(g_sel, inn[:, :, None], axis=1)
-    gpb = jnp.take_along_axis(rows, inn[:, None, :], axis=2)
-    return (gpb.reshape(nr, J, B, B).transpose(0, 2, 3, 1)
-            .reshape(nr, B * B, J).astype(jnp.float32))
+def strided_block(j: int, r, nr: int):
+    """Canonical block index of round-slab r, lane j (strided rounds)."""
+    return j * nr + r
 
 
-def build_pkgT_jacobi(xsq, gas, valid, p, z, pi, cva, sigmaE, sigmaGG,
-                      border, inner, *, B, J):
-    """Transposed per-iteration packed operand (nr, B*F, J), F = 3K+4:
-    row s*F + f holds field f of position s across the round's J blocks.
-    Field order matches ops.pallas_jacobi.build_pkg_jacobi:
-    [lp(K), 1/denom(K, spike col 0), sd(K, spike col 0), p, z, xsq, valid].
-    Also returns (inner_sel (nr, J, B), gidx (nr, J, B)) -- gidx maps
-    (round, block, position) to the padded marker index."""
+def build_onehot_inner(inner_can, *, B, J, nr):
+    """One-hot P operand (J, nr, B, B): P[j, r, m, s] = (m == inner[s]) of
+    block j*nr + r.  inner_can is the canonical (nb, B) permutation
+    table."""
+    inn = inner_can.reshape(J, nr, B).astype(jnp.int32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (J, nr, B, B), 2)
+    return (sub == inn[:, :, None, :]).astype(jnp.float32)
+
+
+def build_gpT_strided(gram, P2, *, B, J, nr):
+    """Interleaved transposed Gram operand (nr, B*B, J) for strided
+    rounds: row s*B + pos of slab r holds Gp_j[s, pos] where
+    Gp_j = P' G_{j*nr+r} P.  Batched one-hot matmuls on the MXU -- no
+    gathers."""
+    G2 = gram.astype(jnp.float32).reshape(J, nr, B, B)
+    gp = jnp.einsum('jrms,jrmt,jrtu->rsuj', P2, G2, P2,
+                    preferred_element_type=jnp.float32)
+    return gp.reshape(nr, B * B, J)
+
+
+def _bayesr_tbl(xsq, gas, pi, cva, sigmaE, sigmaGG):
+    """Per-marker constant fields (Mpad, 3K+2): [lp(K), 1/denom(K, spike
+    col 0), sd(K, spike col 0), xsq, valid-slot placeholder excluded].
+    Same formulas as the row-layout kernel's build_pkg_jacobi
+    (src/BayesRv2.cpp:199, 207-211)."""
     f32 = jnp.float32
     Mpad = xsq.shape[0]
-    G, K = pi.shape
-    nb = Mpad // B
-    nr = nb // J
     xsq = xsq.astype(f32)
     sG = jnp.take(sigmaGG.astype(f32), gas)                # (Mpad,)
     cva_m = jnp.take(cva.astype(f32), gas, axis=0)         # (Mpad, K-1)
@@ -110,34 +126,41 @@ def build_pkgT_jacobi(xsq, gas, valid, p, z, pi, cva, sigmaE, sigmaGG,
         logpi[:, 1:] - 0.5 * jnp.log(
             (sG[:, None] / sE) * xsq[:, None] * cva_m + 1.0),
     ], axis=1)
-    tbl = jnp.concatenate([
-        lp, invd, sd, xsq[:, None], valid.astype(f32)[:, None]], axis=1)
-
-    bsel = border.reshape(nr, J)                           # (nr, J)
-    inner_sel = jnp.take(inner, bsel, axis=0)              # (nr, J, B)
-    gidx = bsel[:, :, None] * B + inner_sel                # (nr, J, B)
-    per = jnp.take(tbl, gidx.reshape(-1), axis=0).reshape(nr, J, B, 3 * K + 2)
-    # position-indexed randoms: sweep position of (round r, block j, pos s)
-    # is (r*J + j)*B + s  (identical to the row-layout kernel)
-    p3 = p.astype(f32).reshape(nr, J, B)[..., None]
-    z3 = z.astype(f32).reshape(nr, J, B)[..., None]
-    pkg = jnp.concatenate(
-        [per[..., : 3 * K], p3, z3, per[..., 3 * K:]], axis=3)
-    F = 3 * K + 4
-    pkgT = pkg.transpose(0, 2, 3, 1).reshape(nr, B * F, J)  # row s*F + f
-    return pkgT, inner_sel.astype(jnp.int32), gidx.astype(jnp.int32)
+    return jnp.concatenate([lp, invd, sd], axis=1)         # (Mpad, 3K)
 
 
-def build_pkgT_hs_jacobi(xsq, valid, z, lam, tau, c2, sigmaE,
-                         border, inner, *, B, J):
-    """Transposed horseshoe operand (nr, B*5, J): row s*5 + f holds field f
-    of position s, fields [1/denom, sd, z, xsq, valid] (same math as
-    ops.pallas_jacobi.build_pkg_hs_jacobi; src/HorseshoeR.cpp:224, 234).
-    Also returns (inner_sel, gidx), both (nr, J, B)."""
+def build_pkgT_strided(xsq, gas, valid, p, z, pi, cva, sigmaE, sigmaGG,
+                       P2, *, B, J, nr):
+    """Transposed packed operand (nr, B*F, J), F = 3K+4, for strided
+    rounds: row s*F + f of slab r holds field f of position s across the
+    J blocks, fields [lp(K), 1/denom(K), sd(K), p, z, xsq, valid].
+
+    Per-marker constants are permuted to position order with a batched
+    one-hot matmul (einsum over the P operand); p/z are POSITION-indexed
+    (sweep position of (r, j, s) is (r*J + j)*B + s, identical to the
+    row-layout kernel)."""
     f32 = jnp.float32
-    Mpad = xsq.shape[0]
-    nb = Mpad // B
-    nr = nb // J
+    G, K = pi.shape
+    tblc = _bayesr_tbl(xsq, gas, pi, cva, sigmaE, sigmaGG)  # (Mpad, 3K)
+    xv = jnp.stack([xsq.astype(f32), valid.astype(f32)], axis=1)
+    tbl = jnp.concatenate([tblc, xv], axis=1)              # (Mpad, 3K+2)
+    T2 = tbl.reshape(J, nr, B, 3 * K + 2)
+    # position order: per[r, s, f, j] = tbl[block(j, r), inner[s], f]
+    per = jnp.einsum('jrms,jrmf->rsfj', P2, T2,
+                     preferred_element_type=f32)           # (nr,B,3K+2,J)
+    p4 = p.astype(f32).reshape(nr, J, B).transpose(0, 2, 1)[:, :, None, :]
+    z4 = z.astype(f32).reshape(nr, J, B).transpose(0, 2, 1)[:, :, None, :]
+    pkg = jnp.concatenate(
+        [per[:, :, :3 * K, :], p4, z4, per[:, :, 3 * K:, :]], axis=2)
+    F = 3 * K + 4
+    return pkg.reshape(nr, B * F, J)
+
+
+def build_pkgT_hs_strided(xsq, valid, z, lam, tau, c2, sigmaE, P2,
+                          *, B, J, nr):
+    """Transposed horseshoe operand (nr, B*5, J) for strided rounds,
+    fields [1/denom, sd, z, xsq, valid] (src/HorseshoeR.cpp:224, 234)."""
+    f32 = jnp.float32
     xsq = xsq.astype(f32)
     lam = lam.astype(f32)
     tauf = tau.astype(f32)
@@ -146,15 +169,12 @@ def build_pkgT_hs_jacobi(xsq, valid, z, lam, tau, c2, sigmaE,
     denom = xsq + sE / s_j
     tbl = jnp.stack([1.0 / denom, jnp.sqrt(sE / denom), xsq,
                      valid.astype(f32)], axis=1)           # (Mpad, 4)
-
-    bsel = border.reshape(nr, J)
-    inner_sel = jnp.take(inner, bsel, axis=0)              # (nr, J, B)
-    gidx = bsel[:, :, None] * B + inner_sel
-    per = jnp.take(tbl, gidx.reshape(-1), axis=0).reshape(nr, J, B, 4)
-    z3 = z.astype(f32).reshape(nr, J, B)[..., None]        # position-indexed
-    pkg = jnp.concatenate([per[..., :2], z3, per[..., 2:]], axis=3)
-    pkgT = pkg.transpose(0, 2, 3, 1).reshape(nr, B * 5, J)
-    return pkgT, inner_sel.astype(jnp.int32), gidx.astype(jnp.int32)
+    T2 = tbl.reshape(J, nr, B, 4)
+    per = jnp.einsum('jrms,jrmf->rsfj', P2, T2,
+                     preferred_element_type=f32)           # (nr, B, 4, J)
+    z4 = z.astype(f32).reshape(nr, J, B).transpose(0, 2, 1)[:, :, None, :]
+    pkg = jnp.concatenate([per[:, :, :2, :], z4, per[:, :, 2:, :]], axis=2)
+    return pkg.reshape(nr, B * 5, J)
 
 
 def _tsp(a, n):
@@ -180,11 +200,11 @@ def _lane_to_pos(rows, ir_c, *, B, JC):
     """Chunked batched permute: rows (JC, B) in marker-lane order ->
     position order, using the chunk's flat inner row ir_c (1, JC*B).
 
-    pcat[m, (j, s)] = (m == inner_j[s]); the full product
-    rows @ pcat carries cross-block terms, the block-diagonal mask kills
-    them, and Itile[(j, s), s'] = (s == s') folds the masked groups back
-    to (JC, B).  Every output element sums exactly one nonzero product --
-    bit-exact vs the per-block one-hot dots."""
+    pcat[m, (j, s)] = (m == inner_j[s]); the full product rows @ pcat
+    carries cross-block terms, the block-diagonal mask kills them, and
+    Itile[(j, s), s'] = (s == s') folds the masked groups back to
+    (JC, B).  Every output element sums exactly one nonzero product --
+    bit-exact vs per-block one-hot dots."""
     f32 = jnp.float32
     CW = JC * B
     pcat = (jax.lax.broadcasted_iota(jnp.int32, (B, CW), 0)
@@ -201,9 +221,7 @@ def _lane_to_pos(rows, ir_c, *, B, JC):
 
 def _pos_to_lane(rows_pos, ir_c, *, B, JC):
     """Chunked batched un-permute: rows_pos (JC, B) position order ->
-    marker-lane order (the inverse of _lane_to_pos; same masked two-matmul
-    structure with the tiled identity on the left and Pcat' on the
-    right)."""
+    marker-lane order (the inverse of _lane_to_pos)."""
     f32 = jnp.float32
     CW = JC * B
     tileT = (jax.lax.broadcasted_iota(jnp.int32, (B, CW), 1) % B
@@ -218,18 +236,19 @@ def _pos_to_lane(rows_pos, ir_c, *, B, JC):
                                preferred_element_type=f32)  # (JC, B)
 
 
-def _jacobi_t_kernel(border_ref,                            # scalar prefetch
+def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
                      *refs, B, TN, K, G, J, Q, packed=False, fold=False):
-    """Transposed Jacobi sweep kernel body.  refs layout:
+    """Transposed Jacobi sweep kernel body (strided rounds).  refs layout:
 
-    inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, gas_pos, beta_pos,
-             eps, sigmaE[, srow_r, msrow_r, xsum_r, esum0]
-    outputs: eps_out, beta_out (pos), kpos_out (pos, f32), v_out, bacc_out
+    inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, gas_lane, beta_lane,
+             eps, sigmaE[, srow, msrow, xsum, esum0]
+    outputs: eps_out, beta_out (lane), klane_out (lane, f32), v_out,
+             bacc_out
     scratch: rb (J, B), rT (B, J), bT (B, J), dposT (B, J), krecT (B, J),
              dpos (J, B), dlane (J, B)[, fold (1+J, 1)]
     """
     (xt_refs, rest) = (refs[:Q], refs[Q:])
-    (innr_ref, pkg_ref, gpt_ref, gasp_ref, beta_ref,
+    (innr_ref, pkg_ref, gpt_ref, gasl_ref, beta_ref,
      eps_ref, se_ref) = rest[:7]
     if fold:
         srow_ref, msrow_ref, xsum_ref, esum0_ref = rest[7:11]
@@ -240,7 +259,7 @@ def _jacobi_t_kernel(border_ref,                            # scalar prefetch
         outs = rest[7:12]
         (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc,
          dpos_sc, dlane_sc) = rest[12:]
-    eps_out, beta_out, kpos_out, v_out, bacc_out = outs
+    eps_out, beta_out, klane_out, v_out, bacc_out = outs
 
     r = pl.program_id(0)
     ph = pl.program_id(1)
@@ -251,7 +270,6 @@ def _jacobi_t_kernel(border_ref,                            # scalar prefetch
     F = 3 * K + 4
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-    import os
     _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
 
     if packed:
@@ -273,6 +291,11 @@ def _jacobi_t_kernel(border_ref,                            # scalar prefetch
                 return xr[...].astype(f32)
             return xr[...]
 
+    def x_cat(k):
+        if Q == 1:
+            return x_sub(0, k)
+        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
 
@@ -290,14 +313,17 @@ def _jacobi_t_kernel(border_ref,                            # scalar prefetch
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        # r_j += eps_tile . X_j_tile' for this grid step's Q blocks
+        # ONE (1, W) x (W, Q*B) MXU dot per subword covers this grid
+        # step's Q blocks at full output width
+        acc = None
+        for k in range(SUB):
+            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (1, W)
+            d = jax.lax.dot_general(
+                eps_t, x_cat(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # (1, Q*B)
+            acc = d if acc is None else acc + d
         for q in range(Q):
-            jj = jq * Q + q
-            for k in range(SUB):
-                eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (1, W)
-                rb_sc[pl.ds(jj, 1), :] += jax.lax.dot_general(
-                    eps_t, x_sub(q, k), (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)                 # (1, B)
+            rb_sc[pl.ds(jq * Q + q, 1), :] += acc[:, q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
@@ -307,7 +333,7 @@ def _jacobi_t_kernel(border_ref,                            # scalar prefetch
             dpos_sc[...] = jnp.zeros_like(dpos_sc)
             dlane_sc[...] = jnp.zeros_like(dlane_sc)
             beta_out[0] = beta_ref[0]
-            kpos_out[0] = jnp.full((J, B), -1.0, f32)
+            klane_out[0] = jnp.full((J, B), -1.0, f32)
             if fold:
                 fold_sc[1:1 + J, :] = jnp.zeros((J, 1), f32)
             return
@@ -317,15 +343,16 @@ def _jacobi_t_kernel(border_ref,                            # scalar prefetch
             es = fold_sc[0, 0]
             rb_sc[...] = rb_sc[...] * srow_ref[0] - msrow_ref[0] * es
 
-        # r to position order + transposed layout; beta arrives
-        # pre-permuted from XLA and only needs the transpose
+        # r and beta to position order + transposed layout (chunked
+        # batched one-hot matmuls)
         for c in range(NC):
             ir_c = innr_ref[0][:, c * CW:(c + 1) * CW]     # (1, CW)
             rpos = _lane_to_pos(rb_sc[c * JC:(c + 1) * JC, :], ir_c,
                                 B=B, JC=JC)
             rT_sc[:, c * JC:(c + 1) * JC] = _tsp(rpos, JC)
-            bT_sc[:, c * JC:(c + 1) * JC] = _tsp(
-                beta_ref[0, c * JC:(c + 1) * JC, :], JC)
+            bpos = _lane_to_pos(beta_ref[0, c * JC:(c + 1) * JC, :], ir_c,
+                                B=B, JC=JC)
+            bT_sc[:, c * JC:(c + 1) * JC] = _tsp(bpos, JC)
 
         Kf = jnp.float32(K)
         half_invsE = 0.5 / sE
@@ -390,22 +417,24 @@ def _jacobi_t_kernel(border_ref,                            # scalar prefetch
         else:
             lax.fori_loop(0, B, body, (), unroll=False)
 
-        # back to row layout; deltas un-permute to marker-lane order for
-        # the eps update, kpos/beta leave in position order (XLA scatters)
+        # back to row layout, un-permute deltas and draw records to
+        # marker-lane order (outputs leave in lane order -- the XLA side
+        # only transposes, no scatter)
         for c in range(NC):
             ir_c = innr_ref[0][:, c * CW:(c + 1) * CW]
             dpos_c = _tsp(dposT_sc[:, c * JC:(c + 1) * JC], B)  # (JC, B)
             dpos_sc[c * JC:(c + 1) * JC, :] = dpos_c
             dlane_sc[c * JC:(c + 1) * JC, :] = _pos_to_lane(
                 dpos_c, ir_c, B=B, JC=JC)
-            kpos_out[0, c * JC:(c + 1) * JC, :] = _tsp(
-                krecT_sc[:, c * JC:(c + 1) * JC], B)
+            kpos_c = _tsp(krecT_sc[:, c * JC:(c + 1) * JC], B)
+            klane_out[0, c * JC:(c + 1) * JC, :] = _pos_to_lane(
+                kpos_c, ir_c, B=B, JC=JC)
 
-        # whole-round outputs (vectorised; position order throughout)
-        beta_new_r = beta_ref[0] + dpos_sc[...]            # (J, B)
+        # whole-round outputs (vectorised; lane order throughout)
+        beta_new_r = beta_ref[0] + dlane_sc[...]           # (J, B)
         beta_out[0] = beta_new_r
-        kl = kpos_out[0]
-        gas_r = gasp_ref[0]                                # (J, B) int32
+        kl = klane_out[0]
+        gas_r = gasl_ref[0]                                # (J, B) int32
         slab2 = jnp.where(kl > 0.0, beta_new_r * beta_new_r, 0.0)
         vcols = []
         bcols = []
@@ -430,29 +459,32 @@ def _jacobi_t_kernel(border_ref,                            # scalar prefetch
 
     @pl.when(ph == 1)
     def _apply_update():
+        # ONE (1, Q*B) x (Q*B, W) MXU dot per subword applies this grid
+        # step's Q blocks at full contraction width
+        dlcat = jnp.concatenate(
+            [dlane_sc[pl.ds(jq * Q + q, 1), :] for q in range(Q)], axis=1)
+        if fold:
+            dms = fold_sc[pl.ds(1 + jq * Q, 1), :]
+            for q in range(1, Q):
+                dms = dms + fold_sc[pl.ds(1 + jq * Q + q, 1), :]
         for k in range(SUB):
-            acc = None
-            for q in range(Q):
-                jj = jq * Q + q
-                dl = dlane_sc[pl.ds(jj, 1), :]             # (1, B)
-                upd = jax.lax.dot_general(
-                    dl, x_sub(q, k), (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)            # (1, W)
-                if fold:
-                    upd = upd - fold_sc[pl.ds(1 + jj, 1), :]
-                acc = upd if acc is None else acc + upd
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= acc
+            upd = jax.lax.dot_general(
+                dlcat, x_cat(k), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                # (1, W)
+            if fold:
+                upd = upd - dms
+            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
-def _hs_jacobi_t_kernel(border_ref, *refs, B, TN, J, Q, packed=False,
+def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
                         fold=False):
     """Transposed horseshoe Jacobi kernel (src/HorseshoeR.cpp:219-240):
     same phase structure as _jacobi_t_kernel minus the selection loop and
     label/v/bacc outputs.  refs layout:
 
-    inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, beta_pos, eps
-             [, srow_r, msrow_r, xsum_r, esum0]
-    outputs: eps_out, beta_out (pos)
+    inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, beta_lane, eps
+             [, srow, msrow, xsum, esum0]
+    outputs: eps_out, beta_out (lane)
     scratch: rb (J, B), rT (B, J), bT (B, J), dposT (B, J), dpos (J, B),
              dlane (J, B)[, fold (1+J, 1)]
     """
@@ -492,6 +524,11 @@ def _hs_jacobi_t_kernel(border_ref, *refs, B, TN, J, Q, packed=False,
                 return xr[...].astype(f32)
             return xr[...]
 
+    def x_cat(k):
+        if Q == 1:
+            return x_sub(0, k)
+        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
 
@@ -507,13 +544,15 @@ def _hs_jacobi_t_kernel(border_ref, *refs, B, TN, J, Q, packed=False,
 
     @pl.when(ph == 0)
     def _accumulate_r():
+        acc = None
+        for k in range(SUB):
+            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]
+            d = jax.lax.dot_general(
+                eps_t, x_cat(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                # (1, Q*B)
+            acc = d if acc is None else acc + d
         for q in range(Q):
-            jj = jq * Q + q
-            for k in range(SUB):
-                eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]
-                rb_sc[pl.ds(jj, 1), :] += jax.lax.dot_general(
-                    eps_t, x_sub(q, k), (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
+            rb_sc[pl.ds(jq * Q + q, 1), :] += acc[:, q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
@@ -526,8 +565,9 @@ def _hs_jacobi_t_kernel(border_ref, *refs, B, TN, J, Q, packed=False,
             rpos = _lane_to_pos(rb_sc[c * JC:(c + 1) * JC, :], ir_c,
                                 B=B, JC=JC)
             rT_sc[:, c * JC:(c + 1) * JC] = _tsp(rpos, JC)
-            bT_sc[:, c * JC:(c + 1) * JC] = _tsp(
-                beta_ref[0, c * JC:(c + 1) * JC, :], JC)
+            bpos = _lane_to_pos(beta_ref[0, c * JC:(c + 1) * JC, :], ir_c,
+                                B=B, JC=JC)
+            bT_sc[:, c * JC:(c + 1) * JC] = _tsp(bpos, JC)
 
         def body(s, _):
             rowF = pkg_ref[0, pl.ds(s * F, F), :]          # (5, J)
@@ -558,7 +598,7 @@ def _hs_jacobi_t_kernel(border_ref, *refs, B, TN, J, Q, packed=False,
             dlane_sc[c * JC:(c + 1) * JC, :] = _pos_to_lane(
                 dpos_c, ir_c, B=B, JC=JC)
 
-        beta_out[0] = beta_ref[0] + dpos_sc[...]           # (J, B) pos
+        beta_out[0] = beta_ref[0] + dlane_sc[...]          # (J, B) lane
 
         if fold:
             dl = dlane_sc[...]
@@ -570,29 +610,30 @@ def _hs_jacobi_t_kernel(border_ref, *refs, B, TN, J, Q, packed=False,
 
     @pl.when(ph == 1)
     def _apply_update():
+        dlcat = jnp.concatenate(
+            [dlane_sc[pl.ds(jq * Q + q, 1), :] for q in range(Q)], axis=1)
+        if fold:
+            dms = fold_sc[pl.ds(1 + jq * Q, 1), :]
+            for q in range(1, Q):
+                dms = dms + fold_sc[pl.ds(1 + jq * Q + q, 1), :]
         for k in range(SUB):
-            acc = None
-            for q in range(Q):
-                jj = jq * Q + q
-                dl = dlane_sc[pl.ds(jj, 1), :]
-                upd = jax.lax.dot_general(
-                    dl, x_sub(q, k), (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
-                if fold:
-                    upd = upd - fold_sc[pl.ds(1 + jj, 1), :]
-                acc = upd if acc is None else acc + upd
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= acc
+            upd = jax.lax.dot_general(
+                dlcat, x_cat(k), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                # (1, W)
+            if fold:
+                upd = upd - dms
+            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
 def _packed_tile_n_t(Npad, B, J, F, Q):
     """Largest N-tile (a 2048-multiple dividing Npad) under the transposed
     kernel's VMEM residency model: Q double-buffered X tiles (B*TN/4 bytes
     each), double-buffered gpT (B*B*J*4) + pkgT (B*F*J*4) + the round
-    metadata rows, eps (Npad*4), ~1 MiB of small scratches."""
-    import os
+    metadata rows, eps (Npad*4), ~1 MiB of small scratches.  VMEM blocks
+    pad the lane dim to 128."""
     cap_mb = float(os.environ.get("BAYESR_VMEM_CAP_MB", "13"))
     budget = int(cap_mb * 2 ** 20)
-    lanes = max(J, 128)      # VMEM blocks pad the lane dim to 128
+    lanes = max(J, 128)
     budget -= 2 * (B * B * lanes * 4) + 2 * (B * F * lanes * 4)
     budget -= 2 * 6 * (J * 128 * 4)
     budget -= int(1.0 * 2 ** 20) + Npad * 4
@@ -631,23 +672,24 @@ def _prep_x(XT_pad, eps, *, packed, fold, tile_n, B, J, F, Q, row_valid):
     return xt, eps2d, lane_mask, TN, Npad, N
 
 
-def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
-                           block_order, inner_perm, p_arr, z_arr,
-                           pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
-                           *, J: int = 64, tile_n: int = 512,
-                           interpret: bool = False,
-                           x_mean=None, x_scale=None, x_xsum=None,
-                           fold_affine: bool = False, row_valid=None):
-    """Transposed-layout drop-in for bayesr_jacobi_pallas (same argument
-    conventions; J must divide the block count and be <= 128).  Supports
-    dense f32 X and the fold-affine raw-code paths (int8 / 2-bit packed,
-    no real missing calls)."""
-    nb, B, _ = gram.shape
+def _lane_rows(arr_pad, *, B: int, J: int, nr: int):
+    """(Mpad,) block-padded array -> (nr, J, B) canonical strided-round
+    lane-order rows (row (r, j) = block j*nr + r): a reshape + transpose,
+    no gather."""
+    return (arr_pad.reshape(J, nr, B).transpose(1, 0, 2))
+
+
+def _merge_lane_rows(rows, Mpad):
+    """Inverse of _lane_rows: (nr, J, B) -> (Mpad,)."""
+    nr, J, B = rows.shape
+    return rows.transpose(1, 0, 2).reshape(Mpad)
+
+
+def _validate(nb, J, x_mean, XT_pad, fold_affine):
     if nb % J:
         raise ValueError(f"jacobi sweep needs J | nb (J={J}, nb={nb})")
     if J > 128:
         raise ValueError("transposed jacobi sweep needs J <= 128 (lanes)")
-    nr = nb // J
     quantized = x_mean is not None
     packed = quantized and XT_pad.dtype == jnp.int32
     fold = bool(fold_affine) and quantized
@@ -655,6 +697,29 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         raise ValueError("jacobi sweep supports dense or fold-affine "
                          "quantized X only (missing calls: use the "
                          "single-chain kernel)")
+    return quantized, packed, fold
+
+
+def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
+                           rho, inner_perm, p_arr, z_arr,
+                           pi, cva, sigmaE, sigmaGG, g_assign_pad, valid_pad,
+                           *, J: int = 64, tile_n: int = 512,
+                           interpret: bool = False,
+                           x_mean=None, x_scale=None, x_xsum=None,
+                           fold_affine: bool = False, row_valid=None):
+    """Transposed-layout BayesR sweep with strided rounds.
+
+    Argument conventions follow bayesr_jacobi_pallas EXCEPT the
+    permutation pair: ``rho`` is the (nr,) round visit order and
+    ``inner_perm`` the canonical (nb, B) within-block permutations; the
+    blocks of round rho[r] are {j*nr + rho[r] : j < J} (the strided fixed
+    partition -- see the module docstring).  The equivalent flat
+    block_order for an oracle is ``(nr*arange(J)[None,:] +
+    rho[:,None]).reshape(-1)``.
+    """
+    nb, B, _ = gram.shape
+    quantized, packed, fold = _validate(nb, J, x_mean, XT_pad, fold_affine)
+    nr = nb // J
     f32 = jnp.float32
     G, K = pi.shape
     F = 3 * K + 4
@@ -665,46 +730,27 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     nt = Npad // TN
     Mpad = beta_pad.shape[0]
 
-    pkgT, inner_sel, gidx = build_pkgT_jacobi(
-        xsq_pad, g_assign_pad, valid_pad, p_arr, z_arr, pi, cva,
-        sigmaE, sigmaGG, block_order, inner_perm, B=B, J=J)
-    border = block_order.astype(jnp.int32)
-    gpT = build_gpT_interleaved(gram, border, inner_sel, B=B, J=J)
-    gflat = gidx.reshape(-1)
-    import os
-    if os.environ.get("BAYESR_T_ABLATE", "") == "xla":   # perf probe: no
-        # pallas call -- measures the per-iteration XLA glue alone (operand
-        # builds consumed by cheap reduces; outputs shaped like the real
-        # ones so the step's downstream XLA runs too)
-        bogus = (jnp.sum(pkgT) + jnp.sum(gpT)
-                 + jnp.sum(jnp.take(beta_pad.astype(f32), gflat)))
-        beta_flat = jnp.zeros((Mpad,), f32).at[gflat].set(
-            beta_pad.astype(f32)[gflat] + bogus * 1e-30)
-        kv_flat = jnp.zeros((Mpad,), f32).at[gflat].set(-1.0)
-        return SweepResult(
-            eps=eps.astype(eps.dtype),
-            beta=beta_flat.astype(beta_pad.dtype),
-            labels=jnp.where(kv_flat >= 0.0, kv_flat.astype(jnp.int32),
-                             labels_pad.astype(jnp.int32)),
-            v=jnp.zeros((G, K), eps.dtype),
-            beta_acum=jnp.zeros((G,), eps.dtype),
-        )
-    # beta/gas pre-permuted to position order (round, block, position)
-    beta_pos = jnp.take(beta_pad.astype(f32), gflat).reshape(nr, J, B)
-    gas_pos = jnp.take(g_assign_pad.astype(jnp.int32), gflat).reshape(
-        nr, J, B)
-    inner_row = inner_sel.reshape(nr, 1, J * B)
+    P2 = build_onehot_inner(inner_perm, B=B, J=J, nr=nr)
+    pkgT = build_pkgT_strided(xsq_pad, g_assign_pad, valid_pad, p_arr,
+                              z_arr, pi, cva, sigmaE, sigmaGG, P2,
+                              B=B, J=J, nr=nr)
+    gpT = build_gpT_strided(gram, P2, B=B, J=J, nr=nr)
+    inner_row = (inner_perm.astype(jnp.int32).reshape(J, nr, B)
+                 .transpose(1, 0, 2).reshape(nr, 1, J * B))
+    beta_lane = _lane_rows(beta_pad.astype(f32), B=B, J=J, nr=nr)
+    gas_lane = _lane_rows(g_assign_pad.astype(jnp.int32), B=B, J=J, nr=nr)
+    rho_i = rho.astype(jnp.int32)
     se1 = sigmaE.astype(f32).reshape(1)
 
     def im_xt(q):
-        def f(r, ph, jq, t, border_ref):
-            return (border_ref[r * J + jq * Q + q], t)
+        def f(r, ph, jq, t, rho_ref):
+            return ((jq * Q + q) * nr + rho_ref[r], t)
         return f
 
-    def im_round(r, ph, jq, t, border_ref):
-        return (r, 0, 0)
+    def im_round(r, ph, jq, t, rho_ref):
+        return (rho_ref[r], 0, 0)
 
-    def im_full(r, ph, jq, t, border_ref):
+    def im_full(r, ph, jq, t, rho_ref):
         return (0, 0)
 
     x_tile_w = TN // 16 if packed else TN
@@ -713,12 +759,13 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
             pl.BlockSpec((1, 1, J * B), im_round),         # inner (flat)
             pl.BlockSpec((1, B * F, J), im_round),         # pkgT
             pl.BlockSpec((1, B * B, J), im_round),         # gpT
-            pl.BlockSpec((1, J, B), im_round),             # gas rows (pos)
-            pl.BlockSpec((1, J, B), im_round),             # beta rows (pos)
+            pl.BlockSpec((1, J, B), im_round),             # gas rows (lane)
+            pl.BlockSpec((1, J, B), im_round),             # beta rows (lane)
             pl.BlockSpec((1, Npad), im_full),              # eps
             pl.BlockSpec(memory_space=pltpu.SMEM),         # sigmaE (1,)
         ])
-    args = [xt] * Q + [inner_row, pkgT, gpT, gas_pos, beta_pos, eps2d, se1]
+    args = [xt] * Q + [inner_row, pkgT, gpT, gas_lane, beta_lane,
+                       eps2d, se1]
     scratch = [
         pltpu.VMEM((J, B), f32),                           # r rows (lane)
         pltpu.VMEM((B, J), f32),                           # rT
@@ -733,16 +780,16 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
                      pl.BlockSpec((1, J, B), im_round),    # msrow rows
                      pl.BlockSpec((1, J, B), im_round),    # xsum rows
                      pl.BlockSpec(memory_space=pltpu.SMEM)]  # esum0 (1,)
-        srow_r = _round_gather_rows(x_scale, border, B=B, J=J)
-        msrow_r = _round_gather_rows(
-            x_mean.astype(f32) * x_scale.astype(f32), border, B=B, J=J)
-        xsum_r = _round_gather_rows(x_xsum, border, B=B, J=J)
+        srow_r = _lane_rows(x_scale.astype(f32), B=B, J=J, nr=nr)
+        msrow_r = _lane_rows(
+            x_mean.astype(f32) * x_scale.astype(f32), B=B, J=J, nr=nr)
+        xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
         args += [srow_r, msrow_r, xsum_r, jnp.sum(eps2d, axis=1)]
         scratch += [pltpu.VMEM((1 + J, 1), f32)]           # esum ; dms_j
     out_specs = [
         pl.BlockSpec((1, Npad), im_full),                  # eps_out
-        pl.BlockSpec((1, J, B), im_round),                 # beta_out (pos)
-        pl.BlockSpec((1, J, B), im_round),                 # kpos_out (pos)
+        pl.BlockSpec((1, J, B), im_round),                 # beta_out (lane)
+        pl.BlockSpec((1, J, B), im_round),                 # klane_out
         pl.BlockSpec((1, G * K), im_full),                 # v_out
         pl.BlockSpec((1, G), im_full),                     # bacc_out
     ]
@@ -762,7 +809,7 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    eps_o, beta_o, kpos_o, v_o, bacc_o = pl.pallas_call(
+    eps_o, beta_o, kl_o, v_o, bacc_o = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -770,14 +817,14 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 4,
         ),
-    )(border, *args)
+    )(rho_i, *args)
 
     if fold:
         eps_o = eps_o * lane_mask  # re-zero drifted pad lanes
-    # position-order outputs scatter back through the iteration's index
-    # map; labels select in XLA (exact integer ops)
-    beta_flat = jnp.zeros((Mpad,), f32).at[gflat].set(beta_o.reshape(-1))
-    kv_flat = jnp.zeros((Mpad,), f32).at[gflat].set(kpos_o.reshape(-1))
+    # outputs are canonical lane-order slabs: merging back is a
+    # transpose+reshape (no scatter)
+    beta_flat = _merge_lane_rows(beta_o, Mpad)
+    kv_flat = _merge_lane_rows(kl_o, Mpad)
     labels_flat = jnp.where(kv_flat >= 0.0, kv_flat.astype(jnp.int32),
                             labels_pad.astype(jnp.int32))
     return SweepResult(
@@ -789,37 +836,18 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     )
 
 
-def _round_gather_rows(arr_pad, border, *, B: int, J: int):
-    """(Mpad,) block-padded array -> (nr, J, B) round-gathered LANE-order
-    rows (for the fold-affine srow/msrow/xsum operands)."""
-    nb = arr_pad.shape[0] // B
-    nr = border.shape[0] // J
-    return jnp.take(arr_pad.astype(jnp.float32).reshape(nb, B),
-                    border.reshape(nr * J), axis=0).reshape(nr, J, B)
-
-
 def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
-                              block_order, inner_perm, z_arr,
+                              rho, inner_perm, z_arr,
                               lam_pad, tau, c2, sigmaE, valid_pad,
                               *, J: int = 64, tile_n: int = 512,
                               interpret: bool = False,
                               x_mean=None, x_scale=None, x_xsum=None,
                               fold_affine: bool = False, row_valid=None):
-    """Transposed-layout drop-in for horseshoe_jacobi_pallas (same argument
-    conventions; J <= 128 and J | nb)."""
+    """Transposed-layout horseshoe sweep with strided rounds (same
+    permutation conventions as bayesr_jacobi_t_pallas)."""
     nb, B, _ = gram.shape
-    if nb % J:
-        raise ValueError(f"jacobi sweep needs J | nb (J={J}, nb={nb})")
-    if J > 128:
-        raise ValueError("transposed jacobi sweep needs J <= 128 (lanes)")
+    quantized, packed, fold = _validate(nb, J, x_mean, XT_pad, fold_affine)
     nr = nb // J
-    quantized = x_mean is not None
-    packed = quantized and XT_pad.dtype == jnp.int32
-    fold = bool(fold_affine) and quantized
-    if quantized and not fold:
-        raise ValueError("jacobi sweep supports dense or fold-affine "
-                         "quantized X only (missing calls: use the "
-                         "single-chain kernel)")
     f32 = jnp.float32
     Q = auto_q(J)
     xt, eps2d, lane_mask, TN, Npad, N = _prep_x(
@@ -828,24 +856,24 @@ def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
     nt = Npad // TN
     Mpad = beta_pad.shape[0]
 
-    pkgT, inner_sel, gidx = build_pkgT_hs_jacobi(
-        xsq_pad, valid_pad, z_arr, lam_pad, tau, c2, sigmaE,
-        block_order, inner_perm, B=B, J=J)
-    border = block_order.astype(jnp.int32)
-    gpT = build_gpT_interleaved(gram, border, inner_sel, B=B, J=J)
-    gflat = gidx.reshape(-1)
-    beta_pos = jnp.take(beta_pad.astype(f32), gflat).reshape(nr, J, B)
-    inner_row = inner_sel.reshape(nr, 1, J * B)
+    P2 = build_onehot_inner(inner_perm, B=B, J=J, nr=nr)
+    pkgT = build_pkgT_hs_strided(xsq_pad, valid_pad, z_arr, lam_pad, tau,
+                                 c2, sigmaE, P2, B=B, J=J, nr=nr)
+    gpT = build_gpT_strided(gram, P2, B=B, J=J, nr=nr)
+    inner_row = (inner_perm.astype(jnp.int32).reshape(J, nr, B)
+                 .transpose(1, 0, 2).reshape(nr, 1, J * B))
+    beta_lane = _lane_rows(beta_pad.astype(f32), B=B, J=J, nr=nr)
+    rho_i = rho.astype(jnp.int32)
 
     def im_xt(q):
-        def f(r, ph, jq, t, border_ref):
-            return (border_ref[r * J + jq * Q + q], t)
+        def f(r, ph, jq, t, rho_ref):
+            return ((jq * Q + q) * nr + rho_ref[r], t)
         return f
 
-    def im_round(r, ph, jq, t, border_ref):
-        return (r, 0, 0)
+    def im_round(r, ph, jq, t, rho_ref):
+        return (rho_ref[r], 0, 0)
 
-    def im_full(r, ph, jq, t, border_ref):
+    def im_full(r, ph, jq, t, rho_ref):
         return (0, 0)
 
     x_tile_w = TN // 16 if packed else TN
@@ -854,10 +882,10 @@ def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
             pl.BlockSpec((1, 1, J * B), im_round),         # inner (flat)
             pl.BlockSpec((1, B * 5, J), im_round),         # pkgT
             pl.BlockSpec((1, B * B, J), im_round),         # gpT
-            pl.BlockSpec((1, J, B), im_round),             # beta rows (pos)
+            pl.BlockSpec((1, J, B), im_round),             # beta rows (lane)
             pl.BlockSpec((1, Npad), im_full),              # eps
         ])
-    args = [xt] * Q + [inner_row, pkgT, gpT, beta_pos, eps2d]
+    args = [xt] * Q + [inner_row, pkgT, gpT, beta_lane, eps2d]
     scratch = [
         pltpu.VMEM((J, B), f32),                           # r rows (lane)
         pltpu.VMEM((B, J), f32),                           # rT
@@ -871,15 +899,15 @@ def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
                      pl.BlockSpec((1, J, B), im_round),
                      pl.BlockSpec((1, J, B), im_round),
                      pl.BlockSpec(memory_space=pltpu.SMEM)]
-        srow_r = _round_gather_rows(x_scale, border, B=B, J=J)
-        msrow_r = _round_gather_rows(
-            x_mean.astype(f32) * x_scale.astype(f32), border, B=B, J=J)
-        xsum_r = _round_gather_rows(x_xsum, border, B=B, J=J)
+        srow_r = _lane_rows(x_scale.astype(f32), B=B, J=J, nr=nr)
+        msrow_r = _lane_rows(
+            x_mean.astype(f32) * x_scale.astype(f32), B=B, J=J, nr=nr)
+        xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
         args += [srow_r, msrow_r, xsum_r, jnp.sum(eps2d, axis=1)]
         scratch += [pltpu.VMEM((1 + J, 1), f32)]
     out_specs = [
         pl.BlockSpec((1, Npad), im_full),                  # eps_out
-        pl.BlockSpec((1, J, B), im_round),                 # beta_out (pos)
+        pl.BlockSpec((1, J, B), im_round),                 # beta_out (lane)
     ]
     out_shape = [
         jax.ShapeDtypeStruct((1, Npad), f32),
@@ -902,10 +930,10 @@ def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 4,
         ),
-    )(border, *args)
+    )(rho_i, *args)
 
     if fold:
         eps_o = eps_o * lane_mask
-    beta_flat = jnp.zeros((Mpad,), f32).at[gflat].set(beta_o.reshape(-1))
+    beta_flat = _merge_lane_rows(beta_o, Mpad)
     return (eps_o[0, :N].astype(eps.dtype),
             beta_flat.astype(beta_pad.dtype))
