@@ -83,7 +83,8 @@ class PackedBed(NamedTuple):
 
 
 def read_bed_packed(prefix: str, *, n_threads: int = 0,
-                    marker_range: Optional[tuple] = None) -> PackedBed:
+                    marker_range: Optional[tuple] = None,
+                    mpad=None) -> PackedBed:
     """Read `{prefix}.bed/.bim/.fam` straight into the sampler's packed
     2-bit word layout — 0.25 bytes/genotype on the host, no dense X ever
     (the reference cannot do this at all: it needs a dense f64 R matrix,
@@ -100,6 +101,13 @@ def read_bed_packed(prefix: str, *, n_threads: int = 0,
     use it so each host loads only its own marker slab
     (parallel.distributed.process_marker_range; the sharded samplers take
     the slab with ``x_process_shard=True``).
+
+    ``mpad`` pads the MARKER axis on the host with all-missing rows
+    before any device transfer: pass ``"auto"`` (the default sampler's
+    padded count, ops.pallas_jacobi.planned_mpad) or an explicit count.
+    A device-resident packed array cannot be padded later without a
+    second near-HBM-sized buffer (input + output both live during the
+    copy), so at biobank scale the pad MUST happen here.
 
     Uses the threaded C++ decoder (native/bedreader.cpp) when built,
     otherwise a vectorized NumPy byte-LUT fallback.
@@ -152,6 +160,19 @@ def read_bed_packed(prefix: str, *, n_threads: int = 0,
             vb += 1
         if vb < by.shape[1]:
             by[:, vb:] = 0xFF
+    if mpad is not None:
+        if mpad == "auto":
+            from ..ops.pallas_jacobi import planned_mpad
+            mpad = planned_mpad(M)
+        if mpad < M:
+            raise ValueError(f"mpad={mpad} < {M} markers read")
+        if mpad > M:
+            # pad markers are all-missing words (-1): zero stats, masked
+            # out by the samplers' valid vector
+            words = np.concatenate(
+                [words, np.full((mpad - M, wpad), -1, np.int32)], axis=0)
+            means = np.concatenate([means, np.zeros(mpad - M)])
+            sds = np.concatenate([sds, np.zeros(mpad - M)])
     return PackedBed(words, means, sds, N, np.asarray(bim), np.asarray(fam),
                      bool(has_missing))
 

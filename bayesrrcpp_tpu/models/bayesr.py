@@ -93,6 +93,7 @@ class SpikeSlabSampler:
                  variant: Optional[str] = None, transposed: bool = False,
                  x_dtype: str = "dense", x_stats=None,
                  n_individuals: Optional[int] = None,
+                 n_markers: Optional[int] = None,
                  jacobi_blocks: Optional[int] = None,
                  jacobi_layout: str = "auto"):
         if x_dtype not in ("dense", "int8", "2bit"):
@@ -131,7 +132,14 @@ class SpikeSlabSampler:
             if not transposed or x_stats is None:
                 raise ValueError("pre-packed 2-bit input requires "
                                  "transposed=True and x_stats=(means, sds)")
-            M = X.shape[0]
+            # n_markers: the words may arrive HOST-PRE-PADDED to the
+            # planned Mpad (io.bed.read_bed_packed(mpad="auto") -- a
+            # device-resident packed array cannot be padded later without
+            # a second near-HBM-sized buffer)
+            M = X.shape[0] if n_markers is None else int(n_markers)
+            if not (0 < M <= X.shape[0]):
+                raise ValueError(f"n_markers={M} inconsistent with "
+                                 f"{X.shape[0]} packed word rows")
             N = X.shape[1] * 16 if n_individuals is None else int(n_individuals)
             if not (X.shape[1] * 16 - 2048 < N <= X.shape[1] * 16):
                 raise ValueError(
@@ -202,6 +210,11 @@ class SpikeSlabSampler:
             Mpad = -(-M // unit8) * unit8
         self.N, self.M, self.Mpad, self.K, self.G, self.F, self.B = N, M, Mpad, K, G, F, B
         self.nb = Mpad // B
+        if self._prepacked and X.shape[0] not in (M, Mpad):
+            raise ValueError(
+                f"pre-packed words have {X.shape[0]} rows; expected the "
+                f"true marker count ({M}) or the planned padded count "
+                f"({Mpad}, = ops.pallas_jacobi.planned_mpad)")
         self.config = config
         self.variant = variant
         self.backend = backend
@@ -220,7 +233,8 @@ class SpikeSlabSampler:
             if self.x_packed:
                 q = genotypes.quantize_packed(X, transposed, x_stats, B,
                                               Mpad, N,
-                                              prepacked=self._prepacked)
+                                              prepacked=self._prepacked,
+                                              m_true=M)
             else:
                 q = genotypes.quantize_int8(X, transposed, x_stats, B, Mpad)
             XT, xsq, gram = q.XT, q.xsq, q.gram
@@ -601,8 +615,6 @@ class SpikeSlabSampler:
         0's order key); p/z streams are independent per chain and
         MARKER-indexed.
         """
-        from ..ops.pallas_multichain import bayesr_sweep_pallas_mc
-
         dt = self.dtype
         Mpad, B, nb = self.Mpad, self.B, self.nb
         keys, mu, eps, alpha, sigmaF = jax.vmap(
@@ -611,22 +623,38 @@ class SpikeSlabSampler:
         key, korder = keys[:, 0], keys[:, 4]
         kp, kz = keys[:, 5], keys[:, 6]
 
-        border, inner = bs.block_orders(korder[0], nb, B)
         p_arr = jax.vmap(
             lambda k: jax.random.uniform(k, (Mpad,), dtype=dt))(kp)
         z_arr = jax.vmap(
             lambda k: jax.random.normal(k, (Mpad,), dtype=dt))(kz)
 
-        res = bayesr_sweep_pallas_mc(
-            data.XT, data.gram, data.xsq, eps, state.beta, state.labels,
-            border, inner, p_arr, z_arr, state.pi, data.cva,
-            state.sigmaE, state.sigmaGG, data.g_assign, data.valid,
+        common = dict(
             interpret=self._pallas_interpret,
             x_mean=data.x_mean if self.x_quantized else None,
             x_scale=data.x_scale if self.x_quantized else None,
             fold_affine=self._x_fold,
             x_xsum=data.x_colsum if self.x_quantized else None,
             row_valid=data.row_valid if self.x_packed else None)
+        if self.jacobi > 1 and self.jacobi_layout == "t":
+            # fused multi-chain JACOBI sweep: all chains share the X
+            # stream AND the J-blocks-per-round batched solve
+            from ..ops.pallas_jacobi_t import bayesr_jacobi_t_pallas_mc
+
+            rho, inner = bs.strided_orders(korder[0], nb, B, self.jacobi)
+            res = bayesr_jacobi_t_pallas_mc(
+                data.XT, data.gram, data.xsq, eps, state.beta,
+                state.labels, rho, inner, p_arr, z_arr, state.pi,
+                data.cva, state.sigmaE, state.sigmaGG, data.g_assign,
+                data.valid, J=self.jacobi, **common)
+        else:
+            from ..ops.pallas_multichain import bayesr_sweep_pallas_mc
+
+            border, inner = bs.block_orders(korder[0], nb, B)
+            res = bayesr_sweep_pallas_mc(
+                data.XT, data.gram, data.xsq, eps, state.beta,
+                state.labels, border, inner, p_arr, z_arr, state.pi,
+                data.cva, state.sigmaE, state.sigmaGG, data.g_assign,
+                data.valid, **common)
         eps, beta, labels, v, bacc = res
 
         sigmaE, sigmaF, sigmaGG, pi = jax.vmap(self._hyper_block)(

@@ -64,6 +64,7 @@ class HorseshoeSampler:
                  permutation: Optional[str] = None, transposed: bool = False,
                  x_dtype: str = "dense", x_stats=None,
                  n_individuals: Optional[int] = None,
+                 n_markers: Optional[int] = None,
                  jacobi_blocks: Optional[int] = None,
                  jacobi_layout: str = "auto"):
         if x_dtype not in ("dense", "int8", "2bit"):
@@ -90,7 +91,10 @@ class HorseshoeSampler:
             if not transposed or x_stats is None:
                 raise ValueError("pre-packed 2-bit input requires "
                                  "transposed=True and x_stats=(means, sds)")
-            M = X.shape[0]
+            M = X.shape[0] if n_markers is None else int(n_markers)
+            if not (0 < M <= X.shape[0]):
+                raise ValueError(f"n_markers={M} inconsistent with "
+                                 f"{X.shape[0]} packed word rows")
             N = X.shape[1] * 16 if n_individuals is None else int(n_individuals)
             if not (X.shape[1] * 16 - 2048 < N <= X.shape[1] * 16):
                 raise ValueError(
@@ -133,6 +137,11 @@ class HorseshoeSampler:
             unit8 = B * 8 * self.jacobi // np.gcd(8, self.jacobi)
             Mpad = -(-M // unit8) * unit8
         self.N, self.M, self.Mpad, self.B, self.nb = N, M, Mpad, B, Mpad // B
+        if self._prepacked and X.shape[0] not in (M, Mpad):
+            raise ValueError(
+                f"pre-packed words have {X.shape[0]} rows; expected the "
+                f"true marker count ({M}) or the planned padded count "
+                f"({Mpad}, = ops.pallas_jacobi.planned_mpad)")
         self.config = config
         self.backend = backend
         self.permutation = permutation
@@ -150,7 +159,8 @@ class HorseshoeSampler:
             if self.x_packed:
                 q = genotypes.quantize_packed(X, transposed, x_stats, B,
                                               Mpad, N,
-                                              prepacked=self._prepacked)
+                                              prepacked=self._prepacked,
+                                              m_true=M)
             else:
                 q = genotypes.quantize_int8(X, transposed, x_stats, B, Mpad)
             XT, xsq, gram = q.XT, q.xsq, q.gram

@@ -95,7 +95,8 @@ def pack_codes_host(X, transposed, x_stats, Mpad, N):
 
 
 def quantize_packed(X, transposed, x_stats, B, Mpad, N,
-                    *, prepacked: bool) -> QuantizedGenotypes:
+                    *, prepacked: bool,
+                    m_true=None) -> QuantizedGenotypes:
     """2-bit packed genotypes: 16 codes per int32 word along the individual
     axis -- 0.25 bytes/genotype, the layout that fits biobank-scale M on one
     chip's HBM.
@@ -109,7 +110,8 @@ def quantize_packed(X, transposed, x_stats, B, Mpad, N,
     Npad = -(-N // TN) * TN
 
     if prepacked:
-        return _prepacked_setup(X, x_stats, B, Mpad, N, Npad, TN, W)
+        return _prepacked_setup(X, x_stats, B, Mpad, N, Npad, TN, W,
+                                m_true=m_true)
 
     codes, words, mean_np, scale_np, Npad, has_missing = pack_codes_host(
         X, transposed, x_stats, Mpad, N)
@@ -143,8 +145,8 @@ def quantize_packed(X, transposed, x_stats, B, Mpad, N,
         row_valid, n_perm, Npad, xsum_b.reshape(Mpad), has_missing)
 
 
-def _prepacked_setup(words, x_stats, B, Mpad, N, Npad, TN, W
-                     ) -> QuantizedGenotypes:
+def _prepacked_setup(words, x_stats, B, Mpad, N, Npad, TN, W,
+                     m_true=None) -> QuantizedGenotypes:
     """Device-resident pre-packed words (io.bed.read_bed_packed / bench /
     streaming ingestion): no host densification, xsq/Gram from in-flight
     word decodes.  Lanes >= N (padding up to the 2048 multiple) must carry
@@ -160,8 +162,16 @@ def _prepacked_setup(words, x_stats, B, Mpad, N, Npad, TN, W
     scales_np = np.where(scales_np > 0,
                          1.0 / np.where(scales_np > 0, scales_np, 1.0), 0.0)
     # pad markers with all-missing words (0b11... = -1); skip the no-op
-    # pad -- eager jnp.pad would duplicate a biobank-sized array
+    # pad -- padding materializes a second copy (input + output both live
+    # during the op), which a near-HBM-sized device array cannot afford
     if Mpad != M:
+        if isinstance(words, jax.Array) and words.nbytes > (2 << 30):
+            raise ValueError(
+                f"pre-packed words need a marker pad {M} -> {Mpad}, but "
+                f"the array is device-resident and {words.nbytes >> 20} "
+                f"MiB -- padding would transiently double it and OOM the "
+                f"chip.  Load with io.bed.read_bed_packed(..., "
+                f"mpad='auto') (host-side pad) and pass n_markers={M}.")
         words = jnp.pad(words, ((0, Mpad - M), (0, 0)),
                         constant_values=-1)
     mean = jnp.asarray(np.pad(means, (0, Mpad - M)), jnp.float32)
@@ -229,7 +239,11 @@ def _prepacked_setup(words, x_stats, B, Mpad, N, Npad, TN, W
                             mean[a:a + CH * B], scale[a:a + CH * B],
                             jnp.int32(i))
     gram, xsq_b, xsum_b, miss_b = accs
-    has_missing = bool(np.asarray(miss_b).reshape(Mpad)[:M].any())
+    # host-pre-padded words (io.bed.read_bed_packed(mpad=...)) carry
+    # all-missing PAD marker rows; they must not trip missing detection
+    # (which would silently disable the fold-affine fast path)
+    m_real = M if m_true is None else min(int(m_true), M)
+    has_missing = bool(np.asarray(miss_b).reshape(Mpad)[:m_real].any())
     return QuantizedGenotypes(
         words, xsq_b.reshape(Mpad), gram, mean, scale,
         row_valid, n_perm, Npad, xsum_b.reshape(Mpad), has_missing)

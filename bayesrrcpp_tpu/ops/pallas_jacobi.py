@@ -150,6 +150,27 @@ def auto_jacobi_plan(M: int, B: int):
     return J, Bc, "row"
 
 
+def planned_mpad(M: int, block_size: int = 512) -> int:
+    """The padded marker count the default (auto-plan) sampler will use
+    for M markers -- so HOST loaders can pre-pad packed words and skip the
+    on-device pad entirely (a near-HBM-sized device array cannot be
+    padded in place: input + output both live during the copy, and at
+    biobank scale that OOMs the chip -- see io.bed.read_bed_packed's
+    ``mpad``).  Mirrors the samplers' blocking logic;
+    tests/test_jacobi_t.py pins the two against each other."""
+    import numpy as _np
+
+    B = min(block_size, 1 << max(1, (M - 1).bit_length()))
+    B = max(8, min(B, block_size))
+    J, B, _layout = auto_jacobi_plan(M, B)
+    unit = B * J
+    Mpad = -(-M // unit) * unit
+    if Mpad // B >= 64:
+        unit8 = B * 8 * J // _np.gcd(8, J)
+        Mpad = -(-M // unit8) * unit8
+    return Mpad
+
+
 def _build_gp_interleaved(gram, border, inner_sel, *, B, J):
     """Interleaved position-order Gram operand (nr, B*J, B): row s*J + j is
     Gp_j[s, :] where Gp_j = G_{border[r*J+j]} permuted to this iteration's

@@ -937,3 +937,534 @@ def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
     beta_flat = _merge_lane_rows(beta_o, Mpad)
     return (eps_o[0, :N].astype(eps.dtype),
             beta_flat.astype(beta_pad.dtype))
+
+
+# ------------------------------------------------------------ multi-chain
+
+def build_pkgT_mc_strided(xsq, gas, valid, p, z, pi, cva, sigmaE, sigmaGG,
+                          P2, *, B, J, nr):
+    """Multi-chain transposed packed operand (nr, B*F*C, J), F = 3K+4:
+    row (s*F + f)*C + c of slab r holds field f of position s for chain c.
+    Per-chain fields from the per-chain hypers; xsq/valid duplicated per
+    chain (keeps the step's field extraction a static (C, J) slice)."""
+    f32 = jnp.float32
+    C = sigmaE.shape[0]
+    G, K = pi.shape[1], pi.shape[2]
+    tblc = jax.vmap(_bayesr_tbl, in_axes=(None, None, 0, None, 0, 0))(
+        xsq, gas, pi, cva, sigmaE, sigmaGG)                # (C, Mpad, 3K)
+    xv = jnp.stack([xsq.astype(f32), valid.astype(f32)], axis=1)
+    tbl = jnp.concatenate(
+        [tblc, jnp.broadcast_to(xv[None], (C,) + xv.shape)], axis=2)
+    T2c = tbl.reshape(C, J, nr, B, 3 * K + 2)
+    per = jnp.einsum('jrms,cjrmf->rsfcj', P2, T2c,
+                     preferred_element_type=f32)       # (nr,B,3K+2,C,J)
+    # position-indexed per-chain randoms: position of (r, j, s) is
+    # (r*J + j)*B + s (canonical slab order; rho applies in the kernel)
+    p5 = p.astype(f32).reshape(C, nr, J, B).transpose(1, 3, 0, 2)[
+        :, :, None, :, :]                              # (nr, B, 1, C, J)
+    z5 = z.astype(f32).reshape(C, nr, J, B).transpose(1, 3, 0, 2)[
+        :, :, None, :, :]
+    pkg = jnp.concatenate(
+        [per[:, :, :3 * K], p5, z5, per[:, :, 3 * K:]], axis=2)
+    F = 3 * K + 4
+    return pkg.reshape(nr, B * F * C, J)
+
+
+def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
+                        packed=False, fold=False):
+    """Multi-chain transposed Jacobi kernel (strided rounds): C chains
+    share the X stream and the Gram operand; every per-step quantity adds
+    a chain band.  refs layout:
+
+    inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, gas_lane (shared),
+             beta_lane (C*J, B), hse (C, 1), eps_hbm (ANY)
+             [, srow, msrow, xsum (shared), esum0 (C, 1)]
+    outputs: eps_out (C, Npad), beta_out (C*J, B), klane_out (C*J, B),
+             v_out (C, G*K), bacc_out (C, G)
+    scratch: rb (C*J, B), rT (C*B, J), bT (C*B, J), dposT (C*B, J),
+             krecT (C*B, J), dpos (C*J, B), dlane (C*J, B), dma sem
+             [, esum (C, 1), dms (C, J), dmsq (J/Q, C)]
+    """
+    (xt_refs, rest) = (refs[:Q], refs[Q:])
+    (innr_ref, pkg_ref, gpt_ref, gasl_ref, beta_ref, hse_ref,
+     epsh_ref) = rest[:7]
+    if fold:
+        srow_ref, msrow_ref, xsum_ref, esum0_ref = rest[7:11]
+        outs = rest[11:16]
+        (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc, dpos_sc, dlane_sc,
+         sem, esum_sc, dms_sc, dmsq_sc) = rest[16:]
+    else:
+        outs = rest[7:12]
+        (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc, dpos_sc, dlane_sc,
+         sem) = rest[12:]
+    eps_out, beta_out, klane_out, v_out, bacc_out = outs
+
+    r = pl.program_id(0)
+    ph = pl.program_id(1)
+    jq = pl.program_id(2)
+    t = pl.program_id(3)
+    f32 = jnp.float32
+    F = 3 * K + 4
+    JC, NC = _permute_chunks(J, B)
+    CW = JC * B
+    _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
+
+    if packed:
+        SUB, W = 16, TN // 16
+
+        def x_sub(q, k):
+            c = (xt_refs[q][...] >> (2 * k)) & 3
+            return c.astype(f32)
+    else:
+        SUB, W = 1, TN
+
+        def x_sub(q, k):
+            xr = xt_refs[q]
+            if fold and xr.dtype != jnp.float32:
+                return xr[...].astype(f32)
+            return xr[...]
+
+    def x_cat(k):
+        if Q == 1:
+            return x_sub(0, k)
+        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+
+    first = jnp.logical_and(
+        r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
+
+    @pl.when(first)
+    def _init():
+        # eps stays in HBM (ANY) on the input side -- one DMA fills the
+        # resident output block (halves the eps VMEM footprint vs a
+        # resident input block)
+        copy = pltpu.make_async_copy(epsh_ref, eps_out, sem)
+        copy.start()
+        copy.wait()
+        v_out[...] = jnp.zeros_like(v_out)
+        bacc_out[...] = jnp.zeros_like(bacc_out)
+        if fold:
+            esum_sc[...] = esum0_ref[...]
+
+    def _solve_noop():
+        dposT_sc[...] = jnp.zeros_like(dposT_sc)
+        krecT_sc[...] = jnp.full_like(krecT_sc, -1.0)
+        dpos_sc[...] = jnp.zeros_like(dpos_sc)
+        dlane_sc[...] = jnp.zeros_like(dlane_sc)
+        beta_out[0] = beta_ref[0]
+        klane_out[0] = jnp.full((C * J, B), -1.0, f32)
+        if fold:
+            dmsq_sc[...] = jnp.zeros_like(dmsq_sc)
+
+    @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
+    def _zero_r():
+        rb_sc[...] = jnp.zeros((C * J, B), f32)
+
+    @pl.when(ph == 0)
+    def _accumulate_r():
+        acc = None
+        for k in range(SUB):
+            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
+            d = jax.lax.dot_general(
+                eps_t, x_cat(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # (C, Q*B)
+            acc = d if acc is None else acc + d
+        for q in range(Q):
+            jj = jq * Q + q
+            for c in range(C):
+                rb_sc[pl.ds(c * J + jj, 1), :] += acc[c:c + 1,
+                                                      q * B:(q + 1) * B]
+
+    @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
+    def _solve():
+        if _ablate == "solve":       # perf probe: X phases only
+            _solve_noop()
+            return
+        if fold:
+            for c in range(C):
+                es = esum_sc[c, 0]
+                rb_sc[c * J:(c + 1) * J, :] = (
+                    rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
+                    - msrow_ref[0] * es)
+
+        for c in range(C):
+            for ch in range(NC):
+                # bands: chain c occupies rows [c*B, (c+1)*B) of the
+                # (C*B, J) transposed scratches and rows [c*J, (c+1)*J)
+                # of the (C*J, B) lane-order ones
+                ir_c = innr_ref[0][:, ch * CW:(ch + 1) * CW]
+                rows = rb_sc[c * J + ch * JC:c * J + (ch + 1) * JC, :]
+                rT_sc[c * B:(c + 1) * B, ch * JC:(ch + 1) * JC] = _tsp(
+                    _lane_to_pos(rows, ir_c, B=B, JC=JC), JC)
+                brows = beta_ref[0, c * J + ch * JC:c * J + (ch + 1) * JC, :]
+                bT_sc[c * B:(c + 1) * B, ch * JC:(ch + 1) * JC] = _tsp(
+                    _lane_to_pos(brows, ir_c, B=B, JC=JC), JC)
+
+        Kf = jnp.float32(K)
+        hse = hse_ref[...]                                  # (C, 1)
+
+        def band(sc, s):
+            # (C, J) read assembled from the C chain bands at position s
+            return jnp.concatenate(
+                [sc[pl.ds(c * B + s, 1), :] for c in range(C)], axis=0)
+
+        def body(s, _):
+            slab = pkg_ref[0, pl.ds(s * F * C, F * C), :]  # (F*C, J)
+
+            def fld(f):
+                return slab[f * C:(f + 1) * C, :]           # (C, J)
+
+            lp = [fld(k) for k in range(K)]
+            invd = [fld(K + k) for k in range(K)]
+            sd = [fld(2 * K + k) for k in range(K)]
+            p_s = fld(3 * K)
+            z_s = fld(3 * K + 1)
+            xsq_j = fld(3 * K + 2)
+            okf = fld(3 * K + 3)
+
+            r_jl = band(rT_sc, s)                           # (C, J)
+            beta_old = band(bT_sc, s)
+
+            num = r_jl + beta_old * xsq_j                   # (C, J)
+            muk = [num * invd[k] for k in range(K)]         # K x (C, J)
+            logL = [lp[k] + (hse * num) * muk[k] for k in range(K)]
+
+            k_sel = jnp.full((C, J), Kf, f32)
+            acum = jnp.zeros((C, J), f32)
+            for k in range(K):
+                lk = logL[k]
+                g = jnp.abs(logL[1] - lk)
+                for kk in range(2, K):
+                    g = jnp.maximum(g, jnp.abs(logL[kk] - lk))
+                guard = g > 700.0
+                Ssum = jnp.exp(logL[0] - lk)
+                for kk in range(1, K):
+                    Ssum = Ssum + jnp.exp(logL[kk] - lk)
+                w = jnp.where(guard, jnp.zeros((C, J), f32), 1.0 / Ssum)
+                acum = acum + w
+                hit = jnp.logical_and(p_s <= acum, k_sel == Kf)
+                k_sel = jnp.where(hit, jnp.float32(k), k_sel)
+            hitm = k_sel < Kf
+
+            mu_sel = jnp.zeros((C, J), f32)
+            sd_sel = jnp.zeros((C, J), f32)
+            for k in range(K):
+                selk = (k_sel == jnp.float32(k)).astype(f32)
+                mu_sel = mu_sel + muk[k] * selk
+                sd_sel = sd_sel + sd[k] * selk
+            beta_new = jnp.where(hitm, mu_sel + sd_sel * z_s, beta_old)
+            d = okf * (beta_new - beta_old)                 # (C, J)
+
+            AT = gpt_ref[0, pl.ds(s * B, B), :]             # (B, J)
+            kv = jnp.where(okf * hitm.astype(f32) > 0, k_sel,
+                           jnp.float32(-1.0))
+            for c in range(C):
+                rT_sc[c * B:(c + 1) * B, :] -= AT * d[c:c + 1, :]
+                dposT_sc[pl.ds(c * B + s, 1), :] = d[c:c + 1, :]
+                krecT_sc[pl.ds(c * B + s, 1), :] = kv[c:c + 1, :]
+            return ()
+
+        if _ablate == "serial":      # perf probe: skip the dependent chain
+            dposT_sc[...] = jnp.zeros_like(dposT_sc)
+            krecT_sc[...] = jnp.full_like(krecT_sc, -1.0)
+        else:
+            lax.fori_loop(0, B, body, (), unroll=False)
+
+        for c in range(C):
+            for ch in range(NC):
+                ir_c = innr_ref[0][:, ch * CW:(ch + 1) * CW]
+                lo, hi = c * J + ch * JC, c * J + (ch + 1) * JC
+                cols = slice(ch * JC, (ch + 1) * JC)
+                dpos_c = _tsp(dposT_sc[c * B:(c + 1) * B, cols], B)
+                dpos_sc[lo:hi, :] = dpos_c                  # (JC, B)
+                dlane_sc[lo:hi, :] = _pos_to_lane(dpos_c, ir_c, B=B, JC=JC)
+                kpos_c = _tsp(krecT_sc[c * B:(c + 1) * B, cols], B)
+                klane_out[0, lo:hi, :] = _pos_to_lane(kpos_c, ir_c,
+                                                      B=B, JC=JC)
+
+        beta_new_r = beta_ref[0] + dlane_sc[...]            # (C*J, B)
+        beta_out[0] = beta_new_r
+        gas_r = gasl_ref[0]                                 # (J, B) shared
+        for c in range(C):
+            kl = klane_out[0][c * J:(c + 1) * J, :]
+            bn = beta_new_r[c * J:(c + 1) * J, :]
+            slab2 = jnp.where(kl > 0.0, bn * bn, 0.0)
+            vcols = []
+            bcols = []
+            for g in range(G):
+                gm = (gas_r == g).astype(f32)
+                for k in range(K):
+                    km = (kl == jnp.float32(k)).astype(f32)
+                    s1 = jnp.sum(km * gm, axis=1, keepdims=True)
+                    vcols.append(jnp.sum(s1, axis=0, keepdims=True))
+                sb = jnp.sum(slab2 * gm, axis=1, keepdims=True)
+                bcols.append(jnp.sum(sb, axis=0, keepdims=True))
+            v_out[c:c + 1, :] += jnp.concatenate(vcols, axis=1)
+            bacc_out[c:c + 1, :] += jnp.concatenate(bcols, axis=1)
+
+        if fold:
+            for c in range(C):
+                dl = dlane_sc[c * J:(c + 1) * J, :]         # (J, B)
+                sub1 = jnp.sum(dl * xsum_ref[0], axis=1, keepdims=True)
+                esum_sc[c:c + 1, :] -= jnp.sum(sub1, axis=0, keepdims=True)
+                dms_c = jnp.sum(dl * msrow_ref[0], axis=1,
+                                keepdims=True)              # (J, 1)
+                dms_sc[c:c + 1, :] = _tsp(dms_c, J)         # row c: (1, J)
+                dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
+            # per-(grid-step, chain) pre-summed dms: row jq holds the sum
+            # of its Q blocks' dms for each chain
+            JQ2 = J // Q
+            gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (JQ2, J), 0)).astype(f32)
+            dmsq_sc[...] = jax.lax.dot_general(
+                gmat, dms_sc[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # (J/Q, C)
+
+    @pl.when(ph == 1)
+    def _apply_update():
+        rows = []
+        for c in range(C):
+            rows.append(jnp.concatenate(
+                [dlane_sc[pl.ds(c * J + jq * Q + q, 1), :]
+                 for q in range(Q)], axis=1))               # (1, Q*B)
+        dlcat = jnp.concatenate(rows, axis=0)               # (C, Q*B)
+        if fold:
+            dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
+        for k in range(SUB):
+            upd = jax.lax.dot_general(
+                dlcat, x_cat(k), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                 # (C, W)
+            if fold:
+                upd = upd - dms
+            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+
+
+def bayesr_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
+                              labels_pad, rho, inner_perm, p_arr, z_arr,
+                              pi, cva, sigmaE, sigmaGG, g_assign_pad,
+                              valid_pad, *, J: int = 64, tile_n: int = 512,
+                              interpret: bool = False,
+                              x_mean=None, x_scale=None, x_xsum=None,
+                              fold_affine: bool = False, row_valid=None):
+    """C-chain fused transposed Jacobi sweep (strided rounds).  Batched
+    leaves carry a leading chain axis: eps (C, N-or-Npad), beta/labels
+    (C, Mpad), p/z (C, Mpad) POSITION-indexed in canonical slab order,
+    pi (C, G, K), sigmaE (C,), sigmaGG (C, G).  X/gram/permutations are
+    shared (states never interact; independent p/z streams keep chains
+    mutually independent -- the reference runs one chain per R process,
+    src/BayesRv2.cpp:171).  Returns an MCSweepResult."""
+    from .pallas_multichain import MCSweepResult
+
+    nb, B, _ = gram.shape
+    quantized, packed, fold = _validate(nb, J, x_mean, XT_pad, fold_affine)
+    nr = nb // J
+    f32 = jnp.float32
+    C = eps.shape[0]
+    G, K = pi.shape[1], pi.shape[2]
+    F = 3 * K + 4
+
+    # VMEM budget: the (C*J, B) lane-order buffers pad their 32-lane dim
+    # to 128 (4x), and pkgT grows linearly in C -- above 4 chains the
+    # full-row N-tile no longer fits and the grid explodes.  Chains run
+    # in groups of <= 4 sharing the per-iteration operands (X streams
+    # once per GROUP, not per chain).
+    CG = int(os.environ.get("BAYESR_MC_GROUP", "4"))
+    if C > CG:
+        outs = []
+        for c0 in range(0, C, CG):
+            sl = slice(c0, min(c0 + CG, C))
+            outs.append(bayesr_jacobi_t_pallas_mc(
+                XT_pad, gram, xsq_pad, eps[sl], beta_pad[sl],
+                labels_pad[sl], rho, inner_perm, p_arr[sl], z_arr[sl],
+                pi[sl], cva, sigmaE[sl], sigmaGG[sl], g_assign_pad,
+                valid_pad, J=J, tile_n=tile_n, interpret=interpret,
+                x_mean=x_mean, x_scale=x_scale, x_xsum=x_xsum,
+                fold_affine=fold_affine, row_valid=row_valid))
+        return MCSweepResult(*(jnp.concatenate([getattr(o, f) for o in outs],
+                                               axis=0)
+                               for f in MCSweepResult._fields))
+
+    # pick (Q, TN) minimizing grid invocations (J/Q)*(Npad/TN) under the
+    # VMEM model -- a too-large Q forces small N-tiles and the grid
+    # overhead dwarfs the wider dot's gain
+    if packed:
+        Npad_ = XT_pad.shape[1] * 16
+        best = None
+        for q in (4, 2, 1):
+            if J % q:
+                continue
+            tn = _packed_tile_n_mc(Npad_, B, J, F, q, C)
+            inv = (J // q) * (Npad_ // tn)
+            if best is None or inv < best[0]:
+                best = (inv, q)
+        Q = best[1]
+    else:
+        Q = auto_q(J)
+    xt, epsC, lane_mask, TN, Npad, N = _prep_x_mc(
+        XT_pad, eps, packed=packed, tile_n=tile_n, B=B, J=J, F=F, Q=Q,
+        C=C, row_valid=row_valid)
+    nt = Npad // TN
+    Mpad = beta_pad.shape[1]
+
+    P2 = build_onehot_inner(inner_perm, B=B, J=J, nr=nr)
+    pkgT = build_pkgT_mc_strided(xsq_pad, g_assign_pad, valid_pad, p_arr,
+                                 z_arr, pi, cva, sigmaE, sigmaGG, P2,
+                                 B=B, J=J, nr=nr)
+    gpT = build_gpT_strided(gram, P2, B=B, J=J, nr=nr)
+    inner_row = (inner_perm.astype(jnp.int32).reshape(J, nr, B)
+                 .transpose(1, 0, 2).reshape(nr, 1, J * B))
+    # (C, Mpad) -> (nr, C*J, B) canonical lane slabs, rows (c, j)
+    beta_lane = (beta_pad.astype(f32).reshape(C, J, nr, B)
+                 .transpose(2, 0, 1, 3).reshape(nr, C * J, B))
+    gas_lane = _lane_rows(g_assign_pad.astype(jnp.int32), B=B, J=J, nr=nr)
+    hse2 = (0.5 / sigmaE.astype(f32)).reshape(C, 1)
+    rho_i = rho.astype(jnp.int32)
+
+    def im_xt(q):
+        def f(r, ph, jq, t, rho_ref):
+            return ((jq * Q + q) * nr + rho_ref[r], t)
+        return f
+
+    def im_round(r, ph, jq, t, rho_ref):
+        return (rho_ref[r], 0, 0)
+
+    def im_full(r, ph, jq, t, rho_ref):
+        return (0, 0)
+
+    x_tile_w = TN // 16 if packed else TN
+    in_specs = (
+        [pl.BlockSpec((B, x_tile_w), im_xt(q)) for q in range(Q)] + [
+            pl.BlockSpec((1, 1, J * B), im_round),         # inner (flat)
+            pl.BlockSpec((1, B * F * C, J), im_round),     # pkgT
+            pl.BlockSpec((1, B * B, J), im_round),         # gpT
+            pl.BlockSpec((1, J, B), im_round),             # gas (shared)
+            pl.BlockSpec((1, C * J, B), im_round),         # beta (lane)
+            pl.BlockSpec((C, 1), im_full),                 # 0.5/sigmaE
+            pl.BlockSpec(memory_space=pltpu.ANY),          # eps (HBM)
+        ])
+    args = [xt] * Q + [inner_row, pkgT, gpT, gas_lane, beta_lane, hse2,
+                       epsC]
+    scratch = [
+        pltpu.VMEM((C * J, B), f32),                       # r rows (lane)
+        pltpu.VMEM((C * B, J), f32),                       # rT bands
+        pltpu.VMEM((C * B, J), f32),                       # bT bands
+        pltpu.VMEM((C * B, J), f32),                       # deltaT bands
+        pltpu.VMEM((C * B, J), f32),                       # krecT bands
+        pltpu.VMEM((C * J, B), f32),                       # delta (pos)
+        pltpu.VMEM((C * J, B), f32),                       # delta (lane)
+        pltpu.SemaphoreType.DMA,                           # eps init copy
+    ]
+    if fold:
+        in_specs += [pl.BlockSpec((1, J, B), im_round),    # srow (shared)
+                     pl.BlockSpec((1, J, B), im_round),    # msrow
+                     pl.BlockSpec((1, J, B), im_round),    # xsum
+                     pl.BlockSpec((C, 1), im_full)]        # esum0
+        srow_r = _lane_rows(x_scale.astype(f32), B=B, J=J, nr=nr)
+        msrow_r = _lane_rows(
+            x_mean.astype(f32) * x_scale.astype(f32), B=B, J=J, nr=nr)
+        xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
+        args += [srow_r, msrow_r, xsum_r,
+                 jnp.sum(epsC, axis=1, keepdims=True)]
+        scratch += [pltpu.VMEM((C, 1), f32),               # esum / chain
+                    pltpu.VMEM((C, J), f32),               # dms rows
+                    pltpu.VMEM((J // Q, C), f32)]          # dms / grid step
+    out_specs = [
+        pl.BlockSpec((C, Npad), im_full),                  # eps_out
+        pl.BlockSpec((1, C * J, B), im_round),             # beta_out
+        pl.BlockSpec((1, C * J, B), im_round),             # klane_out
+        pl.BlockSpec((C, G * K), im_full),                 # v_out
+        pl.BlockSpec((C, G), im_full),                     # bacc_out
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((C, Npad), f32),
+        jax.ShapeDtypeStruct((nr, C * J, B), f32),
+        jax.ShapeDtypeStruct((nr, C * J, B), f32),
+        jax.ShapeDtypeStruct((C, G * K), f32),
+        jax.ShapeDtypeStruct((C, G), f32),
+    ]
+    kernel = functools.partial(_jacobi_t_mc_kernel, B=B, TN=TN, K=K, G=G,
+                               C=C, J=J, Q=Q, packed=packed, fold=fold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr, 2, J // Q, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    eps_o, beta_o, kl_o, v_o, bacc_o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+    )(rho_i, *args)
+
+    if fold:
+        eps_o = eps_o * lane_mask                          # (1, Npad) bcast
+    # (nr, C*J, B) canonical lane slabs -> (C, Mpad)
+    beta_flat = (beta_o.reshape(nr, C, J, B).transpose(1, 2, 0, 3)
+                 .reshape(C, Mpad))
+    kv_flat = (kl_o.reshape(nr, C, J, B).transpose(1, 2, 0, 3)
+               .reshape(C, Mpad))
+    labels_flat = jnp.where(kv_flat >= 0.0, kv_flat.astype(jnp.int32),
+                            labels_pad.astype(jnp.int32))
+    return MCSweepResult(
+        eps=(eps_o if packed else eps_o[:, :N]).astype(eps.dtype),
+        beta=beta_flat.astype(beta_pad.dtype),
+        labels=labels_flat,
+        v=v_o.reshape(C, G, K).astype(eps.dtype),
+        beta_acum=bacc_o.astype(eps.dtype),
+    )
+
+
+def _prep_x_mc(XT_pad, eps, *, packed, tile_n, B, J, F, Q, C, row_valid):
+    """Multi-chain N-axis setup (eps is (C, N-or-Npad))."""
+    f32 = jnp.float32
+    if packed:
+        Mpad, Nw = XT_pad.shape
+        Npad = Nw * 16
+        if Npad % 2048 or eps.shape[1] != Npad:
+            raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
+                             "matching pre-permuted eps")
+        TN = _packed_tile_n_mc(Npad, B, J, F, Q, C)
+        if row_valid is None:
+            raise ValueError("packed fold_affine needs row_valid")
+        N = Npad
+        xt = XT_pad
+        epsC = eps.astype(f32)
+        lane_mask = row_valid.astype(f32).reshape(1, Npad)
+    else:
+        Mpad, N = XT_pad.shape
+        TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+        Npad = -(-N // TN) * TN
+        epsC = jnp.zeros((eps.shape[0], Npad), f32).at[:, :N].set(
+            eps.astype(f32))
+        xt = (XT_pad if Npad == N
+              else jnp.pad(XT_pad, ((0, 0), (0, Npad - N))))
+        lane_mask = (jnp.arange(Npad) < N).astype(f32).reshape(1, Npad)
+    return xt, epsC, lane_mask, TN, Npad, N
+
+
+def _packed_tile_n_mc(Npad, B, J, F, Q, C):
+    """VMEM model for the multi-chain kernel: resident (C, Npad) eps out,
+    double-buffered pkgT (B*F*C rows, J lanes), Q double-buffered X
+    tiles.  VMEM blocks pad the lane dim to 128 (the (C*J, B) lane-order
+    buffers pad 4x at B=32)."""
+    cap_mb = float(os.environ.get("BAYESR_VMEM_CAP_MB", "13"))
+    budget = int(cap_mb * 2 ** 20)
+    lanes = max(J, 128)
+    budget -= 2 * (B * B * lanes * 4)                       # gpT
+    budget -= 2 * (B * F * C * lanes * 4)                   # pkgT
+    budget -= 2 * 4 * (J * 128 * 4)                         # shared rows
+    budget -= (2 + 2 * 2) * (C * J * 128 * 4)               # beta in+outs
+    budget -= C * Npad * 4                     # eps out (input stays HBM)
+    budget -= 3 * (C * J * 128 * 4) + 4 * (C * B * lanes * 4)  # scratches
+    budget -= int(0.5 * 2 ** 20)
+    nt_total = Npad // 2048
+    kmax = max(1, budget // (Q * 2 * (B * 2048 // 4)))
+    for k in range(min(nt_total, kmax), 0, -1):
+        if nt_total % k == 0:
+            return 2048 * k
+    return 2048

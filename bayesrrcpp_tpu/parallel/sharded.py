@@ -1404,32 +1404,43 @@ class ShardedHorseshoeSampler:
     def step(self, state):
         return self._get_run_steps(1)(state, self.data)
 
-    def run(self, key_or_state, chain: ChainConfig, *, collect: bool = True,
-            emit_chunk: int = 32, progress=None):
+    def run(self, key_or_state, chain: ChainConfig, *, sink=None,
+            collect: bool = True, emit_chunk: int = 32, progress=None,
+            on_chunk=None):
+        """Drive a sharded horseshoe chain.  Same surface as
+        ShardedSpikeSlabSampler.run: ``sink`` streams rows (CSV/NPZ/...),
+        ``on_chunk`` fires per emitted chunk (periodic checkpointing), and
+        ``config.emit_epsilon=False`` suppresses the full-N residual
+        emission -- at pod scale the N-vector per thinned iteration is
+        exactly the observability cost SURVEY section 5 makes optional
+        (the reference always writes it, src/HorseshoeR.cpp:289-296)."""
         from ..models.driver import run_chain
         from ..models.state import HorseshoeState
 
         state = (key_or_state if isinstance(key_or_state, HorseshoeState)
                  else self.init(key_or_state))
 
-        if self.x_packed:
+        if self.x_packed and self.config.emit_epsilon:
             from .distributed import replicate
             n_perm_np = np.asarray(replicate(self.data["n_perm"], self.mesh))
 
         def postprocess(rows):
             rows["beta"] = rows["beta"][:, : self.M]
             rows["lambda"] = rows["lambda"][:, : self.M]
-            if self.x_packed:
+            if self.x_packed and self.config.emit_epsilon:
                 eps_orig = np.zeros_like(rows["epsilon"])
                 eps_orig[:, n_perm_np] = rows["epsilon"]
                 rows["epsilon"] = eps_orig[:, : self.N]
             else:
                 rows["epsilon"] = rows["epsilon"][:, : self.N]
+            if not self.config.emit_epsilon:
+                rows["epsilon"] = rows["epsilon"][:, :0]
             return rows
 
         return run_chain(
             state, chain,
             steps_fn=lambda st, n: self._get_run_steps(n)(st, self.data),
             emit_fn=lambda st, n, t: self._get_emit_chunk(n, t)(st, self.data),
-            postprocess=postprocess, collect=collect, emit_chunk=emit_chunk,
-            start_iteration=int(state.iteration), progress=progress)
+            postprocess=postprocess, sink=sink, collect=collect,
+            emit_chunk=emit_chunk, start_iteration=int(state.iteration),
+            progress=progress, on_chunk=on_chunk)

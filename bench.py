@@ -132,7 +132,13 @@ def measured_reference_rates():
                     t_lo = _time_ref(bins[name], inp, td, lo_it, extra)
                     t_hi = _time_ref(bins[name], inp, td, hi_it, extra)
                 if t_hi - t_lo < 0.05:
-                    continue            # drop rather than emit garbage
+                    # drop rather than emit garbage -- but say so, or a
+                    # missing reference row is unexplainable (advisor)
+                    import sys
+                    print(f"bench: reference timing for {name} N={N} "
+                          f"stayed noisy after retry; row dropped",
+                          file=sys.stderr)
+                    continue
                 rate = M * (hi_it - lo_it) / max(t_hi - t_lo, 1e-9)
                 out[f"{name}-N{N}"] = {
                     "sampler": name, "N": N, "M": M,
@@ -258,23 +264,23 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
 
 # BASELINE.md-derived suite (sized for one 16 GB v5e chip; see BENCH.md)
 SUITE = [
-    # jacobi=None -> auto_jacobi picks the Jacobi-batched kernel (J=32,
-    # B=128 at these scales -- the round-3 default fast path; measured
-    # 107.8 ms/iter at the biobank headline vs 165.9 round 2 / 439 serial)
+    # jacobi=None -> auto_jacobi_plan picks the TRANSPOSED strided-rounds
+    # Jacobi kernel (J=128, B=32 at these scales; ops/pallas_jacobi_t.py)
+    # -- round-4 headline 67.6 ms/iter vs 107.8 round 3 / 439 serial
     dict(label="dense-16kx49k", N=16_384, M=49_152, iters=10,
          x_dtype="dense"),
     # exact-sequential reference kernel (J=1) kept as the semantics anchor
     dict(label="biobank-packed-serial", N=100_352, M=503_808, iters=5,
          x_dtype="2bit", jacobi=1),
-    dict(label="biobank-packed-auto", N=100_352, M=503_808, iters=5,
+    dict(label="biobank-packed-auto", N=100_352, M=503_808, iters=10,
          x_dtype="2bit"),
-    # fused multi-chain kernel (ops/pallas_multichain.py) on its proven
-    # B=512 serial config (the mc kernel has no jacobi variant yet)
+    # fused multi-chain JACOBI kernel (bayesr_jacobi_t_pallas_mc): all
+    # chains share the X stream AND the batched J-blocks-per-round solve
     dict(label="biobank-packed-8chain", N=100_352, M=503_808, iters=5,
-         x_dtype="2bit", chains=8, jacobi=1),
-    dict(label="biobank-horseshoe", N=100_352, M=503_808, iters=5,
+         x_dtype="2bit", chains=8),
+    dict(label="biobank-horseshoe", N=100_352, M=503_808, iters=10,
          x_dtype="2bit", sampler="horseshoe"),
-    dict(label="biobank-groups", N=100_352, M=503_808, iters=5,
+    dict(label="biobank-groups", N=100_352, M=503_808, iters=10,
          x_dtype="2bit", sampler="groups"),
 ]
 HEADLINE = "biobank-packed-auto"

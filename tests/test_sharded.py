@@ -355,3 +355,46 @@ def test_sharded_run_chains_fused(sim):
         eps_direct = sim.Y - float(st.mu[c]) - sim.X @ beta[c]
         np.testing.assert_allclose(np.asarray(st.eps)[c, : s.N], eps_direct,
                                    atol=2e-3)
+
+
+def test_sharded_sink_and_emit_epsilon_symmetry(sim, tmp_path):
+    """Both sharded drivers expose the same observability surface
+    (round-3 VERDICT #5): CSV sink + on_chunk + emit_epsilon=False --
+    at pod scale the full-N epsilon emission is the cost SURVEY section 5
+    makes optional."""
+    import csv
+
+    from bayesrrcpp_tpu import HorseshoeConfig
+    from bayesrrcpp_tpu.io.sink import CSVSink
+    from bayesrrcpp_tpu.parallel.sharded import ShardedHorseshoeSampler
+
+    chain = ChainConfig(6, 2, 2)
+    seen = {"ss": 0, "hs": 0}
+
+    s = ShardedSpikeSlabSampler(
+        sim.X, sim.Y, CVA, BayesRConfig(block_size=32, emit_epsilon=False),
+        make_mesh(2, 2), dtype=jnp.float64)
+    sink = CSVSink(str(tmp_path / "ss.csv"), "bayesr", M=s.M, N=s.N,
+                   emit_epsilon=False)
+    _, out = s.run(jax.random.PRNGKey(3), chain, sink=sink,
+                   on_chunk=lambda *a, **k: seen.__setitem__(
+                       "ss", seen["ss"] + 1))
+    sink.close()
+    assert out["epsilon"].shape[1] == 0
+    rows = list(csv.reader(open(tmp_path / "ss.csv")))
+    assert len(rows) == 3 and len(rows[1]) == len(rows[0])
+    assert seen["ss"] >= 1
+
+    h = ShardedHorseshoeSampler(
+        sim.X, sim.Y, HorseshoeConfig(block_size=32, emit_epsilon=False),
+        make_mesh(2, 2), dtype=jnp.float64)
+    hsink = CSVSink(str(tmp_path / "hs.csv"), "horseshoe", M=h.M, N=h.N,
+                    emit_epsilon=False)
+    _, hout = h.run(jax.random.PRNGKey(4), chain, sink=hsink,
+                    on_chunk=lambda *a, **k: seen.__setitem__(
+                        "hs", seen["hs"] + 1))
+    hsink.close()
+    assert hout["epsilon"].shape[1] == 0
+    hrows = list(csv.reader(open(tmp_path / "hs.csv")))
+    assert len(hrows) == 3 and len(hrows[1]) == len(hrows[0])
+    assert seen["hs"] >= 1
