@@ -108,23 +108,38 @@ def measured_reference_rates():
     lo_it, hi_it = 10, 30
     try:
         with tempfile.TemporaryDirectory() as td:
+            # BASELINE.md config-true shapes (round-3 VERDICT #7): M=50k
+            # rows anchor the headline ratio, and the GROUPS sampler (the
+            # config-2/5 family) is timed directly at N=5k x M=50k x G=2
             for name, N, M in (("bayesr", 2000, 10000),
-                               ("bayesr", 5000, 10000),
-                               ("horseshoe", 2000, 10000)):
+                               ("bayesr", 5000, 50000),
+                               ("groups", 5000, 50000),
+                               ("horseshoe", 2000, 50000)):
+                if name not in bins:
+                    continue
                 X = rng.standard_normal((N, M))
                 X = (X - X.mean(0)) / X.std(0, ddof=1)
                 bt = np.zeros(M)
                 bt[:100] = rng.normal(0, 0.07, 100)
                 Y = X @ bt + rng.normal(0, 0.7, N)
-                inp = os.path.join(td, f"{name}_{N}.bin")
+                inp = os.path.join(td, f"{name}_{N}_{M}.bin")
                 if name == "bayesr":
                     _write_ref_input(inp, (N, M, 3),
                                      (X, Y, np.array([0.001, 0.01, 0.1])))
+                    extra = hyps
+                elif name == "groups":
+                    cva2 = np.array([[0.001, 0.01, 0.1],
+                                     [0.002, 0.02, 0.2]])
+                    gas = (np.arange(M) % 2).astype(float)
+                    _write_ref_input(inp, (N, M, 2, 3, 0),
+                                     (X, Y, cva2, gas,
+                                      np.zeros((N, 0))))
                     extra = hyps
                 else:
                     _write_ref_input(inp, (N, M), (X, Y))
                     A = (1.0 / np.sqrt(N)) * 100.0 / (M - 100.0)
                     extra = [A, 0.001, 0.001, 1.0, 1.0, 1.0, 10.0, 10.0]
+                del X
                 t_lo = _time_ref(bins[name], inp, td, lo_it, extra)
                 t_hi = _time_ref(bins[name], inp, td, hi_it, extra)
                 if t_hi - t_lo < 0.05:  # noisy box: the two-point
@@ -140,7 +155,7 @@ def measured_reference_rates():
                           file=sys.stderr)
                     continue
                 rate = M * (hi_it - lo_it) / max(t_hi - t_lo, 1e-9)
-                out[f"{name}-N{N}"] = {
+                out[f"{name}-N{N}-M{M}"] = {
                     "sampler": name, "N": N, "M": M,
                     "snp_updates_per_sec": round(rate, 1),
                     "iters_timed": hi_it - lo_it,
@@ -331,7 +346,8 @@ def main():
         base = cpu_reference_rate(head["N"])
         ref = measured_reference_rates()
         vs = vs_kind = None
-        anchor = next((ref[k] for k in ("bayesr-N5000", "bayesr-N2000")
+        anchor = next((ref[k] for k in ("bayesr-N5000-M50000",
+                                        "bayesr-N2000-M10000")
                        if ref and k in ref), None)
         if anchor:
             # the reference cannot represent the headline config (dense f64

@@ -137,3 +137,364 @@ def test_golden_jax_bayesr(tmp_path):
                 err_msg=f"iter {it}: eps")
             matched += 1
     assert matched >= 3, "too few CSV rows matched"
+
+
+# --------------------------------------------------- C2: groups (round-4 #3)
+
+def _extract_groups_chain(recs, M, G, F, max_iter):
+    """Per-iteration variates of BayesRSamplerV2Groups
+    (src/BayesRv2Groups.cpp:205-312) without replaying model math."""
+    i = 0
+
+    def take(tag):
+        nonlocal i
+        r = recs[i]
+        assert r.tag == tag, (i, r.tag, tag)
+        i += 1
+        return r
+
+    sigmaGG0 = np.array([take("beta").vals[0] for _ in range(G)])
+    sigmaF0 = take("runif").vals[0]
+    iters = []
+    for _ in range(max_iter):
+        mu = take("norm").vals[0]
+        forder = np.array(take("perm").vals, np.int64)
+        alphas = [take("norm").vals[0] for _ in range(F)]
+        order = np.array(take("perm").vals, np.int64)
+        p = np.zeros(M)
+        z = np.zeros(M)
+        for pos in range(M):
+            p[pos] = take("runif").vals[0]
+            if recs[i].tag == "norm":
+                r = take("norm")
+                mu_arg, var_arg = r.args
+                z[pos] = (r.vals[0] - mu_arg) / np.sqrt(var_arg)
+        sigmaF = take("isc").vals[0]
+        sigmaE = take("isc").vals[0]
+        sigmaGG = np.zeros(G)
+        pi = np.zeros((G, 4))
+        for g in range(G):
+            sigmaGG[g] = take("isc").vals[0]
+            pi[g] = np.array(take("dir").vals)
+        iters.append((mu, forder, alphas, order, p, z, sigmaF, sigmaE,
+                      sigmaGG, pi))
+    assert i == len(recs), f"{len(recs) - i} unconsumed draws"
+    return sigmaGG0, sigmaF0, iters
+
+
+def test_golden_jax_groups(tmp_path):
+    """C2 parity with the PRODUCTION sweep: the reference binary's CSV vs
+    bayesr_sweep_scan (the groups-capable engine the backend='scan'
+    sampler runs) driven by the reference's own tape.  Control flow at
+    stake: src/BayesRv2Groups.cpp:216-298."""
+    N, M, G, F = 260, 90, 2, 3
+    K = 4
+    rng = np.random.default_rng(12)
+    X = rng.standard_normal((N, M))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    Y = X @ np.where(rng.random(M) < 0.1, rng.normal(0, 0.2, M), 0.0)
+    Y = Y + rng.normal(0, 0.8, N)
+    Y = Y - Y.mean()
+    fixed = rng.standard_normal((N, F))
+    g_assign = (np.arange(M) % G).astype(int)
+    cva2 = np.array([[0.001, 0.01, 0.1], [0.002, 0.02, 0.2]])
+
+    bins = gc.build_binaries()
+    if bins is None:
+        pytest.skip("g++ or reference tree unavailable")
+    inp = str(tmp_path / "in.bin")
+    gc.write_groups_input(inp, X, Y, cva2, g_assign, fixed)
+    max_iter, burn_in = 16, 10
+    csv, trace = gc.run_ref(bins["groups"], inp, str(tmp_path),
+                            [max_iter, burn_in, 1, 1.0, *HYPS], seed=31)
+    sigmaGG0, sigmaF0, iters = _extract_groups_chain(
+        gc.parse_trace(trace), M, G, F, max_iter)
+    _, csv_rows = gc.read_csv_rows(csv)
+
+    f64 = jnp.float64
+    XT = jnp.asarray(X.T, f64)
+    xsq = jnp.sum(XT * XT, axis=1)
+    beta = jnp.zeros(M, f64)
+    labels = jnp.zeros(M, jnp.int32)
+    alpha = np.zeros(F)
+    mu = 0.0
+    eps = np.asarray(Y, np.float64)
+    sigmaGG = sigmaGG0
+    sigmaE = float(eps @ eps) / N * 0.5
+    pi = np.full((G, K), 0.5 / K)
+    pi[:, 0] = 0.5                       # src/BayesRv2Groups.cpp:170-175
+    gas = jnp.asarray(g_assign, jnp.int32)
+    valid = jnp.ones(M, bool)
+    cva2j = jnp.asarray(cva2, f64)
+    sweep = jax.jit(bayesr_sweep_scan)
+
+    matched = 0
+    for it, (mu_t, forder, alphas, order, p, z, sigmaF_t, sigmaE_t,
+             sigmaGG_t, pi_t) in enumerate(iters):
+        eps = eps + mu
+        mu = mu_t
+        eps = eps - mu
+        # fixed-effect sweep with recorded alpha draws (the reference's
+        # exact op order, src/BayesRv2Groups.cpp:216-225)
+        for idx, c in enumerate(forder):
+            fc = fixed[:, c]
+            y_t = eps + fc * alpha[c]
+            alpha[c] = alphas[idx]
+            eps = y_t - fc * alpha[c]
+        eps_j, beta, labels, v, bacc = sweep(
+            XT, xsq, jnp.asarray(eps, f64), beta, labels,
+            jnp.asarray(order), jnp.asarray(p, f64), jnp.asarray(z, f64),
+            jnp.asarray(pi, f64), cva2j, jnp.asarray(sigmaE, f64),
+            jnp.asarray(sigmaGG, f64), gas, valid)
+        eps = np.asarray(eps_j, np.float64)
+        sigmaF, sigmaE, sigmaGG, pi = sigmaF_t, sigmaE_t, sigmaGG_t, pi_t
+        if it in csv_rows:
+            row = csv_rows[it]
+            np.testing.assert_allclose(row[1], mu, rtol=0, atol=0)
+            np.testing.assert_allclose(
+                np.asarray(beta), row[2:2 + M], rtol=1e-9, atol=1e-12,
+                err_msg=f"iter {it}: beta")
+            np.testing.assert_allclose(row[2 + M], sigmaE, rtol=0, atol=0)
+            np.testing.assert_array_equal(
+                np.asarray(labels, np.float64), row[3 + M:3 + 2 * M],
+                err_msg=f"iter {it}: labels")
+            np.testing.assert_allclose(
+                row[3 + 2 * M:3 + 2 * M + G], sigmaGG, rtol=0, atol=0)
+            np.testing.assert_allclose(
+                eps, row[3 + 2 * M + G:3 + 2 * M + G + N],
+                rtol=1e-8, atol=1e-10, err_msg=f"iter {it}: eps")
+            np.testing.assert_allclose(
+                row[3 + 2 * M + G + N:3 + 2 * M + G + N + F], alpha,
+                rtol=0, atol=0)
+            np.testing.assert_allclose(row[-1], sigmaF, rtol=0, atol=0)
+            matched += 1
+    assert matched >= 3, "too few CSV rows matched"
+
+
+# -------------------------------------------------- C3: grstart (round-4 #3)
+
+def _extract_grstart_chain(recs, M, G, max_iter):
+    """Per-iteration variates of BRV2Grstart (src/BRv2Grstart.cpp:157-282):
+    like groups but p comes from beta_rng, no fixed sweep, and pi is
+    re-drawn from the supplied component counts at init."""
+    i = 0
+
+    def take(tag):
+        nonlocal i
+        r = recs[i]
+        assert r.tag == tag, (i, r.tag, tag)
+        i += 1
+        return r
+
+    pi0 = np.stack([np.array(take("dir").vals) for _ in range(G)])
+    iters = []
+    for _ in range(max_iter):
+        mu = take("norm").vals[0]
+        order = np.array(take("perm").vals, np.int64)
+        p = np.zeros(M)
+        z = np.zeros(M)
+        for pos in range(M):
+            p[pos] = take("beta").vals[0]
+            if recs[i].tag == "norm":
+                r = take("norm")
+                mu_arg, var_arg = r.args
+                z[pos] = (r.vals[0] - mu_arg) / np.sqrt(var_arg)
+        sigmaE = take("isc").vals[0]
+        sigmaGG = np.zeros(G)
+        pi = np.zeros((G, 4))
+        for g in range(G):
+            sigmaGG[g] = take("isc").vals[0]
+            pi[g] = np.array(take("dir").vals)
+        iters.append((mu, order, p, z, sigmaE, sigmaGG, pi))
+    assert i == len(recs), f"{len(recs) - i} unconsumed draws"
+    return pi0, iters
+
+
+def test_golden_jax_grstart(tmp_path):
+    """C3 parity with the PRODUCTION sweep driven from the reference's
+    tape, resuming the reference's warm-start state.  Control flow at
+    stake: src/BRv2Grstart.cpp:157-282."""
+    N, M, G = 240, 80, 2
+    K = 4
+    rng = np.random.default_rng(14)
+    X = rng.standard_normal((N, M))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    Y = X @ np.where(rng.random(M) < 0.1, rng.normal(0, 0.2, M), 0.0)
+    Y = Y + rng.normal(0, 0.8, N)
+    Y = Y - Y.mean()
+    g_assign = (np.arange(M) % G).astype(int)
+    cva2 = np.array([[0.001, 0.01, 0.1], [0.002, 0.02, 0.2]])
+    beta0 = np.where(rng.random(M) < 0.1, rng.normal(0, 0.1, M), 0.0)
+    comp0 = np.where(beta0 != 0, rng.integers(1, K, M), 0).astype(float)
+    start = {"mu": 0.12, "beta": beta0, "sigmaE": 0.8,
+             "sigmaGG": np.array([0.05, 0.02]),
+             "epsilon": Y - 0.12 - X @ beta0, "components": comp0}
+
+    bins = gc.build_binaries()
+    if bins is None:
+        pytest.skip("g++ or reference tree unavailable")
+    inp = str(tmp_path / "in.bin")
+    gc.write_grstart_input(inp, X, start, cva2, g_assign)
+    max_iter, burn_in = 16, 10
+    csv, trace = gc.run_ref(bins["grstart"], inp, str(tmp_path),
+                            [max_iter, burn_in, 1, 1.0, *HYPS], seed=41)
+    pi0, iters = _extract_grstart_chain(gc.parse_trace(trace), M, G,
+                                        max_iter)
+    _, csv_rows = gc.read_csv_rows(csv)
+
+    f64 = jnp.float64
+    XT = jnp.asarray(X.T, f64)
+    xsq = jnp.sum(XT * XT, axis=1)
+    beta = jnp.asarray(beta0, f64)
+    labels = jnp.asarray(comp0.astype(np.int32))
+    mu = float(start["mu"])
+    eps = np.asarray(start["epsilon"], np.float64)
+    sigmaGG = start["sigmaGG"].copy()
+    sigmaE = float(start["sigmaE"])
+    pi = pi0
+    gas = jnp.asarray(g_assign, jnp.int32)
+    valid = jnp.ones(M, bool)
+    cva2j = jnp.asarray(cva2, f64)
+    sweep = jax.jit(bayesr_sweep_scan)
+
+    matched = 0
+    for it, (mu_t, order, p, z, sigmaE_t, sigmaGG_t, pi_t) in \
+            enumerate(iters):
+        eps = eps + mu
+        mu = mu_t
+        eps = eps - mu
+        eps_j, beta, labels, v, bacc = sweep(
+            XT, xsq, jnp.asarray(eps, f64), beta, labels,
+            jnp.asarray(order), jnp.asarray(p, f64), jnp.asarray(z, f64),
+            jnp.asarray(pi, f64), cva2j, jnp.asarray(sigmaE, f64),
+            jnp.asarray(sigmaGG, f64), gas, valid)
+        eps = np.asarray(eps_j, np.float64)
+        sigmaE, sigmaGG, pi = sigmaE_t, sigmaGG_t, pi_t
+        if it in csv_rows:
+            row = csv_rows[it]
+            np.testing.assert_allclose(row[1], mu, rtol=0, atol=0)
+            np.testing.assert_allclose(
+                np.asarray(beta), row[2:2 + M], rtol=1e-9, atol=1e-12,
+                err_msg=f"iter {it}: beta")
+            np.testing.assert_allclose(row[2 + M], sigmaE, rtol=0, atol=0)
+            np.testing.assert_array_equal(
+                np.asarray(labels, np.float64), row[3 + M:3 + 2 * M],
+                err_msg=f"iter {it}: labels")
+            np.testing.assert_allclose(
+                row[3 + 2 * M:3 + 2 * M + G], sigmaGG, rtol=0, atol=0)
+            np.testing.assert_allclose(
+                eps, row[3 + 2 * M + G:], rtol=1e-8, atol=1e-10,
+                err_msg=f"iter {it}: eps")
+            matched += 1
+    assert matched >= 3, "too few CSV rows matched"
+
+
+# ------------------------------------------------ C4: horseshoe (round-4 #3)
+
+def _extract_horseshoe_chain(recs, M, max_iter):
+    """Per-iteration variates of HorseshoeR (src/HorseshoeR.cpp:165-264).
+    The marker draw records norm(0, 1) directly (the C++ combines it with
+    num/denom itself, :234), so z needs no recovery arithmetic."""
+    i = 0
+
+    def take(tag):
+        nonlocal i
+        r = recs[i]
+        assert r.tag == tag, (i, r.tag, tag)
+        i += 1
+        return r
+
+    take("beta")                         # tau draw, overwritten at :192
+    for _ in range(2 * M):               # v/lambda init, discarded (:176-180)
+        take("igr")
+    eta0 = take("igr").vals[0]
+    tau0 = (1.0 / eta0) * take("igr").vals[0]
+    iters = []
+    for _ in range(max_iter):
+        mu = take("norm").vals[0]
+        order = np.array(take("perm").vals, np.int64)
+        take("igr")                      # eta (feeds tau later via record)
+        for _ in range(M):
+            take("igr")                  # v_j (feeds lam later via record)
+        z = np.zeros(M)
+        for pos in range(M):
+            z[pos] = take("norm").vals[0]
+        lam = np.array([take("igr").vals[0] for _ in range(M)])
+        tau = take("igr").vals[0]
+        c2 = take("igr").vals[0]
+        sigmaE = take("isc").vals[0]
+        iters.append((mu, order, z, lam, tau, c2, sigmaE))
+    assert i == len(recs), f"{len(recs) - i} unconsumed draws"
+    return tau0, iters
+
+
+def test_golden_jax_horseshoe(tmp_path):
+    """C4 parity with the PRODUCTION horseshoe sweep
+    (ops/sweep.horseshoe_sweep_scan) driven by the reference's tape --
+    the round-3 'weakest of the four' ask: beta now compares through the
+    production dense conjugate draw instead of a hand mirror.  Control
+    flow at stake: src/HorseshoeR.cpp:219-240."""
+    from bayesrrcpp_tpu.ops.sweep import horseshoe_sweep_scan
+
+    N, M = 250, 80
+    rng = np.random.default_rng(16)
+    X = rng.standard_normal((N, M))
+    X = (X - X.mean(0)) / X.std(0, ddof=1)
+    Y = X @ np.where(rng.random(M) < 0.15, rng.normal(0, 0.2, M), 0.0)
+    Y = Y + rng.normal(0, 0.8, N)
+    Y = Y - Y.mean()
+    A = (1.0 / np.sqrt(N)) * 15.0 / (M - 15.0)
+    params = (A, 0.001, 0.001, 1.0, 1.0, 1.0, 10.0, 10.0)
+
+    bins = gc.build_binaries()
+    if bins is None:
+        pytest.skip("g++ or reference tree unavailable")
+    inp = str(tmp_path / "in.bin")
+    gc.write_horseshoe_input(inp, X, Y)
+    max_iter, burn_in = 24, 4
+    csv, trace = gc.run_ref(bins["horseshoe"], inp, str(tmp_path),
+                            [max_iter, burn_in, 1, *params], seed=51)
+    tau, iters = _extract_horseshoe_chain(gc.parse_trace(trace), M,
+                                          max_iter)
+    _, csv_rows = gc.read_csv_rows(csv)
+
+    f64 = jnp.float64
+    XT = jnp.asarray(X.T, f64)
+    xsq = jnp.sum(XT * XT, axis=1)
+    beta = jnp.zeros(M, f64)
+    mu = 0.0
+    eps = np.asarray(Y, np.float64)
+    sigmaE = float(eps @ eps) / N * 0.5
+    lam = np.ones(M)
+    c2 = params[5]
+    valid = jnp.ones(M, bool)
+    sweep = jax.jit(horseshoe_sweep_scan)
+
+    matched = 0
+    for it, (mu_t, order, z, lam_t, tau_t, c2_t, sigmaE_t) in \
+            enumerate(iters):
+        eps = eps + mu
+        mu = mu_t
+        eps = eps - mu
+        eps_j, beta = sweep(
+            XT, xsq, jnp.asarray(eps, f64), beta, jnp.asarray(order),
+            jnp.asarray(z, f64), jnp.asarray(lam, f64),
+            jnp.asarray(tau, f64), jnp.asarray(c2, f64),
+            jnp.asarray(sigmaE, f64), valid)
+        eps = np.asarray(eps_j, np.float64)
+        lam, tau, c2, sigmaE = lam_t, tau_t, c2_t, sigmaE_t
+        if it in csv_rows:
+            row = csv_rows[it]
+            np.testing.assert_allclose(row[1], mu, rtol=0, atol=0)
+            np.testing.assert_allclose(
+                np.asarray(beta), row[2:2 + M], rtol=2e-8, atol=1e-11,
+                err_msg=f"iter {it}: beta")
+            np.testing.assert_allclose(row[2 + M], sigmaE, rtol=0, atol=0)
+            np.testing.assert_allclose(row[3 + M], tau, rtol=0, atol=0)
+            np.testing.assert_allclose(
+                row[4 + M:4 + 2 * M], lam, rtol=0, atol=0)
+            np.testing.assert_allclose(
+                eps, row[4 + 2 * M:], rtol=2e-7, atol=1e-9,
+                err_msg=f"iter {it}: eps")
+            matched += 1
+    assert matched >= 3, "too few CSV rows matched"

@@ -85,9 +85,17 @@ def hlo_collective_count(Dm, Dn, *, N=512, M=512, B=32, chunk_blocks=4):
     n_ar = len(re.findall(r"all-reduce(?:-start)?\(", txt)) + \
         len(re.findall(r" all-reduce(?:-start)? ", txt))
     n_ar = max(n_ar, txt.count("all-reduce"))
-    return {"mesh": [Dm, Dn], "backend": "pallas" if Dn == 1 else "xla",
-            "hlo_all_reduce_sites": int(txt.count("all-reduce")),
-            "nb_loc": s.nb // Dm, "chunk_blocks": chunk_blocks}
+    backend = "pallas" if Dn == 1 else "xla"
+    # sites per executable: the eps psum lives in the chunk-round loop
+    # body (1 site, rounds executions/iter), the "n" r-psum joins it on
+    # 2-D meshes, and 6 hyper reductions sit at iteration scope
+    expected = (1 if backend == "pallas" else 2) + 6
+    got = int(txt.count("all-reduce"))
+    assert got == expected, (got, expected)
+    return {"mesh": [Dm, Dn], "backend": backend,
+            "hlo_all_reduce_sites": got,
+            "expected_sites_analytic": expected, "match": got == expected,
+            "nb_loc": s.nb_loc, "chunk_blocks": chunk_blocks}
 
 
 def projection_config5():
