@@ -476,26 +476,37 @@ class HorseshoeSampler:
         """Fused multi-chain iteration: all chains swept by ONE pallas
         kernel (ops/pallas_multichain.horseshoe_sweep_pallas_mc); marker
         order shared across chains, z streams independent + MARKER-indexed."""
-        from ..ops.pallas_multichain import horseshoe_sweep_pallas_mc
-
         dt = self.dtype
         Mpad, B, nb = self.Mpad, self.B, self.nb
         keys, mu, eps, eta, v = jax.vmap(
             self._pre_sweep, in_axes=(0, None))(state, data)
         key, korder, kz = keys[:, 0], keys[:, 4], keys[:, 5]
 
-        border, inner = bs.block_orders(korder[0], nb, B)
         z_arr = jax.vmap(
             lambda k: jax.random.normal(k, (Mpad,), dtype=dt))(kz)
-        eps, beta = horseshoe_sweep_pallas_mc(
-            data.XT, data.gram, data.xsq, eps, state.beta,
-            border, inner, z_arr, state.lam, state.tau, state.c2,
-            state.sigmaE, data.valid, interpret=self._pallas_interpret,
+        common = dict(
+            interpret=self._pallas_interpret,
             x_mean=data.x_mean if self.x_quantized else None,
             x_scale=data.x_scale if self.x_quantized else None,
             fold_affine=self._x_fold,
             x_xsum=data.x_colsum if self.x_quantized else None,
             row_valid=data.row_valid if self.x_packed else None)
+        if self.jacobi > 1 and self.jacobi_layout == "t":
+            from ..ops.pallas_jacobi_t import horseshoe_jacobi_t_pallas_mc
+
+            rho, inner = bs.strided_orders(korder[0], nb, B, self.jacobi)
+            eps, beta = horseshoe_jacobi_t_pallas_mc(
+                data.XT, data.gram, data.xsq, eps, state.beta,
+                rho, inner, z_arr, state.lam, state.tau, state.c2,
+                state.sigmaE, data.valid, J=self.jacobi, **common)
+        else:
+            from ..ops.pallas_multichain import horseshoe_sweep_pallas_mc
+
+            border, inner = bs.block_orders(korder[0], nb, B)
+            eps, beta = horseshoe_sweep_pallas_mc(
+                data.XT, data.gram, data.xsq, eps, state.beta,
+                border, inner, z_arr, state.lam, state.tau, state.c2,
+                state.sigmaE, data.valid, **common)
         eps = eps.astype(dt)
         beta = beta.astype(dt)
 

@@ -1468,3 +1468,352 @@ def _packed_tile_n_mc(Npad, B, J, F, Q, C):
         if nt_total % k == 0:
             return 2048 * k
     return 2048
+
+
+def build_pkgT_hs_mc_strided(xsq, valid, z, lam, tau, c2, sigmaE, P2,
+                             *, B, J, nr):
+    """Multi-chain transposed horseshoe operand (nr, B*5*C, J): row
+    (s*5 + f)*C + c holds field f of position s for chain c, fields
+    [1/denom, sd, z, xsq, valid] (src/HorseshoeR.cpp:224, 234)."""
+    f32 = jnp.float32
+    C, Mpad = lam.shape
+    xsq = xsq.astype(f32)
+    lamf = lam.astype(f32)
+    tauf = tau.astype(f32)[:, None]
+    c2f = c2.astype(f32)[:, None]
+    sE = sigmaE.astype(f32)[:, None]
+    s_j = tauf * c2f * lamf / (tauf * lamf + c2f)          # (C, Mpad)
+    denom = xsq[None, :] + sE / s_j
+    xv = jnp.broadcast_to(
+        jnp.stack([xsq, valid.astype(f32)], axis=1)[None], (C, Mpad, 2))
+    tbl = jnp.concatenate(
+        [jnp.stack([1.0 / denom, jnp.sqrt(sE / denom)], axis=2), xv],
+        axis=2)                                            # (C, Mpad, 4)
+    T2c = tbl.reshape(C, J, nr, B, 4)
+    per = jnp.einsum('jrms,cjrmf->rsfcj', P2, T2c,
+                     preferred_element_type=f32)           # (nr,B,4,C,J)
+    z5 = z.astype(f32).reshape(C, nr, J, B).transpose(1, 3, 0, 2)[
+        :, :, None, :, :]                                  # position-idx
+    pkg = jnp.concatenate([per[:, :, :2], z5, per[:, :, 2:]], axis=2)
+    return pkg.reshape(nr, B * 5 * C, J)
+
+
+def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
+                           fold=False):
+    """Multi-chain transposed horseshoe kernel: _jacobi_t_mc_kernel minus
+    the selection loop and label/v/bacc outputs.  refs layout:
+
+    inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, beta_lane (C*J, B),
+             eps_hbm (ANY)[, srow, msrow, xsum (shared), esum0 (C, 1)]
+    outputs: eps_out (C, Npad), beta_out (C*J, B)
+    scratch: rb (C*J, B), rT (C*B, J), bT (C*B, J), dposT (C*B, J),
+             dpos (C*J, B), dlane (C*J, B), dma sem
+             [, esum (C, 1), dms (C, J), dmsq (J/Q, C)]
+    """
+    (xt_refs, rest) = (refs[:Q], refs[Q:])
+    (innr_ref, pkg_ref, gpt_ref, beta_ref, epsh_ref) = rest[:5]
+    if fold:
+        srow_ref, msrow_ref, xsum_ref, esum0_ref = rest[5:9]
+        eps_out, beta_out = rest[9:11]
+        (rb_sc, rT_sc, bT_sc, dposT_sc, dpos_sc, dlane_sc,
+         sem, esum_sc, dms_sc, dmsq_sc) = rest[11:]
+    else:
+        eps_out, beta_out = rest[5:7]
+        (rb_sc, rT_sc, bT_sc, dposT_sc, dpos_sc, dlane_sc,
+         sem) = rest[7:]
+
+    r = pl.program_id(0)
+    ph = pl.program_id(1)
+    jq = pl.program_id(2)
+    t = pl.program_id(3)
+    f32 = jnp.float32
+    F = 5
+    JC, NC = _permute_chunks(J, B)
+    CW = JC * B
+
+    if packed:
+        SUB, W = 16, TN // 16
+
+        def x_sub(q, k):
+            c = (xt_refs[q][...] >> (2 * k)) & 3
+            return c.astype(f32)
+    else:
+        SUB, W = 1, TN
+
+        def x_sub(q, k):
+            xr = xt_refs[q]
+            if fold and xr.dtype != jnp.float32:
+                return xr[...].astype(f32)
+            return xr[...]
+
+    def x_cat(k):
+        if Q == 1:
+            return x_sub(0, k)
+        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+
+    first = jnp.logical_and(
+        r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
+
+    @pl.when(first)
+    def _init():
+        copy = pltpu.make_async_copy(epsh_ref, eps_out, sem)
+        copy.start()
+        copy.wait()
+        if fold:
+            esum_sc[...] = esum0_ref[...]
+
+    @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
+    def _zero_r():
+        rb_sc[...] = jnp.zeros((C * J, B), f32)
+
+    @pl.when(ph == 0)
+    def _accumulate_r():
+        acc = None
+        for k in range(SUB):
+            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
+            d = jax.lax.dot_general(
+                eps_t, x_cat(k), (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # (C, Q*B)
+            acc = d if acc is None else acc + d
+        for q in range(Q):
+            jj = jq * Q + q
+            for c in range(C):
+                rb_sc[pl.ds(c * J + jj, 1), :] += acc[c:c + 1,
+                                                      q * B:(q + 1) * B]
+
+    @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
+    def _solve():
+        if fold:
+            for c in range(C):
+                es = esum_sc[c, 0]
+                rb_sc[c * J:(c + 1) * J, :] = (
+                    rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
+                    - msrow_ref[0] * es)
+
+        for c in range(C):
+            for ch in range(NC):
+                ir_c = innr_ref[0][:, ch * CW:(ch + 1) * CW]
+                rows = rb_sc[c * J + ch * JC:c * J + (ch + 1) * JC, :]
+                rT_sc[c * B:(c + 1) * B, ch * JC:(ch + 1) * JC] = _tsp(
+                    _lane_to_pos(rows, ir_c, B=B, JC=JC), JC)
+                brows = beta_ref[0, c * J + ch * JC:c * J + (ch + 1) * JC, :]
+                bT_sc[c * B:(c + 1) * B, ch * JC:(ch + 1) * JC] = _tsp(
+                    _lane_to_pos(brows, ir_c, B=B, JC=JC), JC)
+
+        def band(sc, s):
+            return jnp.concatenate(
+                [sc[pl.ds(c * B + s, 1), :] for c in range(C)], axis=0)
+
+        def body(s, _):
+            slab = pkg_ref[0, pl.ds(s * F * C, F * C), :]  # (F*C, J)
+
+            def fld(f):
+                return slab[f * C:(f + 1) * C, :]           # (C, J)
+
+            invd = fld(0)
+            sdv = fld(1)
+            z_s = fld(2)
+            xsq_j = fld(3)
+            okf = fld(4)
+
+            r_jl = band(rT_sc, s)                           # (C, J)
+            beta_old = band(bT_sc, s)
+
+            num = r_jl + beta_old * xsq_j
+            beta_new = num * invd + sdv * z_s
+            d = okf * (beta_new - beta_old)                 # (C, J)
+
+            AT = gpt_ref[0, pl.ds(s * B, B), :]             # (B, J)
+            for c in range(C):
+                rT_sc[c * B:(c + 1) * B, :] -= AT * d[c:c + 1, :]
+                dposT_sc[pl.ds(c * B + s, 1), :] = d[c:c + 1, :]
+            return ()
+
+        lax.fori_loop(0, B, body, (), unroll=False)
+
+        for c in range(C):
+            for ch in range(NC):
+                ir_c = innr_ref[0][:, ch * CW:(ch + 1) * CW]
+                lo, hi = c * J + ch * JC, c * J + (ch + 1) * JC
+                cols = slice(ch * JC, (ch + 1) * JC)
+                dpos_c = _tsp(dposT_sc[c * B:(c + 1) * B, cols], B)
+                dpos_sc[lo:hi, :] = dpos_c
+                dlane_sc[lo:hi, :] = _pos_to_lane(dpos_c, ir_c, B=B, JC=JC)
+
+        beta_out[0] = beta_ref[0] + dlane_sc[...]           # (C*J, B)
+
+        if fold:
+            for c in range(C):
+                dl = dlane_sc[c * J:(c + 1) * J, :]
+                sub1 = jnp.sum(dl * xsum_ref[0], axis=1, keepdims=True)
+                esum_sc[c:c + 1, :] -= jnp.sum(sub1, axis=0, keepdims=True)
+                dms_c = jnp.sum(dl * msrow_ref[0], axis=1, keepdims=True)
+                dms_sc[c:c + 1, :] = _tsp(dms_c, J)
+                dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
+            JQ2 = J // Q
+            gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (JQ2, J), 0)).astype(f32)
+            dmsq_sc[...] = jax.lax.dot_general(
+                gmat, dms_sc[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # (J/Q, C)
+
+    @pl.when(ph == 1)
+    def _apply_update():
+        rows = []
+        for c in range(C):
+            rows.append(jnp.concatenate(
+                [dlane_sc[pl.ds(c * J + jq * Q + q, 1), :]
+                 for q in range(Q)], axis=1))
+        dlcat = jnp.concatenate(rows, axis=0)               # (C, Q*B)
+        if fold:
+            dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
+        for k in range(SUB):
+            upd = jax.lax.dot_general(
+                dlcat, x_cat(k), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                 # (C, W)
+            if fold:
+                upd = upd - dms
+            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+
+
+def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
+                                 rho, inner_perm, z_arr,
+                                 lam, tau, c2, sigmaE, valid_pad,
+                                 *, J: int = 64, tile_n: int = 512,
+                                 interpret: bool = False,
+                                 x_mean=None, x_scale=None, x_xsum=None,
+                                 fold_affine: bool = False, row_valid=None):
+    """C-chain fused transposed horseshoe sweep (strided rounds): eps
+    (C, N-or-Npad), beta/lam/z (C, Mpad) with z POSITION-indexed in
+    canonical slab order, tau/c2/sigmaE (C,).  Returns (eps, beta)."""
+    nb, B, _ = gram.shape
+    quantized, packed, fold = _validate(nb, J, x_mean, XT_pad, fold_affine)
+    nr = nb // J
+    f32 = jnp.float32
+    C = eps.shape[0]
+    F = 5
+
+    CG = int(os.environ.get("BAYESR_MC_GROUP", "4"))
+    if C > CG:
+        eps_parts, beta_parts = [], []
+        for c0 in range(0, C, CG):
+            sl = slice(c0, min(c0 + CG, C))
+            e, b = horseshoe_jacobi_t_pallas_mc(
+                XT_pad, gram, xsq_pad, eps[sl], beta_pad[sl], rho,
+                inner_perm, z_arr[sl], lam[sl], tau[sl], c2[sl],
+                sigmaE[sl], valid_pad, J=J, tile_n=tile_n,
+                interpret=interpret, x_mean=x_mean, x_scale=x_scale,
+                x_xsum=x_xsum, fold_affine=fold_affine,
+                row_valid=row_valid)
+            eps_parts.append(e)
+            beta_parts.append(b)
+        return (jnp.concatenate(eps_parts, axis=0),
+                jnp.concatenate(beta_parts, axis=0))
+
+    if packed:
+        Npad_ = XT_pad.shape[1] * 16
+        best = None
+        for q in (4, 2, 1):
+            if J % q:
+                continue
+            tn = _packed_tile_n_mc(Npad_, B, J, F, q, C)
+            inv = (J // q) * (Npad_ // tn)
+            if best is None or inv < best[0]:
+                best = (inv, q)
+        Q = best[1]
+    else:
+        Q = auto_q(J)
+    xt, epsC, lane_mask, TN, Npad, N = _prep_x_mc(
+        XT_pad, eps, packed=packed, tile_n=tile_n, B=B, J=J, F=F, Q=Q,
+        C=C, row_valid=row_valid)
+    nt = Npad // TN
+    Mpad = beta_pad.shape[1]
+
+    P2 = build_onehot_inner(inner_perm, B=B, J=J, nr=nr)
+    pkgT = build_pkgT_hs_mc_strided(xsq_pad, valid_pad, z_arr, lam, tau,
+                                    c2, sigmaE, P2, B=B, J=J, nr=nr)
+    gpT = build_gpT_strided(gram, P2, B=B, J=J, nr=nr)
+    inner_row = (inner_perm.astype(jnp.int32).reshape(J, nr, B)
+                 .transpose(1, 0, 2).reshape(nr, 1, J * B))
+    beta_lane = (beta_pad.astype(f32).reshape(C, J, nr, B)
+                 .transpose(2, 0, 1, 3).reshape(nr, C * J, B))
+    rho_i = rho.astype(jnp.int32)
+
+    def im_xt(q):
+        def f(r, ph, jq, t, rho_ref):
+            return ((jq * Q + q) * nr + rho_ref[r], t)
+        return f
+
+    def im_round(r, ph, jq, t, rho_ref):
+        return (rho_ref[r], 0, 0)
+
+    def im_full(r, ph, jq, t, rho_ref):
+        return (0, 0)
+
+    x_tile_w = TN // 16 if packed else TN
+    in_specs = (
+        [pl.BlockSpec((B, x_tile_w), im_xt(q)) for q in range(Q)] + [
+            pl.BlockSpec((1, 1, J * B), im_round),         # inner (flat)
+            pl.BlockSpec((1, B * F * C, J), im_round),     # pkgT
+            pl.BlockSpec((1, B * B, J), im_round),         # gpT
+            pl.BlockSpec((1, C * J, B), im_round),         # beta (lane)
+            pl.BlockSpec(memory_space=pltpu.ANY),          # eps (HBM)
+        ])
+    args = [xt] * Q + [inner_row, pkgT, gpT, beta_lane, epsC]
+    scratch = [
+        pltpu.VMEM((C * J, B), f32),                       # r rows (lane)
+        pltpu.VMEM((C * B, J), f32),                       # rT bands
+        pltpu.VMEM((C * B, J), f32),                       # bT bands
+        pltpu.VMEM((C * B, J), f32),                       # deltaT bands
+        pltpu.VMEM((C * J, B), f32),                       # delta (pos)
+        pltpu.VMEM((C * J, B), f32),                       # delta (lane)
+        pltpu.SemaphoreType.DMA,                           # eps init copy
+    ]
+    if fold:
+        in_specs += [pl.BlockSpec((1, J, B), im_round),    # srow (shared)
+                     pl.BlockSpec((1, J, B), im_round),    # msrow
+                     pl.BlockSpec((1, J, B), im_round),    # xsum
+                     pl.BlockSpec((C, 1), im_full)]        # esum0
+        srow_r = _lane_rows(x_scale.astype(f32), B=B, J=J, nr=nr)
+        msrow_r = _lane_rows(
+            x_mean.astype(f32) * x_scale.astype(f32), B=B, J=J, nr=nr)
+        xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
+        args += [srow_r, msrow_r, xsum_r,
+                 jnp.sum(epsC, axis=1, keepdims=True)]
+        scratch += [pltpu.VMEM((C, 1), f32),
+                    pltpu.VMEM((C, J), f32),
+                    pltpu.VMEM((J // Q, C), f32)]
+    out_specs = [
+        pl.BlockSpec((C, Npad), im_full),                  # eps_out
+        pl.BlockSpec((1, C * J, B), im_round),             # beta_out
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((C, Npad), f32),
+        jax.ShapeDtypeStruct((nr, C * J, B), f32),
+    ]
+    kernel = functools.partial(_hs_jacobi_t_mc_kernel, B=B, TN=TN, C=C,
+                               J=J, Q=Q, packed=packed, fold=fold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr, 2, J // Q, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    eps_o, beta_o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+    )(rho_i, *args)
+
+    if fold:
+        eps_o = eps_o * lane_mask
+    beta_flat = (beta_o.reshape(nr, C, J, B).transpose(1, 2, 0, 3)
+                 .reshape(C, Mpad))
+    return ((eps_o if packed else eps_o[:, :N]).astype(eps.dtype),
+            beta_flat.astype(beta_pad.dtype))

@@ -295,6 +295,8 @@ SUITE = [
          x_dtype="2bit", chains=8),
     dict(label="biobank-horseshoe", N=100_352, M=503_808, iters=10,
          x_dtype="2bit", sampler="horseshoe"),
+    dict(label="biobank-horseshoe-8chain", N=100_352, M=503_808, iters=5,
+         x_dtype="2bit", sampler="horseshoe", chains=8),
     dict(label="biobank-groups", N=100_352, M=503_808, iters=10,
          x_dtype="2bit", sampler="groups"),
 ]

@@ -269,3 +269,37 @@ def test_planned_mpad_matches_sampler():
         s = SpikeSlabSampler(X, Y, CVA, BayesRConfig(), backend="pallas",
                              dtype=jnp.float32)
         assert s.Mpad == planned_mpad(M), (M, s.Mpad, planned_mpad(M))
+
+
+@pytest.mark.parametrize("C", [2, 4])
+def test_hs_mc_t_equals_single_chain_runs(C):
+    """Fused multi-chain horseshoe == C independent single-chain t-runs."""
+    from bayesrrcpp_tpu.ops.pallas_jacobi_t import (
+        horseshoe_jacobi_t_pallas_mc)
+
+    rng = np.random.default_rng(23 + C)
+    N, M, B, J = 96, 128, 16, 4
+    X = rng.standard_normal((N, M)).astype(np.float32)
+    XT = jnp.asarray(X.T)
+    xsq = jnp.sum(XT * XT, axis=1)
+    gram = bs.gram_blocks(XT, B)
+    eps = jnp.asarray(rng.standard_normal((C, N)).astype(np.float32))
+    beta = jnp.zeros((C, M), jnp.float32).at[:, 3].set(0.25)
+    z = jnp.asarray(rng.normal(0, 1, (C, M)).astype(np.float32))
+    lam = jnp.asarray(rng.uniform(0.1, 2.0, (C, M)).astype(np.float32))
+    tau = jnp.asarray(rng.uniform(0.01, 0.1, C).astype(np.float32))
+    c2 = jnp.asarray(rng.uniform(1.0, 2.0, C).astype(np.float32))
+    sigmaE = jnp.asarray(rng.uniform(0.5, 1.0, C).astype(np.float32))
+    valid = jnp.ones(M, bool)
+    rho, inner = bs.strided_orders(jax.random.PRNGKey(13), M // B, B, J)
+    eps_o, beta_o = horseshoe_jacobi_t_pallas_mc(
+        XT, gram, xsq, eps, beta, rho, inner, z, lam, tau, c2, sigmaE,
+        valid, J=J, interpret=True)
+    for c in range(C):
+        e_r, b_r = horseshoe_jacobi_t_pallas(
+            XT, gram, xsq, eps[c], beta[c], rho, inner, z[c], lam[c],
+            tau[c], c2[c], sigmaE[c], valid, J=J, interpret=True)
+        np.testing.assert_allclose(np.asarray(b_r), np.asarray(beta_o[c]),
+                                   rtol=3e-4, atol=3e-6)
+        np.testing.assert_allclose(np.asarray(e_r), np.asarray(eps_o[c]),
+                                   rtol=3e-4, atol=3e-5)
