@@ -1817,3 +1817,154 @@ def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
                  .reshape(C, Mpad))
     return ((eps_o if packed else eps_o[:, :N]).astype(eps.dtype),
             beta_flat.astype(beta_pad.dtype))
+
+
+# ------------------------------------------------- sharded chunked driver
+
+class StridedOperands:
+    """Per-iteration operands of the transposed strided sweep, built once
+    and shared by every chunk call (see bayesr_jacobi_t_rounds)."""
+
+    def __init__(self, *, inner_row, pkgT, gpT, gas_lane, beta_lane,
+                 labels_lane, srow=None, msrow=None, xsum=None):
+        self.inner_row = inner_row
+        self.pkgT = pkgT
+        self.gpT = gpT
+        self.gas_lane = gas_lane
+        self.beta_lane = beta_lane
+        self.labels_lane = labels_lane
+        self.srow, self.msrow, self.xsum = srow, msrow, xsum
+
+
+def build_strided_operands(gram, xsq_pad, g_assign_pad, valid_pad, p_arr,
+                           z_arr, pi, cva, sigmaE, sigmaGG, beta_pad,
+                           labels_pad, inner_perm, *, B, J,
+                           x_mean=None, x_scale=None, x_xsum=None,
+                           fold=False):
+    """All per-iteration operands for the transposed strided sweep in
+    canonical slab order (gather-free; see the module docstring)."""
+    f32 = jnp.float32
+    nb = gram.shape[0]
+    nr = nb // J
+    P2 = build_onehot_inner(inner_perm, B=B, J=J, nr=nr)
+    pkgT = build_pkgT_strided(xsq_pad, g_assign_pad, valid_pad, p_arr,
+                              z_arr, pi, cva, sigmaE, sigmaGG, P2,
+                              B=B, J=J, nr=nr)
+    gpT = build_gpT_strided(gram, P2, B=B, J=J, nr=nr)
+    inner_row = (inner_perm.astype(jnp.int32).reshape(J, nr, B)
+                 .transpose(1, 0, 2).reshape(nr, 1, J * B))
+    kw = {}
+    if fold:
+        kw = dict(
+            srow=_lane_rows(x_scale.astype(f32), B=B, J=J, nr=nr),
+            msrow=_lane_rows(x_mean.astype(f32) * x_scale.astype(f32),
+                             B=B, J=J, nr=nr),
+            xsum=_lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr))
+    return StridedOperands(
+        inner_row=inner_row, pkgT=pkgT, gpT=gpT,
+        gas_lane=_lane_rows(g_assign_pad.astype(jnp.int32), B=B, J=J,
+                            nr=nr),
+        beta_lane=_lane_rows(beta_pad.astype(f32), B=B, J=J, nr=nr),
+        labels_lane=_lane_rows(labels_pad.astype(jnp.int32), B=B, J=J,
+                               nr=nr), **kw)
+
+
+def bayesr_jacobi_t_rounds(XT_pad, ops, rho_chunk, eps2d, sigmaE, *,
+                           J, B, K, G, nr_total, packed, fold,
+                           tile_n=512, row_valid=None,
+                           interpret=False):
+    """Sweep ONE CHUNK of strided rounds (the sharded (m, 1) driver's
+    unit of work: one cross-slice eps psum per chunk).  ``ops`` holds the
+    full-iteration operands (build_strided_operands); ``rho_chunk`` the
+    GLOBAL round ids this call visits.  Outputs beta/kv slabs arrive in
+    VISIT order (scatter back with ``.at[rho_chunk].set`` -- a
+    slab-granular update, not an element scatter).
+
+    Returns (eps2d, beta_slabs (nrc, J, B), kv_slabs (nrc, J, B),
+    v (1, G*K), bacc (1, G))."""
+    f32 = jnp.float32
+    F = 3 * K + 4
+    Q = auto_q(J)
+    nrc = rho_chunk.shape[0]
+    if packed:
+        Npad = XT_pad.shape[1] * 16
+        TN = _packed_tile_n_t(Npad, B, J, F, Q)
+    else:
+        Npad = eps2d.shape[1]
+        TN = min(tile_n, max(128, 1 << (Npad - 1).bit_length()))
+        TN = min(TN, Npad)
+        if Npad % TN:
+            TN = Npad          # whole-row tile when N is not tileable
+    nt = Npad // TN
+
+    def im_xt(q):
+        def f(r, ph, jq, t, rho_ref):
+            return ((jq * Q + q) * nr_total + rho_ref[r], t)
+        return f
+
+    def im_round(r, ph, jq, t, rho_ref):
+        return (rho_ref[r], 0, 0)
+
+    def im_visit(r, ph, jq, t, rho_ref):
+        return (r, 0, 0)
+
+    def im_full(r, ph, jq, t, rho_ref):
+        return (0, 0)
+
+    x_tile_w = TN // 16 if packed else TN
+    in_specs = (
+        [pl.BlockSpec((B, x_tile_w), im_xt(q)) for q in range(Q)] + [
+            pl.BlockSpec((1, 1, J * B), im_round),
+            pl.BlockSpec((1, B * F, J), im_round),
+            pl.BlockSpec((1, B * B, J), im_round),
+            pl.BlockSpec((1, J, B), im_round),             # gas
+            pl.BlockSpec((1, J, B), im_round),             # beta
+            pl.BlockSpec((1, Npad), im_full),              # eps
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # sigmaE
+        ])
+    args = [XT_pad] * Q + [ops.inner_row, ops.pkgT, ops.gpT,
+                           ops.gas_lane, ops.beta_lane, eps2d,
+                           sigmaE.astype(f32).reshape(1)]
+    scratch = [
+        pltpu.VMEM((J, B), f32), pltpu.VMEM((B, J), f32),
+        pltpu.VMEM((B, J), f32), pltpu.VMEM((B, J), f32),
+        pltpu.VMEM((B, J), f32), pltpu.VMEM((J, B), f32),
+        pltpu.VMEM((J, B), f32),
+    ]
+    if fold:
+        in_specs += [pl.BlockSpec((1, J, B), im_round)] * 3 + [
+            pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [ops.srow, ops.msrow, ops.xsum, jnp.sum(eps2d, axis=1)]
+        scratch += [pltpu.VMEM((1 + J, 1), f32)]
+    out_specs = [
+        pl.BlockSpec((1, Npad), im_full),
+        pl.BlockSpec((1, J, B), im_visit),                 # beta (visit)
+        pl.BlockSpec((1, J, B), im_visit),                 # kv (visit)
+        pl.BlockSpec((1, G * K), im_full),
+        pl.BlockSpec((1, G), im_full),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Npad), f32),
+        jax.ShapeDtypeStruct((nrc, J, B), f32),
+        jax.ShapeDtypeStruct((nrc, J, B), f32),
+        jax.ShapeDtypeStruct((1, G * K), f32),
+        jax.ShapeDtypeStruct((1, G), f32),
+    ]
+    kernel = functools.partial(_jacobi_t_kernel, B=B, TN=TN, K=K, G=G,
+                               J=J, Q=Q, packed=packed, fold=fold)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrc, 2, J // Q, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+    )(rho_chunk.astype(jnp.int32), *args)

@@ -314,12 +314,27 @@ class ShardedSpikeSlabSampler:
         F = fixed.shape[1]
 
         B = max(8, min(config.block_size, 1 << max(1, (M - 1).bit_length())))
-        # marker axis padded to a block multiple per m-slice (8-aligned
-        # per-slice block count at scale; see models/bayesr.py on the
-        # non-8-aligned codegen blowup)
-        Mpad = -(-M // (B * self.Dm)) * (B * self.Dm)
+        # (m, 1) pallas slices run the transposed strided-rounds kernel
+        # per slice (ops/pallas_jacobi_t.py -- the single-chip fast path;
+        # the comm-model projection assumes its per-chip rate), which
+        # re-sizes (J, B) per slice; quantized-with-missing data falls
+        # back to the serial local sweep at step time
+        self.jacobi_t = 1
+        if backend == "pallas" and not self._split:
+            from ..ops.pallas_jacobi import auto_jacobi_plan
+
+            jt, bt, lay = auto_jacobi_plan(-(-M // self.Dm), B)
+            if lay == "t":
+                B, self.jacobi_t = bt, jt
+        # marker axis padded to a (J-round x block) multiple per m-slice
+        # (8-aligned per-slice block count at scale; see models/bayesr.py
+        # on the non-8-aligned codegen blowup)
+        Jt = self.jacobi_t
+        unit = B * Jt * self.Dm
+        Mpad = -(-M // unit) * unit
         if Mpad // (B * self.Dm) >= 64:
-            Mpad = -(-M // (8 * B * self.Dm)) * (8 * B * self.Dm)
+            unit8 = (B * 8 * Jt // np.gcd(8, Jt)) * self.Dm
+            Mpad = -(-M // unit8) * unit8
         if self.x_packed:
             # lanes pad to the packed tile (2048); individuals stay
             # unsharded (Dn == 1 enforced above)
@@ -528,16 +543,31 @@ class ShardedSpikeSlabSampler:
         # ---- marker sweep: one local block per round, psum'd eps update
         key_m = jax.random.fold_in(ksweep, im)
         kb, ki, kp, kz = jax.random.split(key_m, 4)
-        border = jax.random.permutation(kb, nb_loc)
-        inner = jax.vmap(lambda k: jax.random.permutation(k, B))(
-            jax.random.split(ki, nb_loc))
         p_arr = jax.random.uniform(kp, (nb_loc, B), dtype=dt)
         z_arr = jax.random.normal(kz, (nb_loc, B), dt)
+        use_t = (self.backend == "pallas" and not self._split
+                 and self.jacobi_t > 1
+                 and (not self.x_quantized or self._x_fold))
+        if use_t:
+            # transposed strided-rounds kernel per slice: rho = round
+            # visit order over the slice's fixed strided partition, inner
+            # = canonical within-block permutations (one fused argsort
+            # draw -- nb_loc vmapped permutation() calls cost ~ms)
+            rho = jax.random.permutation(kb, nb_loc // self.jacobi_t)
+            inner_c = jnp.argsort(
+                jax.random.uniform(ki, (nb_loc, B)), axis=1)
+        else:
+            border = jax.random.permutation(kb, nb_loc)
+            inner = jax.vmap(lambda k: jax.random.permutation(k, B))(
+                jax.random.split(ki, nb_loc))
 
         if self.backend == "pallas":
             if self._split:
                 eps, beta, labels, v, bacc = self._pallas_split_sweep(
                     state, data, eps, border, inner, p_arr, z_arr)
+            elif use_t:
+                eps, beta, labels, v, bacc = self._pallas_local_sweep_t(
+                    state, data, eps, rho, inner_c, p_arr, z_arr)
             else:
                 eps, beta, labels, v, bacc = self._pallas_local_sweep(
                     state, data, eps, border, inner, p_arr, z_arr)
@@ -617,6 +647,74 @@ class ShardedSpikeSlabSampler:
             v = v + res.v
             bacc = bacc + res.beta_acum
         return eps, beta, labels, v, bacc
+
+    def _pallas_local_sweep_t(self, state, data, eps, rho, inner_c,
+                              p_arr, z_arr):
+        """Local sweep via the transposed strided-rounds kernel
+        (ops/pallas_jacobi_t.py): each m-slice sweeps chunks of rounds of
+        its fixed strided partition with ONE cross-slice eps psum per
+        chunk -- the same collective structure as _pallas_local_sweep
+        (and the one COMM_MODEL_r04.json models) at the round-4 per-chip
+        kernel rate."""
+        from ..ops.pallas_jacobi_t import (_merge_lane_rows,
+                                           bayesr_jacobi_t_rounds,
+                                           build_strided_operands)
+
+        J, B, G, K = self.jacobi_t, self.B, self.G, self.K
+        nb_loc, Mloc = self.nb_loc, self.Mloc
+        nr = nb_loc // J
+        dt = self.dtype
+        f32 = jnp.float32
+        fold = self._x_fold
+
+        ops = build_strided_operands(
+            data.gram, data.xsq, data.g_assign, data.valid,
+            p_arr.reshape(-1), z_arr.reshape(-1), state.pi, data.cva,
+            state.sigmaE, state.sigmaGG, state.beta, state.labels,
+            inner_c, B=B, J=J,
+            x_mean=data.x_mean if self.x_quantized else None,
+            x_scale=data.x_scale if self.x_quantized else None,
+            x_xsum=data.x_colsum if self.x_quantized else None,
+            fold=fold)
+        eps2d = eps.astype(f32).reshape(1, -1)
+        if self.x_packed:
+            lane_mask = data.row_valid.astype(f32).reshape(1, -1)
+
+        # rounds per psum: keep the cross-slice window at ~chunk_blocks
+        # blocks (default 128 -> one round per chunk at J=128)
+        nrc = max(1, min(nr, -(-min(self.chunk_blocks or 128, nb_loc) // J)))
+        while nr % nrc:
+            nrc -= 1
+        v0 = lax.pcast(jnp.zeros((G, K), f32), (AXIS_M,), to="varying")
+        bacc0 = lax.pcast(jnp.zeros((G,), f32), (AXIS_M,), to="varying")
+        beta_sl0 = jnp.zeros((nr, J, B), f32)
+        kv_sl0 = jnp.zeros((nr, J, B), f32)
+
+        def chunk_body(carry, rho_c):
+            eps2d, beta_sl, kv_sl, v, bacc = carry
+            eps_new, beta_c, kv_c, v_c, bacc_c = bayesr_jacobi_t_rounds(
+                data.XT, ops, rho_c, eps2d, state.sigmaE,
+                J=J, B=B, K=K, G=G, nr_total=nr, packed=self.x_packed,
+                fold=fold, interpret=self._pallas_interpret)
+            delta = eps_new[0] - eps2d[0]
+            eps_next = eps2d[0] + lax.psum(delta, AXIS_M)
+            if self.x_packed and fold:
+                eps_next = eps_next * lane_mask[0]
+            return ((eps_next.reshape(1, -1),
+                     beta_sl.at[rho_c].set(beta_c),
+                     kv_sl.at[rho_c].set(kv_c),
+                     v + v_c.reshape(G, K), bacc + bacc_c.reshape(G)),
+                    None)
+
+        carry = (eps2d, beta_sl0, kv_sl0, v0, bacc0)
+        (eps2d, beta_sl, kv_sl, v, bacc), _ = lax.scan(
+            chunk_body, carry, rho.reshape(nr // nrc, nrc).astype(jnp.int32))
+
+        beta = _merge_lane_rows(beta_sl, Mloc).astype(dt)
+        kv = _merge_lane_rows(kv_sl, Mloc)
+        labels = jnp.where(kv >= 0.0, kv.astype(jnp.int32), state.labels)
+        return (eps2d[0].astype(dt), beta, labels, v.astype(dt),
+                bacc.astype(dt))
 
     def _pallas_split_sweep(self, state, data, eps, border, inner,
                             p_arr, z_arr):

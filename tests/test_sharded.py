@@ -398,3 +398,56 @@ def test_sharded_sink_and_emit_epsilon_symmetry(sim, tmp_path):
     hrows = list(csv.reader(open(tmp_path / "hs.csv")))
     assert len(hrows) == 3 and len(hrows[1]) == len(hrows[0])
     assert seen["hs"] >= 1
+
+
+@pytest.mark.slow
+def test_sharded_t_kernel_recovery():
+    """(m, 1) pallas slices at t-kernel scale: the strided-rounds local
+    sweep (parallel/sharded.py::_pallas_local_sweep_t -- the per-chip
+    fast path the COMM_MODEL projection assumes) recovers effects and
+    keeps the residual invariant."""
+    # N << M is deliberately underpowered; the easier signal (few strong
+    # causals) keeps the recovery check meaningful at test runtimes (the
+    # serial local sweep scores ~the same on the harder variant)
+    sim2 = simulate.simulate_bayesr(seed=91, N=320, M=2048, n_causal=16,
+                                    h2=0.8)
+    s = ShardedSpikeSlabSampler(sim2.X, sim2.Y, CVA,
+                                BayesRConfig(block_size=32),
+                                make_mesh(2, 1), backend="pallas",
+                                dtype=jnp.float32)
+    assert s.jacobi_t > 1, "expected the transposed plan at this scale"
+    st = s.init(jax.random.PRNGKey(2))
+    for _ in range(3):
+        st = s.step(st)
+    beta = np.asarray(st.beta)[: s.M]
+    eps_direct = sim2.Y - float(st.mu) - sim2.X @ beta
+    np.testing.assert_allclose(np.asarray(st.eps)[: s.N], eps_direct,
+                               atol=2e-3, rtol=1e-4)
+    _, out = s.run(jax.random.PRNGKey(3), ChainConfig(120, 60, 5))
+    bh = out["beta"].mean(axis=0)
+    corr = np.corrcoef(sim2.beta_true, bh)[0, 1]
+    assert corr > 0.75, corr
+
+
+@pytest.mark.slow
+def test_sharded_t_kernel_packed():
+    """2-bit packed X through the sharded strided t-sweep (fold path)."""
+    rng = np.random.default_rng(93)
+    N, M = 320, 2048
+    dosage = rng.binomial(2, rng.uniform(0.2, 0.8, M), size=(N, M)).astype(
+        float)
+    means = dosage.mean(axis=0)
+    sds = dosage.std(axis=0, ddof=1)
+    dense = (dosage - means) / sds
+    bt = np.zeros(M)
+    bt[rng.choice(M, 40, replace=False)] = rng.normal(0, 0.25, 40)
+    y = dense @ bt + rng.normal(0, 0.7, N)
+    s = ShardedSpikeSlabSampler(dosage, y, CVA, BayesRConfig(block_size=32),
+                                make_mesh(2, 1), backend="pallas",
+                                x_dtype="2bit", dtype=jnp.float32)
+    assert s.jacobi_t > 1 and s._x_fold
+    _, out = s.run(jax.random.PRNGKey(5), ChainConfig(120, 60, 5))
+    bh = out["beta"].mean(axis=0)
+    corr = np.corrcoef(bt, bh)[0, 1]
+    assert corr > 0.75, corr
+    assert np.isfinite(out["sigmaE"]).all()

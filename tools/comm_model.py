@@ -102,7 +102,10 @@ def projection_config5():
     """Projected scaling at BASELINE config 5 (N=400k, M=1M groups) from
     the measured round-4 single-chip rate and v5e interconnect numbers.
 
-    Compute: the measured biobank headline runs 7.46M SNP-updates/s/chip
+    Compute: the SHARDED (m, 1) sampler itself measures 6.04M
+    SNP-updates/s/chip at the biobank shape on a (1, 1) mesh (the
+    strided t-kernel local sweep, parallel/sharded.py::
+    _pallas_local_sweep_t -- 83.4 ms/iter incl. the chunked psum loop),
     with the X stream (2 passes x 0.25 B/genotype) the dominant term; at
     fixed N the per-chip sweep time scales with M_loc = M/Dm.
     Comm: one eps psum (Npad * 4 B) per chunk round rides the ICI
@@ -112,7 +115,7 @@ def projection_config5():
     """
     N, M, B = 400_000, 1_000_000, 32
     Npad = -(-N // 2048) * 2048
-    rate_chip = 7.46e6              # SNP-updates/s (BENCH_r04 headline)
+    rate_chip = 6.04e6     # SNP-updates/s/chip, measured SHARDED (r4)
     # per-chip iteration time at Dm chips (compute only)
     rows = []
     for Dm in (8, 16, 32):
