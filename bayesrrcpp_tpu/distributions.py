@@ -84,3 +84,19 @@ def beta_rng(key, a, b, dtype=jnp.float32):
 def exp_rng(key, mean=1.0):
     """Exponential draw with MEAN (scale) `mean`, matching R's rexp C convention."""
     return jax.random.exponential(key) * mean
+
+
+def gamma_shape_rng(key, alpha, size, dtype=None):
+    """M-sized Gamma(alpha, 1) draws with an exact fast path at the
+    STATIC shape alpha == 1, where Gamma(1, 1) == Exponential(1) and the
+    inverse CDF replaces XLA's rejection sampler (the horseshoe's
+    local-scale refresh draws 2M of these per iteration at the default
+    vL = 1, src/HorseshoeR.cpp:218,242 -- the rejection path costs ~7 ms
+    per chain-million on v5e and dominated the fused multi-chain
+    horseshoe)."""
+    import jax
+
+    dtype = jnp.float32 if dtype is None else dtype
+    if float(alpha) == 1.0:
+        return jax.random.exponential(key, (size,), dtype)
+    return jax.random.gamma(key, jnp.full((size,), alpha, dtype))

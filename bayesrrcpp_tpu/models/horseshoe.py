@@ -293,8 +293,8 @@ class HorseshoeSampler:
             keta, 0.5 + 0.5 * cfg.vT,
             1.0 / (sigmaE * cfg.A * cfg.A) + cfg.vT / tau)
         # v_j | lambda_j  (src/HorseshoeR.cpp:218)
-        gv = jax.random.gamma(kv, jnp.full((self.Mpad,), 0.5 + 0.5 * cfg.vL,
-                                           dt), dtype=dt)
+        gv = dist.gamma_shape_rng(kv, 0.5 + 0.5 * cfg.vL, self.Mpad,
+                                  dtype=dt)
         v = (cfg.vL / lam_pad + 1.0) / gv
         # c2 | beta  (src/HorseshoeR.cpp:248)
         bsq = jnp.sum(beta_pad * beta_pad)
@@ -361,8 +361,7 @@ class HorseshoeSampler:
         eta = dist.inv_gamma_rate_rng(
             keta, 0.5 + 0.5 * cfg.vT,
             1.0 / (state.sigmaE * cfg.A * cfg.A) + cfg.vT / state.tau)
-        gv = jax.random.gamma(kv, jnp.full((Mpad,), 0.5 + 0.5 * cfg.vL, dt),
-                              dtype=dt)
+        gv = dist.gamma_shape_rng(kv, 0.5 + 0.5 * cfg.vL, Mpad, dtype=dt)
         v = (cfg.vL / state.lam + 1.0) / gv
         return keys, mu, eps, eta, v
 
@@ -373,8 +372,8 @@ class HorseshoeSampler:
         N, M, Mpad = self.N, self.M, self.Mpad
         dt = self.dtype
         klam, ktau, kc2, ksE = keys[6], keys[7], keys[8], keys[9]
-        glam = jax.random.gamma(klam, jnp.full((Mpad,), 0.5 + 0.5 * cfg.vL, dt),
-                                dtype=dt)
+        glam = dist.gamma_shape_rng(klam, 0.5 + 0.5 * cfg.vL, Mpad,
+                                    dtype=dt)
         lam = (cfg.vL / v + 0.5 * beta * beta / tau_old) / glam
         bl = jnp.where(valid, beta * beta / lam, 0.0)
         tau = dist.inv_gamma_rate_rng(

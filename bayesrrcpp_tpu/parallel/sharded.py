@@ -1317,8 +1317,7 @@ class ShardedHorseshoeSampler:
         # local auxiliaries: per-m-slice keys, identical across n
         key_m = jax.random.fold_in(kv, im)
         Mloc = self.Mloc
-        gv = jax.random.gamma(key_m, jnp.full((Mloc,), 0.5 + 0.5 * cfg.vL, dt),
-                              dtype=dt)
+        gv = dist.gamma_shape_rng(key_m, 0.5 + 0.5 * cfg.vL, Mloc, dtype=dt)
         v = (cfg.vL / state.lam + 1.0) / gv
 
         # ---- dense sweep, block-Jacobi across m-slices
@@ -1379,8 +1378,8 @@ class ShardedHorseshoeSampler:
 
         # ---- local/global scale updates
         key_l = jax.random.fold_in(klam, im)
-        glam = jax.random.gamma(key_l, jnp.full((Mloc,), 0.5 + 0.5 * cfg.vL, dt),
-                                dtype=dt)
+        glam = dist.gamma_shape_rng(key_l, 0.5 + 0.5 * cfg.vL, Mloc,
+                                    dtype=dt)
         lam = (cfg.vL / v + 0.5 * beta * beta / state.tau) / glam
         bl = jnp.where(data["valid"], beta * beta / lam, 0.0)
         sum_bl = lax.psum(jnp.sum(bl), AXIS_M)

@@ -64,3 +64,20 @@ def test_beta_exp():
     assert np.mean(x) == pytest.approx(0.25, abs=0.01)
     y = _many(lambda k: dist.exp_rng(k, 3.0), key)
     assert np.mean(y) == pytest.approx(3.0, rel=0.05)  # R mean/scale convention
+
+
+def test_gamma_shape_rng_exponential_fast_path():
+    """gamma_shape_rng's static-shape-1 fast path (Gamma(1,1) ==
+    Exponential(1), exact) must match the rejection path in law."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.stats as st
+
+    from bayesrrcpp_tpu import distributions as dist
+
+    x1 = np.asarray(dist.gamma_shape_rng(jax.random.PRNGKey(0), 1.0,
+                                         20000, dtype=jnp.float32))
+    assert st.kstest(x1, "expon").pvalue > 1e-3
+    x2 = np.asarray(dist.gamma_shape_rng(jax.random.PRNGKey(1), 1.5,
+                                         20000, dtype=jnp.float32))
+    assert st.kstest(x2, "gamma", args=(1.5,)).pvalue > 1e-3
