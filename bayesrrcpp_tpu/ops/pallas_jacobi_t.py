@@ -79,10 +79,6 @@ def auto_q(J: int) -> int:
     return 1
 
 
-def strided_block(j: int, r, nr: int):
-    """Canonical block index of round-slab r, lane j (strided rounds)."""
-    return j * nr + r
-
 
 def build_onehot_inner(inner_can, *, B, J, nr):
     """One-hot P operand (J, nr, B, B): P[j, r, m, s] = (m == inner[s]) of
@@ -1340,7 +1336,7 @@ def bayesr_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
             pl.BlockSpec((1, J, B), im_round),             # gas (shared)
             pl.BlockSpec((1, C * J, B), im_round),         # beta (lane)
             pl.BlockSpec((C, 1), im_full),                 # 0.5/sigmaE
-            pl.BlockSpec(memory_space=pltpu.ANY),          # eps (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # eps (HBM)
         ])
     args = [xt] * Q + [inner_row, pkgT, gpT, gas_lane, beta_lane, hse2,
                        epsC]
@@ -1758,7 +1754,7 @@ def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
             pl.BlockSpec((1, B * F * C, J), im_round),     # pkgT
             pl.BlockSpec((1, B * B, J), im_round),         # gpT
             pl.BlockSpec((1, C * J, B), im_round),         # beta (lane)
-            pl.BlockSpec(memory_space=pltpu.ANY),          # eps (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # eps (HBM)
         ])
     args = [xt] * Q + [inner_row, pkgT, gpT, beta_lane, epsC]
     scratch = [
