@@ -99,4 +99,4 @@ def gamma_shape_rng(key, alpha, size, dtype=None):
     dtype = jnp.float32 if dtype is None else dtype
     if float(alpha) == 1.0:
         return jax.random.exponential(key, (size,), dtype)
-    return jax.random.gamma(key, jnp.full((size,), alpha, dtype))
+    return jax.random.gamma(key, jnp.full((size,), alpha, dtype), dtype=dtype)

@@ -60,6 +60,26 @@ class MarkerData(NamedTuple):
                          # dense); feeds the fold-affine raw-code kernel
 
 
+def _warn_if_padded_rows(x_stats):
+    """Pre-packed words loaded with read_bed_packed(mpad=...) carry
+    trailing all-missing pad rows (sd == 0); without ``n_markers`` those
+    rows count as real markers, flip has_missing, and (for int8 / row
+    layouts) silently disable fast paths (round-4 ADVICE item)."""
+    sds = np.asarray(x_stats[1]).reshape(-1)
+    ntrail = 0
+    while ntrail < sds.size and sds[sds.size - 1 - ntrail] == 0:
+        ntrail += 1
+    if ntrail > 0:
+        import warnings
+
+        warnings.warn(
+            f"pre-packed input has {ntrail} trailing zero-sd marker rows "
+            f"that look like host-side mpad padding "
+            f"(io.bed.read_bed_packed(mpad=...)); pass "
+            f"n_markers={sds.size - ntrail} so pad rows are masked "
+            f"instead of treated as (all-missing) data.", stacklevel=4)
+
+
 def _as_2d_cva(cva) -> np.ndarray:
     cva = np.asarray(cva, np.float64)
     if cva.ndim == 0:
@@ -140,6 +160,8 @@ class SpikeSlabSampler:
             if not (0 < M <= X.shape[0]):
                 raise ValueError(f"n_markers={M} inconsistent with "
                                  f"{X.shape[0]} packed word rows")
+            if n_markers is None:
+                _warn_if_padded_rows(x_stats)
             N = X.shape[1] * 16 if n_individuals is None else int(n_individuals)
             if not (X.shape[1] * 16 - 2048 < N <= X.shape[1] * 16):
                 raise ValueError(
@@ -255,20 +277,27 @@ class SpikeSlabSampler:
         self._pallas_interpret = jax.devices()[0].platform != "tpu"
         # quantized data with no real missing calls takes the fold-affine
         # raw-code kernel (standardization applied after the code dots --
-        # ~2x less in-kernel decode work; see ops/pallas_sweep.py)
+        # ~2x less in-kernel decode work; see ops/pallas_sweep.py).
+        # 2-bit packed data WITH missing calls keeps the transposed Jacobi
+        # fast path via the exact sparse missing correction
+        # (ops/pallas_jacobi_t.py ``missing``); int8-with-missing and the
+        # row layout fall back to the serial J=1 in-kernel-decode path.
         self._x_fold = self.x_quantized and not has_missing
+        self._x_miss = self.x_packed and has_missing
         if self.jacobi > 1:
             if backend != "pallas":
                 raise ValueError("jacobi_blocks > 1 requires the pallas "
                                  "backend")
             if self.x_quantized and not self._x_fold:
-                if auto_j:
-                    # real missing calls: only the single-chain in-kernel
-                    # decode path handles them; fall back to J=1
+                if self._x_miss and self.jacobi_layout == "t":
+                    pass  # missing fast path (transposed kernel)
+                elif auto_j:
                     self.jacobi = 1
                 else:
-                    raise ValueError("jacobi_blocks > 1 supports dense or "
-                                     "missing-free quantized X only")
+                    raise ValueError(
+                        "jacobi_blocks > 1 supports dense, missing-free "
+                        "quantized, or packed-missing (jacobi_layout='t') "
+                        "X only")
 
         prior_pi = self._prior_pi(cva2)
         self.data = MarkerData(
@@ -543,7 +572,8 @@ class SpikeSlabSampler:
                     x_scale=data.x_scale if self.x_quantized else None,
                     fold_affine=self._x_fold,
                     x_xsum=data.x_colsum if self.x_quantized else None,
-                    row_valid=data.row_valid if self.x_packed else None)
+                    row_valid=data.row_valid if self.x_packed else None,
+                    missing=self._x_miss)
                 eps, beta, labels, v, bacc = res
                 sigmaE, sigmaF, sigmaGG, pi = self._hyper_block(
                     keys, eps, alpha, sigmaF, beta, v, bacc)
@@ -645,7 +675,7 @@ class SpikeSlabSampler:
                 data.XT, data.gram, data.xsq, eps, state.beta,
                 state.labels, rho, inner, p_arr, z_arr, state.pi,
                 data.cva, state.sigmaE, state.sigmaGG, data.g_assign,
-                data.valid, J=self.jacobi, **common)
+                data.valid, J=self.jacobi, missing=self._x_miss, **common)
         else:
             from ..ops.pallas_multichain import bayesr_sweep_pallas_mc
 
@@ -667,11 +697,14 @@ class SpikeSlabSampler:
 
     @property
     def supports_fused_chains(self) -> bool:
-        """The fused multi-chain kernel covers dense X and missing-free
-        quantized X (fold-affine); quantized-with-missing falls back to the
-        vmapped single-chain path."""
+        """The fused multi-chain kernel covers dense X, missing-free
+        quantized X (fold-affine), and 2-bit packed X with missing calls
+        on the transposed Jacobi path; only int8-with-missing falls back
+        to the vmapped single-chain path."""
         return (self.backend == "pallas"
-                and (not self.x_quantized or self._x_fold))
+                and (not self.x_quantized or self._x_fold
+                     or (self._x_miss and self.jacobi > 1
+                         and self.jacobi_layout == "t")))
 
     def step_chains(self, state: SpikeSlabState) -> SpikeSlabState:
         """One fused multi-chain iteration (state leaves batched over C)."""

@@ -95,6 +95,10 @@ class HorseshoeSampler:
             if not (0 < M <= X.shape[0]):
                 raise ValueError(f"n_markers={M} inconsistent with "
                                  f"{X.shape[0]} packed word rows")
+            if n_markers is None:
+                from .bayesr import _warn_if_padded_rows
+
+                _warn_if_padded_rows(x_stats)
             N = X.shape[1] * 16 if n_individuals is None else int(n_individuals)
             if not (X.shape[1] * 16 - 2048 < N <= X.shape[1] * 16):
                 raise ValueError(
@@ -179,17 +183,23 @@ class HorseshoeSampler:
                     else jnp.zeros((0, 0, 0), self.dtype))
         self._pallas_interpret = jax.devices()[0].platform != "tpu"
         self._x_fold = self.x_quantized and not has_missing
+        # packed-with-missing keeps the transposed Jacobi fast path via
+        # the exact sparse correction (ops/pallas_jacobi_t.py ``missing``)
+        self._x_miss = self.x_packed and has_missing
         if self.jacobi > 1:
             if backend != "pallas":
                 raise ValueError("jacobi_blocks > 1 requires the pallas "
                                  "backend")
             if self.x_quantized and not self._x_fold:
-                if auto_j:
-                    # real missing calls: fall back to the exact J=1 kernel
+                if self._x_miss and self.jacobi_layout == "t":
+                    pass  # missing fast path (transposed kernel)
+                elif auto_j:
                     self.jacobi = 1
                 else:
-                    raise ValueError("jacobi_blocks > 1 supports dense or "
-                                     "missing-free quantized X only")
+                    raise ValueError(
+                        "jacobi_blocks > 1 supports dense, missing-free "
+                        "quantized, or packed-missing (jacobi_layout='t') "
+                        "X only")
         self.data = HorseshoeData(XT=XT, xsq=xsq, gram=gram,
                                   valid=jnp.asarray(np.arange(Mpad) < M),
                                   x_mean=x_mean, x_scale=x_scale,
@@ -411,7 +421,8 @@ class HorseshoeSampler:
                     x_scale=data.x_scale if self.x_quantized else None,
                     fold_affine=self._x_fold,
                     x_xsum=data.x_colsum if self.x_quantized else None,
-                    row_valid=data.row_valid if self.x_packed else None)
+                    row_valid=data.row_valid if self.x_packed else None,
+                    missing=self._x_miss)
                 lam, tau, c2, sigmaE = self._hyper_block(
                     keys, eta, v, beta, eps, state.tau, data.valid)
                 return HorseshoeState(
@@ -497,7 +508,8 @@ class HorseshoeSampler:
             eps, beta = horseshoe_jacobi_t_pallas_mc(
                 data.XT, data.gram, data.xsq, eps, state.beta,
                 rho, inner, z_arr, state.lam, state.tau, state.c2,
-                state.sigmaE, data.valid, J=self.jacobi, **common)
+                state.sigmaE, data.valid, J=self.jacobi,
+                missing=self._x_miss, **common)
         else:
             from ..ops.pallas_multichain import horseshoe_sweep_pallas_mc
 
@@ -519,11 +531,13 @@ class HorseshoeSampler:
 
     @property
     def supports_fused_chains(self) -> bool:
-        """The fused multi-chain kernel covers dense X and missing-free
-        quantized X (fold-affine); quantized-with-missing falls back to the
-        vmapped single-chain path (same policy as SpikeSlabSampler)."""
+        """The fused multi-chain kernel covers dense X, missing-free
+        quantized X (fold-affine), and 2-bit packed X with missing calls
+        on the transposed Jacobi path (same policy as SpikeSlabSampler)."""
         return (self.backend == "pallas"
-                and (not self.x_quantized or self._x_fold))
+                and (not self.x_quantized or self._x_fold
+                     or (self._x_miss and self.jacobi > 1
+                         and self.jacobi_layout == "t")))
 
     def step_chains(self, state: HorseshoeState) -> HorseshoeState:
         return self._mc_step(state, self.data)

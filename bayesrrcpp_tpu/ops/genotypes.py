@@ -165,15 +165,25 @@ def _prepacked_setup(words, x_stats, B, Mpad, N, Npad, TN, W,
     # pad -- padding materializes a second copy (input + output both live
     # during the op), which a near-HBM-sized device array cannot afford
     if Mpad != M:
-        if isinstance(words, jax.Array) and words.nbytes > (2 << 30):
+        if isinstance(words, np.ndarray):
+            # host array: pad on the host BEFORE the device transfer
+            # (jnp.pad would device-put the unpadded array and then
+            # materialize the padded copy -- the same transient ~2x HBM
+            # the device-side guard below exists to prevent)
+            words = np.concatenate(
+                [words, np.full((Mpad - M, words.shape[1]), -1, np.int32)],
+                axis=0)
+        elif isinstance(words, jax.Array) and words.nbytes > (2 << 30):
             raise ValueError(
                 f"pre-packed words need a marker pad {M} -> {Mpad}, but "
                 f"the array is device-resident and {words.nbytes >> 20} "
                 f"MiB -- padding would transiently double it and OOM the "
                 f"chip.  Load with io.bed.read_bed_packed(..., "
                 f"mpad='auto') (host-side pad) and pass n_markers={M}.")
-        words = jnp.pad(words, ((0, Mpad - M), (0, 0)),
-                        constant_values=-1)
+        else:
+            words = jnp.pad(words, ((0, Mpad - M), (0, 0)),
+                            constant_values=-1)
+    words = jnp.asarray(words)
     mean = jnp.asarray(np.pad(means, (0, Mpad - M)), jnp.float32)
     scale = jnp.asarray(np.pad(scales_np, (0, Mpad - M)), jnp.float32)
 

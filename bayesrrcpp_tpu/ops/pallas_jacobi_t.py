@@ -232,25 +232,92 @@ def _pos_to_lane(rows_pos, ir_c, *, B, JC):
                                preferred_element_type=f32)  # (JC, B)
 
 
+def _decoders(xt_refs, Q, TN, packed, fold, ablate=""):
+    """Per-subword X-tile decode helpers shared by the four kernels:
+    ``x_cat(k)`` yields the (Q*B, W) f32 code (or dense) tile of subword
+    k; ``x_both(k)`` additionally yields the missing indicator
+    (c == MISSING_CODE) from the SAME shift/and -- the missing fast
+    path's second dot operand costs no extra decode work."""
+    f32 = jnp.float32
+    if packed:
+        SUB, W = 16, TN // 16
+        if ablate == "k1":           # perf probe: 1 of 16 subwords
+            SUB = 1
+
+        def x_sub(q, k):
+            if ablate == "noshift":  # perf probe: skip the bit extracts
+                return xt_refs[q][...].astype(f32)
+            c = (xt_refs[q][...] >> (2 * k)) & 3           # (B, W) int32
+            return c.astype(f32)
+
+        def xm_sub(q, k):
+            c = (xt_refs[q][...] >> (2 * k)) & 3
+            return c.astype(f32), (c == 3).astype(f32)
+    else:
+        SUB, W = 1, TN
+
+        def x_sub(q, k):
+            xr = xt_refs[q]
+            if fold and xr.dtype != jnp.float32:
+                return xr[...].astype(f32)
+            return xr[...]
+
+        def xm_sub(q, k):
+            x = x_sub(q, k)
+            return x, jnp.zeros_like(x)
+
+    def x_cat(k):
+        if Q == 1:
+            return x_sub(0, k)
+        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+
+    def x_both(k):
+        pairs = [xm_sub(q, k) for q in range(Q)]
+        if Q == 1:
+            return pairs[0]
+        return (jnp.concatenate([p[0] for p in pairs], axis=0),
+                jnp.concatenate([p[1] for p in pairs], axis=0))
+
+    return x_cat, x_both, SUB, W
+
+
 def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
-                     *refs, B, TN, K, G, J, Q, packed=False, fold=False):
+                     *refs, B, TN, K, G, J, Q, packed=False, fold=False,
+                     miss=False):
     """Transposed Jacobi sweep kernel body (strided rounds).  refs layout:
 
     inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, gas_lane, beta_lane,
-             eps, sigmaE[, srow, msrow, xsum, esum0]
+             eps, sigmaE[, srow, msrow, xsum, esum0[, mcrow]]
     outputs: eps_out, beta_out (lane), klane_out (lane, f32), v_out,
              bacc_out
     scratch: rb (J, B), rT (B, J), bT (B, J), dposT (B, J), krecT (B, J),
-             dpos (J, B), dlane (J, B)[, fold (1+J, 1)]
+             dpos (J, B), dlane (J, B)[, fold (1+J, 1)[, rmb (J, B),
+             dlm (J, B)]]
+
+    ``miss`` (packed fold mode only): the words carry real MISSING_CODE
+    (3) entries; the true standardized value there is 0 (mean
+    imputation, matching the serial kernel's in-kernel decode).  Since
+    x_true = (c - m)*s - mcoef*1[c==3] with mcoef = (3 - m)*s, the fold
+    algebra gains one exact sparse correction per phase, computed from
+    the in-word missing indicator at the SAME decode cost as the code
+    dot: r -= mcoef * (Miss_b . eps) in the solve, and
+    eps += mcoef_j * d_j on j's missing lanes in the apply (a second
+    MXU dot against the indicator).  Pad lanes carry code 3 and so
+    decode to exactly 0 -- no pad drift.
     """
     (xt_refs, rest) = (refs[:Q], refs[Q:])
     (innr_ref, pkg_ref, gpt_ref, gasl_ref, beta_ref,
      eps_ref, se_ref) = rest[:7]
     if fold:
+        nf = 5 if miss else 4
         srow_ref, msrow_ref, xsum_ref, esum0_ref = rest[7:11]
-        outs = rest[11:16]
+        mcrow_ref = rest[11] if miss else None
+        outs = rest[7 + nf:12 + nf]
+        scr = rest[12 + nf:]
         (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc,
-         dpos_sc, dlane_sc, fold_sc) = rest[16:]
+         dpos_sc, dlane_sc, fold_sc) = scr[:8]
+        if miss:
+            rmb_sc, dlm_sc = scr[8:10]
     else:
         outs = rest[7:12]
         (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc,
@@ -267,30 +334,8 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
     _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
-
-    if packed:
-        SUB, W = 16, TN // 16
-        if _ablate == "k1":          # perf probe: 1 of 16 subwords
-            SUB = 1
-
-        def x_sub(q, k):
-            if _ablate == "noshift":  # perf probe: skip the bit extracts
-                return xt_refs[q][...].astype(f32)
-            c = (xt_refs[q][...] >> (2 * k)) & 3           # (B, W) int32
-            return c.astype(f32)
-    else:
-        SUB, W = 1, TN
-
-        def x_sub(q, k):
-            xr = xt_refs[q]
-            if fold and xr.dtype != jnp.float32:
-                return xr[...].astype(f32)
-            return xr[...]
-
-    def x_cat(k):
-        if Q == 1:
-            return x_sub(0, k)
-        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold,
+                                      ablate=_ablate)
 
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
@@ -306,20 +351,35 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((J, B), f32)
+        if miss:
+            rmb_sc[...] = jnp.zeros((J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
         # ONE (1, W) x (W, Q*B) MXU dot per subword covers this grid
-        # step's Q blocks at full output width
-        acc = None
+        # step's Q blocks at full output width (plus the missing-
+        # indicator dot in miss mode, from the same decode)
+        acc = accm = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (1, W)
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, x_cat(k), (((1,), (1,)), ((), ())),
+                eps_t, ccat, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (1, Q*B)
             acc = d if acc is None else acc + d
+            if miss:
+                dm = jax.lax.dot_general(
+                    eps_t, mcat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                accm = dm if accm is None else accm + dm
         for q in range(Q):
             rb_sc[pl.ds(jq * Q + q, 1), :] += acc[:, q * B:(q + 1) * B]
+            if miss:
+                rmb_sc[pl.ds(jq * Q + q, 1), :] += accm[:,
+                                                        q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
@@ -332,12 +392,19 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
             klane_out[0] = jnp.full((J, B), -1.0, f32)
             if fold:
                 fold_sc[1:1 + J, :] = jnp.zeros((J, 1), f32)
+            if miss:
+                dlm_sc[...] = jnp.zeros_like(dlm_sc)
             return
         if fold:
             # code-domain r -> standardized domain, whole round at once
             # (srow/msrow rows are in LANE order, like rb at this point)
             es = fold_sc[0, 0]
-            rb_sc[...] = rb_sc[...] * srow_ref[0] - msrow_ref[0] * es
+            rbv = rb_sc[...] * srow_ref[0] - msrow_ref[0] * es
+            if miss:
+                # exact sparse correction: the raw-code dot counted the
+                # missing lanes' code 3 as a real dosage
+                rbv = rbv - mcrow_ref[0] * rmb_sc[...]
+            rb_sc[...] = rbv
 
         # r and beta to position order + transposed layout (chunked
         # batched one-hot matmuls)
@@ -451,6 +518,8 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
             fold_sc[0:1, :] -= jnp.sum(sub1, axis=0, keepdims=True)
             fold_sc[1:1 + J, :] = jnp.sum(dl * msrow_ref[0], axis=1,
                                           keepdims=True)   # dms per block
+            if miss:
+                dlm_sc[...] = dl * mcrow_ref[0]
             dlane_sc[...] = dl * srow_ref[0]
 
     @pl.when(ph == 1)
@@ -463,34 +532,51 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
             dms = fold_sc[pl.ds(1 + jq * Q, 1), :]
             for q in range(1, Q):
                 dms = dms + fold_sc[pl.ds(1 + jq * Q + q, 1), :]
+        if miss:
+            dlmcat = jnp.concatenate(
+                [dlm_sc[pl.ds(jq * Q + q, 1), :] for q in range(Q)],
+                axis=1)
         for k in range(SUB):
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, x_cat(k), (((1,), (0,)), ((), ())),
+                dlcat, ccat, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                # (1, W)
             if fold:
                 upd = upd - dms
+            if miss:
+                upd = upd - jax.lax.dot_general(
+                    dlmcat, mcat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
 def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
-                        fold=False):
+                        fold=False, miss=False):
     """Transposed horseshoe Jacobi kernel (src/HorseshoeR.cpp:219-240):
     same phase structure as _jacobi_t_kernel minus the selection loop and
     label/v/bacc outputs.  refs layout:
 
     inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, beta_lane, eps
-             [, srow, msrow, xsum, esum0]
+             [, srow, msrow, xsum, esum0[, mcrow]]
     outputs: eps_out, beta_out (lane)
     scratch: rb (J, B), rT (B, J), bT (B, J), dposT (B, J), dpos (J, B),
-             dlane (J, B)[, fold (1+J, 1)]
+             dlane (J, B)[, fold (1+J, 1)[, rmb (J, B), dlm (J, B)]]
     """
     (xt_refs, rest) = (refs[:Q], refs[Q:])
     (innr_ref, pkg_ref, gpt_ref, beta_ref, eps_ref) = rest[:5]
     if fold:
+        nf = 5 if miss else 4
         srow_ref, msrow_ref, xsum_ref, esum0_ref = rest[5:9]
-        eps_out, beta_out = rest[9:11]
+        mcrow_ref = rest[9] if miss else None
+        eps_out, beta_out = rest[5 + nf:7 + nf]
+        scr = rest[7 + nf:]
         (rb_sc, rT_sc, bT_sc, dposT_sc,
-         dpos_sc, dlane_sc, fold_sc) = rest[11:]
+         dpos_sc, dlane_sc, fold_sc) = scr[:7]
+        if miss:
+            rmb_sc, dlm_sc = scr[7:9]
     else:
         eps_out, beta_out = rest[5:7]
         (rb_sc, rT_sc, bT_sc, dposT_sc,
@@ -504,26 +590,7 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
     F = 5
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-
-    if packed:
-        SUB, W = 16, TN // 16
-
-        def x_sub(q, k):
-            c = (xt_refs[q][...] >> (2 * k)) & 3
-            return c.astype(f32)
-    else:
-        SUB, W = 1, TN
-
-        def x_sub(q, k):
-            xr = xt_refs[q]
-            if fold and xr.dtype != jnp.float32:
-                return xr[...].astype(f32)
-            return xr[...]
-
-    def x_cat(k):
-        if Q == 1:
-            return x_sub(0, k)
-        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
 
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
@@ -537,24 +604,41 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((J, B), f32)
+        if miss:
+            rmb_sc[...] = jnp.zeros((J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        acc = None
+        acc = accm = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, x_cat(k), (((1,), (1,)), ((), ())),
+                eps_t, ccat, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                # (1, Q*B)
             acc = d if acc is None else acc + d
+            if miss:
+                dm = jax.lax.dot_general(
+                    eps_t, mcat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                accm = dm if accm is None else accm + dm
         for q in range(Q):
             rb_sc[pl.ds(jq * Q + q, 1), :] += acc[:, q * B:(q + 1) * B]
+            if miss:
+                rmb_sc[pl.ds(jq * Q + q, 1), :] += accm[:,
+                                                        q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
         if fold:
             es = fold_sc[0, 0]
-            rb_sc[...] = rb_sc[...] * srow_ref[0] - msrow_ref[0] * es
+            rbv = rb_sc[...] * srow_ref[0] - msrow_ref[0] * es
+            if miss:
+                rbv = rbv - mcrow_ref[0] * rmb_sc[...]
+            rb_sc[...] = rbv
 
         for c in range(NC):
             ir_c = innr_ref[0][:, c * CW:(c + 1) * CW]
@@ -602,6 +686,8 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
             fold_sc[0:1, :] -= jnp.sum(sub1, axis=0, keepdims=True)
             fold_sc[1:1 + J, :] = jnp.sum(dl * msrow_ref[0], axis=1,
                                           keepdims=True)
+            if miss:
+                dlm_sc[...] = dl * mcrow_ref[0]
             dlane_sc[...] = dl * srow_ref[0]
 
     @pl.when(ph == 1)
@@ -612,12 +698,24 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
             dms = fold_sc[pl.ds(1 + jq * Q, 1), :]
             for q in range(1, Q):
                 dms = dms + fold_sc[pl.ds(1 + jq * Q + q, 1), :]
+        if miss:
+            dlmcat = jnp.concatenate(
+                [dlm_sc[pl.ds(jq * Q + q, 1), :] for q in range(Q)],
+                axis=1)
         for k in range(SUB):
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, x_cat(k), (((1,), (0,)), ((), ())),
+                dlcat, ccat, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                # (1, W)
             if fold:
                 upd = upd - dms
+            if miss:
+                upd = upd - jax.lax.dot_general(
+                    dlmcat, mcat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
@@ -681,19 +779,42 @@ def _merge_lane_rows(rows, Mpad):
     return rows.transpose(1, 0, 2).reshape(Mpad)
 
 
-def _validate(nb, J, x_mean, XT_pad, fold_affine):
+def _validate(nb, J, x_mean, XT_pad, fold_affine, missing=False):
     if nb % J:
         raise ValueError(f"jacobi sweep needs J | nb (J={J}, nb={nb})")
     if J > 128:
         raise ValueError("transposed jacobi sweep needs J <= 128 (lanes)")
     quantized = x_mean is not None
     packed = quantized and XT_pad.dtype == jnp.int32
-    fold = bool(fold_affine) and quantized
+    miss = bool(missing)
+    if miss and not packed:
+        raise ValueError("the missing fast path needs 2-bit packed X "
+                         "(int8 with missing calls: use the single-chain "
+                         "kernel)")
+    # missing mode runs the fold-affine algebra (raw-code dots) plus a
+    # sparse mean-imputation correction driven by the in-word missing
+    # indicator (code 3) -- see the module docstring
+    fold = (bool(fold_affine) or miss) and quantized
     if quantized and not fold:
-        raise ValueError("jacobi sweep supports dense or fold-affine "
-                         "quantized X only (missing calls: use the "
-                         "single-chain kernel)")
-    return quantized, packed, fold
+        raise ValueError("jacobi sweep supports dense, fold-affine, or "
+                         "packed-missing quantized X only (int8 missing "
+                         "calls: use the single-chain kernel)")
+    return quantized, packed, fold, miss
+
+
+def _warn_ablate():
+    """BAYESR_T_ABLATE skips sweep phases for perf probing; a stale env
+    var would silently yield statistically invalid chains (round-4 ADVICE
+    item) -- warn loudly on every production kernel call."""
+    a = os.environ.get("BAYESR_T_ABLATE", "")
+    if a:
+        import warnings
+
+        warnings.warn(
+            f"BAYESR_T_ABLATE={a!r} is set: the transposed Jacobi kernels "
+            "SKIP part of the sweep and the chain is statistically "
+            "INVALID.  Unset it unless you are running a perf ablation.",
+            stacklevel=3)
 
 
 def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
@@ -702,7 +823,8 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
                            *, J: int = 64, tile_n: int = 512,
                            interpret: bool = False,
                            x_mean=None, x_scale=None, x_xsum=None,
-                           fold_affine: bool = False, row_valid=None):
+                           fold_affine: bool = False, row_valid=None,
+                           missing: bool = False):
     """Transposed-layout BayesR sweep with strided rounds.
 
     Argument conventions follow bayesr_jacobi_pallas EXCEPT the
@@ -712,9 +834,19 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
     partition -- see the module docstring).  The equivalent flat
     block_order for an oracle is ``(nr*arange(J)[None,:] +
     rho[:,None]).reshape(-1)``.
+
+    ``missing=True`` (packed only): the words carry real MISSING_CODE
+    entries decoding to 0 (mean imputation, matching the serial kernel's
+    in-kernel decode, ops/pallas_sweep.py); the kernel applies the exact
+    sparse correction from the in-word missing indicator (see
+    _jacobi_t_kernel).  This keeps the Jacobi fast path on real
+    (non-imputed) .bed data -- the reference instead requires user-side
+    imputation in R (vignettes/BayesRR.Rmd:81-92).
     """
     nb, B, _ = gram.shape
-    quantized, packed, fold = _validate(nb, J, x_mean, XT_pad, fold_affine)
+    quantized, packed, fold, miss = _validate(nb, J, x_mean, XT_pad,
+                                              fold_affine, missing)
+    _warn_ablate()
     nr = nb // J
     f32 = jnp.float32
     G, K = pi.shape
@@ -781,7 +913,15 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
             x_mean.astype(f32) * x_scale.astype(f32), B=B, J=J, nr=nr)
         xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
         args += [srow_r, msrow_r, xsum_r, jnp.sum(eps2d, axis=1)]
+        if miss:
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]  # mcoef rows
+            args += [_lane_rows(
+                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
+                B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((1 + J, 1), f32)]           # esum ; dms_j
+        if miss:
+            scratch += [pltpu.VMEM((J, B), f32),           # rmiss rows
+                        pltpu.VMEM((J, B), f32)]           # delta*mcoef
     out_specs = [
         pl.BlockSpec((1, Npad), im_full),                  # eps_out
         pl.BlockSpec((1, J, B), im_round),                 # beta_out (lane)
@@ -797,7 +937,8 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         jax.ShapeDtypeStruct((1, G), f32),
     ]
     kernel = functools.partial(_jacobi_t_kernel, B=B, TN=TN, K=K, G=G,
-                               J=J, Q=Q, packed=packed, fold=fold)
+                               J=J, Q=Q, packed=packed, fold=fold,
+                               miss=miss)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nr, 2, J // Q, nt),
@@ -838,11 +979,14 @@ def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
                               *, J: int = 64, tile_n: int = 512,
                               interpret: bool = False,
                               x_mean=None, x_scale=None, x_xsum=None,
-                              fold_affine: bool = False, row_valid=None):
+                              fold_affine: bool = False, row_valid=None,
+                              missing: bool = False):
     """Transposed-layout horseshoe sweep with strided rounds (same
-    permutation conventions as bayesr_jacobi_t_pallas)."""
+    permutation and ``missing`` conventions as bayesr_jacobi_t_pallas)."""
     nb, B, _ = gram.shape
-    quantized, packed, fold = _validate(nb, J, x_mean, XT_pad, fold_affine)
+    quantized, packed, fold, miss = _validate(nb, J, x_mean, XT_pad,
+                                              fold_affine, missing)
+    _warn_ablate()
     nr = nb // J
     f32 = jnp.float32
     Q = auto_q(J)
@@ -900,7 +1044,15 @@ def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
             x_mean.astype(f32) * x_scale.astype(f32), B=B, J=J, nr=nr)
         xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
         args += [srow_r, msrow_r, xsum_r, jnp.sum(eps2d, axis=1)]
+        if miss:
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]  # mcoef rows
+            args += [_lane_rows(
+                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
+                B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((1 + J, 1), f32)]
+        if miss:
+            scratch += [pltpu.VMEM((J, B), f32),
+                        pltpu.VMEM((J, B), f32)]
     out_specs = [
         pl.BlockSpec((1, Npad), im_full),                  # eps_out
         pl.BlockSpec((1, J, B), im_round),                 # beta_out (lane)
@@ -910,7 +1062,7 @@ def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
         jax.ShapeDtypeStruct((nr, J, B), f32),
     ]
     kernel = functools.partial(_hs_jacobi_t_kernel, B=B, TN=TN, J=J, Q=Q,
-                               packed=packed, fold=fold)
+                               packed=packed, fold=fold, miss=miss)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nr, 2, J // Q, nt),
@@ -967,28 +1119,34 @@ def build_pkgT_mc_strided(xsq, gas, valid, p, z, pi, cva, sigmaE, sigmaGG,
 
 
 def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
-                        packed=False, fold=False):
+                        packed=False, fold=False, miss=False):
     """Multi-chain transposed Jacobi kernel (strided rounds): C chains
     share the X stream and the Gram operand; every per-step quantity adds
     a chain band.  refs layout:
 
     inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, gas_lane (shared),
              beta_lane (C*J, B), hse (C, 1), eps_hbm (ANY)
-             [, srow, msrow, xsum (shared), esum0 (C, 1)]
+             [, srow, msrow, xsum (shared), esum0 (C, 1)[, mcrow]]
     outputs: eps_out (C, Npad), beta_out (C*J, B), klane_out (C*J, B),
              v_out (C, G*K), bacc_out (C, G)
     scratch: rb (C*J, B), rT (C*B, J), bT (C*B, J), dposT (C*B, J),
              krecT (C*B, J), dpos (C*J, B), dlane (C*J, B), dma sem
-             [, esum (C, 1), dms (C, J), dmsq (J/Q, C)]
+             [, esum (C, 1), dms (C, J), dmsq (J/Q, C)[, rmb (C*J, B),
+             dlm (C*J, B)]]
     """
     (xt_refs, rest) = (refs[:Q], refs[Q:])
     (innr_ref, pkg_ref, gpt_ref, gasl_ref, beta_ref, hse_ref,
      epsh_ref) = rest[:7]
     if fold:
+        nf = 5 if miss else 4
         srow_ref, msrow_ref, xsum_ref, esum0_ref = rest[7:11]
-        outs = rest[11:16]
+        mcrow_ref = rest[11] if miss else None
+        outs = rest[7 + nf:12 + nf]
+        scr = rest[12 + nf:]
         (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc, dpos_sc, dlane_sc,
-         sem, esum_sc, dms_sc, dmsq_sc) = rest[16:]
+         sem, esum_sc, dms_sc, dmsq_sc) = scr[:11]
+        if miss:
+            rmb_sc, dlm_sc = scr[11:13]
     else:
         outs = rest[7:12]
         (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc, dpos_sc, dlane_sc,
@@ -1004,26 +1162,7 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
     _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
-
-    if packed:
-        SUB, W = 16, TN // 16
-
-        def x_sub(q, k):
-            c = (xt_refs[q][...] >> (2 * k)) & 3
-            return c.astype(f32)
-    else:
-        SUB, W = 1, TN
-
-        def x_sub(q, k):
-            xr = xt_refs[q]
-            if fold and xr.dtype != jnp.float32:
-                return xr[...].astype(f32)
-            return xr[...]
-
-    def x_cat(k):
-        if Q == 1:
-            return x_sub(0, k)
-        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
 
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
@@ -1050,25 +1189,41 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
         klane_out[0] = jnp.full((C * J, B), -1.0, f32)
         if fold:
             dmsq_sc[...] = jnp.zeros_like(dmsq_sc)
+        if miss:
+            dlm_sc[...] = jnp.zeros_like(dlm_sc)
 
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((C * J, B), f32)
+        if miss:
+            rmb_sc[...] = jnp.zeros((C * J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        acc = None
+        acc = accm = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, x_cat(k), (((1,), (1,)), ((), ())),
+                eps_t, ccat, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
             acc = d if acc is None else acc + d
+            if miss:
+                dm = jax.lax.dot_general(
+                    eps_t, mcat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                accm = dm if accm is None else accm + dm
         for q in range(Q):
             jj = jq * Q + q
             for c in range(C):
                 rb_sc[pl.ds(c * J + jj, 1), :] += acc[c:c + 1,
                                                       q * B:(q + 1) * B]
+                if miss:
+                    rmb_sc[pl.ds(c * J + jj, 1), :] += accm[
+                        c:c + 1, q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
@@ -1078,9 +1233,11 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
         if fold:
             for c in range(C):
                 es = esum_sc[c, 0]
-                rb_sc[c * J:(c + 1) * J, :] = (
-                    rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
-                    - msrow_ref[0] * es)
+                rbv = (rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
+                       - msrow_ref[0] * es)
+                if miss:
+                    rbv = rbv - mcrow_ref[0] * rmb_sc[c * J:(c + 1) * J, :]
+                rb_sc[c * J:(c + 1) * J, :] = rbv
 
         for c in range(C):
             for ch in range(NC):
@@ -1205,6 +1362,8 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
                 dms_c = jnp.sum(dl * msrow_ref[0], axis=1,
                                 keepdims=True)              # (J, 1)
                 dms_sc[c:c + 1, :] = _tsp(dms_c, J)         # row c: (1, J)
+                if miss:
+                    dlm_sc[c * J:(c + 1) * J, :] = dl * mcrow_ref[0]
                 dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
             # per-(grid-step, chain) pre-summed dms: row jq holds the sum
             # of its Q blocks' dms for each chain
@@ -1218,20 +1377,33 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
 
     @pl.when(ph == 1)
     def _apply_update():
-        rows = []
-        for c in range(C):
-            rows.append(jnp.concatenate(
-                [dlane_sc[pl.ds(c * J + jq * Q + q, 1), :]
-                 for q in range(Q)], axis=1))               # (1, Q*B)
-        dlcat = jnp.concatenate(rows, axis=0)               # (C, Q*B)
+        def catrows(sc):
+            rows = []
+            for c in range(C):
+                rows.append(jnp.concatenate(
+                    [sc[pl.ds(c * J + jq * Q + q, 1), :]
+                     for q in range(Q)], axis=1))           # (1, Q*B)
+            return jnp.concatenate(rows, axis=0)            # (C, Q*B)
+
+        dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
+        if miss:
+            dlmcat = catrows(dlm_sc)
         for k in range(SUB):
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, x_cat(k), (((1,), (0,)), ((), ())),
+                dlcat, ccat, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
+            if miss:
+                upd = upd - jax.lax.dot_general(
+                    dlmcat, mcat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
@@ -1241,18 +1413,23 @@ def bayesr_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
                               valid_pad, *, J: int = 64, tile_n: int = 512,
                               interpret: bool = False,
                               x_mean=None, x_scale=None, x_xsum=None,
-                              fold_affine: bool = False, row_valid=None):
+                              fold_affine: bool = False, row_valid=None,
+                              missing: bool = False):
     """C-chain fused transposed Jacobi sweep (strided rounds).  Batched
     leaves carry a leading chain axis: eps (C, N-or-Npad), beta/labels
     (C, Mpad), p/z (C, Mpad) POSITION-indexed in canonical slab order,
     pi (C, G, K), sigmaE (C,), sigmaGG (C, G).  X/gram/permutations are
     shared (states never interact; independent p/z streams keep chains
     mutually independent -- the reference runs one chain per R process,
-    src/BayesRv2.cpp:171).  Returns an MCSweepResult."""
+    src/BayesRv2.cpp:171).  ``missing`` follows bayesr_jacobi_t_pallas
+    (per-chain missing-dot corrections; the indicator operand is shared).
+    Returns an MCSweepResult."""
     from .pallas_multichain import MCSweepResult
 
     nb, B, _ = gram.shape
-    quantized, packed, fold = _validate(nb, J, x_mean, XT_pad, fold_affine)
+    quantized, packed, fold, miss = _validate(nb, J, x_mean, XT_pad,
+                                              fold_affine, missing)
+    _warn_ablate()
     nr = nb // J
     f32 = jnp.float32
     C = eps.shape[0]
@@ -1275,7 +1452,8 @@ def bayesr_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
                 pi[sl], cva, sigmaE[sl], sigmaGG[sl], g_assign_pad,
                 valid_pad, J=J, tile_n=tile_n, interpret=interpret,
                 x_mean=x_mean, x_scale=x_scale, x_xsum=x_xsum,
-                fold_affine=fold_affine, row_valid=row_valid))
+                fold_affine=fold_affine, row_valid=row_valid,
+                missing=missing))
         return MCSweepResult(*(jnp.concatenate([getattr(o, f) for o in outs],
                                                axis=0)
                                for f in MCSweepResult._fields))
@@ -1361,9 +1539,17 @@ def bayesr_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
         xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
         args += [srow_r, msrow_r, xsum_r,
                  jnp.sum(epsC, axis=1, keepdims=True)]
+        if miss:
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]  # mcoef rows
+            args += [_lane_rows(
+                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
+                B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((C, 1), f32),               # esum / chain
                     pltpu.VMEM((C, J), f32),               # dms rows
                     pltpu.VMEM((J // Q, C), f32)]          # dms / grid step
+        if miss:
+            scratch += [pltpu.VMEM((C * J, B), f32),       # rmiss rows
+                        pltpu.VMEM((C * J, B), f32)]       # delta*mcoef
     out_specs = [
         pl.BlockSpec((C, Npad), im_full),                  # eps_out
         pl.BlockSpec((1, C * J, B), im_round),             # beta_out
@@ -1379,7 +1565,8 @@ def bayesr_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
         jax.ShapeDtypeStruct((C, G), f32),
     ]
     kernel = functools.partial(_jacobi_t_mc_kernel, B=B, TN=TN, K=K, G=G,
-                               C=C, J=J, Q=Q, packed=packed, fold=fold)
+                               C=C, J=J, Q=Q, packed=packed, fold=fold,
+                               miss=miss)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nr, 2, J // Q, nt),
@@ -1495,24 +1682,31 @@ def build_pkgT_hs_mc_strided(xsq, valid, z, lam, tau, c2, sigmaE, P2,
 
 
 def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
-                           fold=False):
+                           fold=False, miss=False):
     """Multi-chain transposed horseshoe kernel: _jacobi_t_mc_kernel minus
     the selection loop and label/v/bacc outputs.  refs layout:
 
     inputs:  xt_0..xt_{Q-1}, inner_row, pkgT, gpT, beta_lane (C*J, B),
-             eps_hbm (ANY)[, srow, msrow, xsum (shared), esum0 (C, 1)]
+             eps_hbm (ANY)[, srow, msrow, xsum (shared), esum0 (C, 1)
+             [, mcrow]]
     outputs: eps_out (C, Npad), beta_out (C*J, B)
     scratch: rb (C*J, B), rT (C*B, J), bT (C*B, J), dposT (C*B, J),
              dpos (C*J, B), dlane (C*J, B), dma sem
-             [, esum (C, 1), dms (C, J), dmsq (J/Q, C)]
+             [, esum (C, 1), dms (C, J), dmsq (J/Q, C)[, rmb (C*J, B),
+             dlm (C*J, B)]]
     """
     (xt_refs, rest) = (refs[:Q], refs[Q:])
     (innr_ref, pkg_ref, gpt_ref, beta_ref, epsh_ref) = rest[:5]
     if fold:
+        nf = 5 if miss else 4
         srow_ref, msrow_ref, xsum_ref, esum0_ref = rest[5:9]
-        eps_out, beta_out = rest[9:11]
+        mcrow_ref = rest[9] if miss else None
+        eps_out, beta_out = rest[5 + nf:7 + nf]
+        scr = rest[7 + nf:]
         (rb_sc, rT_sc, bT_sc, dposT_sc, dpos_sc, dlane_sc,
-         sem, esum_sc, dms_sc, dmsq_sc) = rest[11:]
+         sem, esum_sc, dms_sc, dmsq_sc) = scr[:10]
+        if miss:
+            rmb_sc, dlm_sc = scr[10:12]
     else:
         eps_out, beta_out = rest[5:7]
         (rb_sc, rT_sc, bT_sc, dposT_sc, dpos_sc, dlane_sc,
@@ -1526,26 +1720,7 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
     F = 5
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-
-    if packed:
-        SUB, W = 16, TN // 16
-
-        def x_sub(q, k):
-            c = (xt_refs[q][...] >> (2 * k)) & 3
-            return c.astype(f32)
-    else:
-        SUB, W = 1, TN
-
-        def x_sub(q, k):
-            xr = xt_refs[q]
-            if fold and xr.dtype != jnp.float32:
-                return xr[...].astype(f32)
-            return xr[...]
-
-    def x_cat(k):
-        if Q == 1:
-            return x_sub(0, k)
-        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
 
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
@@ -1561,30 +1736,46 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((C * J, B), f32)
+        if miss:
+            rmb_sc[...] = jnp.zeros((C * J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        acc = None
+        acc = accm = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, x_cat(k), (((1,), (1,)), ((), ())),
+                eps_t, ccat, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
             acc = d if acc is None else acc + d
+            if miss:
+                dm = jax.lax.dot_general(
+                    eps_t, mcat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                accm = dm if accm is None else accm + dm
         for q in range(Q):
             jj = jq * Q + q
             for c in range(C):
                 rb_sc[pl.ds(c * J + jj, 1), :] += acc[c:c + 1,
                                                       q * B:(q + 1) * B]
+                if miss:
+                    rmb_sc[pl.ds(c * J + jj, 1), :] += accm[
+                        c:c + 1, q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
         if fold:
             for c in range(C):
                 es = esum_sc[c, 0]
-                rb_sc[c * J:(c + 1) * J, :] = (
-                    rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
-                    - msrow_ref[0] * es)
+                rbv = (rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
+                       - msrow_ref[0] * es)
+                if miss:
+                    rbv = rbv - mcrow_ref[0] * rmb_sc[c * J:(c + 1) * J, :]
+                rb_sc[c * J:(c + 1) * J, :] = rbv
 
         for c in range(C):
             for ch in range(NC):
@@ -1645,6 +1836,8 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
                 esum_sc[c:c + 1, :] -= jnp.sum(sub1, axis=0, keepdims=True)
                 dms_c = jnp.sum(dl * msrow_ref[0], axis=1, keepdims=True)
                 dms_sc[c:c + 1, :] = _tsp(dms_c, J)
+                if miss:
+                    dlm_sc[c * J:(c + 1) * J, :] = dl * mcrow_ref[0]
                 dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
             JQ2 = J // Q
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
@@ -1656,20 +1849,33 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
 
     @pl.when(ph == 1)
     def _apply_update():
-        rows = []
-        for c in range(C):
-            rows.append(jnp.concatenate(
-                [dlane_sc[pl.ds(c * J + jq * Q + q, 1), :]
-                 for q in range(Q)], axis=1))
-        dlcat = jnp.concatenate(rows, axis=0)               # (C, Q*B)
+        def catrows(sc):
+            rows = []
+            for c in range(C):
+                rows.append(jnp.concatenate(
+                    [sc[pl.ds(c * J + jq * Q + q, 1), :]
+                     for q in range(Q)], axis=1))
+            return jnp.concatenate(rows, axis=0)            # (C, Q*B)
+
+        dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
+        if miss:
+            dlmcat = catrows(dlm_sc)
         for k in range(SUB):
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, x_cat(k), (((1,), (0,)), ((), ())),
+                dlcat, ccat, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
+            if miss:
+                upd = upd - jax.lax.dot_general(
+                    dlmcat, mcat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
@@ -1679,12 +1885,15 @@ def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
                                  *, J: int = 64, tile_n: int = 512,
                                  interpret: bool = False,
                                  x_mean=None, x_scale=None, x_xsum=None,
-                                 fold_affine: bool = False, row_valid=None):
+                                 fold_affine: bool = False, row_valid=None,
+                                 missing: bool = False):
     """C-chain fused transposed horseshoe sweep (strided rounds): eps
     (C, N-or-Npad), beta/lam/z (C, Mpad) with z POSITION-indexed in
     canonical slab order, tau/c2/sigmaE (C,).  Returns (eps, beta)."""
     nb, B, _ = gram.shape
-    quantized, packed, fold = _validate(nb, J, x_mean, XT_pad, fold_affine)
+    quantized, packed, fold, miss = _validate(nb, J, x_mean, XT_pad,
+                                              fold_affine, missing)
+    _warn_ablate()
     nr = nb // J
     f32 = jnp.float32
     C = eps.shape[0]
@@ -1701,7 +1910,7 @@ def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
                 sigmaE[sl], valid_pad, J=J, tile_n=tile_n,
                 interpret=interpret, x_mean=x_mean, x_scale=x_scale,
                 x_xsum=x_xsum, fold_affine=fold_affine,
-                row_valid=row_valid)
+                row_valid=row_valid, missing=missing)
             eps_parts.append(e)
             beta_parts.append(b)
         return (jnp.concatenate(eps_parts, axis=0),
@@ -1777,9 +1986,17 @@ def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
         xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
         args += [srow_r, msrow_r, xsum_r,
                  jnp.sum(epsC, axis=1, keepdims=True)]
+        if miss:
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]
+            args += [_lane_rows(
+                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
+                B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((C, 1), f32),
                     pltpu.VMEM((C, J), f32),
                     pltpu.VMEM((J // Q, C), f32)]
+        if miss:
+            scratch += [pltpu.VMEM((C * J, B), f32),
+                        pltpu.VMEM((C * J, B), f32)]
     out_specs = [
         pl.BlockSpec((C, Npad), im_full),                  # eps_out
         pl.BlockSpec((1, C * J, B), im_round),             # beta_out
@@ -1789,7 +2006,8 @@ def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
         jax.ShapeDtypeStruct((nr, C * J, B), f32),
     ]
     kernel = functools.partial(_hs_jacobi_t_mc_kernel, B=B, TN=TN, C=C,
-                               J=J, Q=Q, packed=packed, fold=fold)
+                               J=J, Q=Q, packed=packed, fold=fold,
+                               miss=miss)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nr, 2, J // Q, nt),
@@ -1822,7 +2040,8 @@ class StridedOperands:
     and shared by every chunk call (see bayesr_jacobi_t_rounds)."""
 
     def __init__(self, *, inner_row, pkgT, gpT, gas_lane, beta_lane,
-                 labels_lane, srow=None, msrow=None, xsum=None):
+                 labels_lane, srow=None, msrow=None, xsum=None,
+                 mcrow=None):
         self.inner_row = inner_row
         self.pkgT = pkgT
         self.gpT = gpT
@@ -1830,13 +2049,14 @@ class StridedOperands:
         self.beta_lane = beta_lane
         self.labels_lane = labels_lane
         self.srow, self.msrow, self.xsum = srow, msrow, xsum
+        self.mcrow = mcrow
 
 
 def build_strided_operands(gram, xsq_pad, g_assign_pad, valid_pad, p_arr,
                            z_arr, pi, cva, sigmaE, sigmaGG, beta_pad,
                            labels_pad, inner_perm, *, B, J,
                            x_mean=None, x_scale=None, x_xsum=None,
-                           fold=False):
+                           fold=False, missing=False):
     """All per-iteration operands for the transposed strided sweep in
     canonical slab order (gather-free; see the module docstring)."""
     f32 = jnp.float32
@@ -1850,12 +2070,16 @@ def build_strided_operands(gram, xsq_pad, g_assign_pad, valid_pad, p_arr,
     inner_row = (inner_perm.astype(jnp.int32).reshape(J, nr, B)
                  .transpose(1, 0, 2).reshape(nr, 1, J * B))
     kw = {}
-    if fold:
+    if fold or missing:
         kw = dict(
             srow=_lane_rows(x_scale.astype(f32), B=B, J=J, nr=nr),
             msrow=_lane_rows(x_mean.astype(f32) * x_scale.astype(f32),
                              B=B, J=J, nr=nr),
             xsum=_lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr))
+        if missing:
+            kw["mcrow"] = _lane_rows(
+                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
+                B=B, J=J, nr=nr)
     return StridedOperands(
         inner_row=inner_row, pkgT=pkgT, gpT=gpT,
         gas_lane=_lane_rows(g_assign_pad.astype(jnp.int32), B=B, J=J,
@@ -1868,7 +2092,7 @@ def build_strided_operands(gram, xsq_pad, g_assign_pad, valid_pad, p_arr,
 def bayesr_jacobi_t_rounds(XT_pad, ops, rho_chunk, eps2d, sigmaE, *,
                            J, B, K, G, nr_total, packed, fold,
                            tile_n=512, row_valid=None,
-                           interpret=False):
+                           interpret=False, missing=False):
     """Sweep ONE CHUNK of strided rounds (the sharded (m, 1) driver's
     unit of work: one cross-slice eps psum per chunk).  ``ops`` holds the
     full-iteration operands (build_strided_operands); ``rho_chunk`` the
@@ -1881,6 +2105,9 @@ def bayesr_jacobi_t_rounds(XT_pad, ops, rho_chunk, eps2d, sigmaE, *,
     f32 = jnp.float32
     F = 3 * K + 4
     Q = auto_q(J)
+    miss = bool(missing)
+    fold = bool(fold) or miss
+    _warn_ablate()
     nrc = rho_chunk.shape[0]
     if packed:
         Npad = XT_pad.shape[1] * 16
@@ -1931,7 +2158,13 @@ def bayesr_jacobi_t_rounds(XT_pad, ops, rho_chunk, eps2d, sigmaE, *,
         in_specs += [pl.BlockSpec((1, J, B), im_round)] * 3 + [
             pl.BlockSpec(memory_space=pltpu.SMEM)]
         args += [ops.srow, ops.msrow, ops.xsum, jnp.sum(eps2d, axis=1)]
+        if miss:
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]
+            args += [ops.mcrow]
         scratch += [pltpu.VMEM((1 + J, 1), f32)]
+        if miss:
+            scratch += [pltpu.VMEM((J, B), f32),
+                        pltpu.VMEM((J, B), f32)]
     out_specs = [
         pl.BlockSpec((1, Npad), im_full),
         pl.BlockSpec((1, J, B), im_visit),                 # beta (visit)
@@ -1947,7 +2180,186 @@ def bayesr_jacobi_t_rounds(XT_pad, ops, rho_chunk, eps2d, sigmaE, *,
         jax.ShapeDtypeStruct((1, G), f32),
     ]
     kernel = functools.partial(_jacobi_t_kernel, B=B, TN=TN, K=K, G=G,
-                               J=J, Q=Q, packed=packed, fold=fold)
+                               J=J, Q=Q, packed=packed, fold=fold,
+                               miss=miss)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrc, 2, J // Q, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+    )(rho_chunk.astype(jnp.int32), *args)
+
+
+class StridedOperandsMC:
+    """Per-iteration operands of the fused multi-chain transposed sweep
+    (the sharded run_chains unit; see bayesr_jacobi_t_mc_rounds)."""
+
+    def __init__(self, *, inner_row, pkgT, gpT, gas_lane, beta_lane, hse,
+                 srow=None, msrow=None, xsum=None, mcrow=None):
+        self.inner_row = inner_row
+        self.pkgT = pkgT
+        self.gpT = gpT
+        self.gas_lane = gas_lane
+        self.beta_lane = beta_lane
+        self.hse = hse
+        self.srow, self.msrow, self.xsum = srow, msrow, xsum
+        self.mcrow = mcrow
+
+
+def build_strided_operands_mc(gram, xsq_pad, g_assign_pad, valid_pad,
+                              p_arr, z_arr, pi, cva, sigmaE, sigmaGG,
+                              beta_pad, inner_perm, *, B, J,
+                              x_mean=None, x_scale=None, x_xsum=None,
+                              fold=False, missing=False):
+    """Multi-chain analog of build_strided_operands: p/z/beta carry a
+    leading chain axis (C, Mpad), pi (C, G, K), sigmaE (C,), sigmaGG
+    (C, G); X/gram/permutations shared across chains."""
+    f32 = jnp.float32
+    nb = gram.shape[0]
+    nr = nb // J
+    C = beta_pad.shape[0]
+    P2 = build_onehot_inner(inner_perm, B=B, J=J, nr=nr)
+    pkgT = build_pkgT_mc_strided(xsq_pad, g_assign_pad, valid_pad, p_arr,
+                                 z_arr, pi, cva, sigmaE, sigmaGG, P2,
+                                 B=B, J=J, nr=nr)
+    gpT = build_gpT_strided(gram, P2, B=B, J=J, nr=nr)
+    inner_row = (inner_perm.astype(jnp.int32).reshape(J, nr, B)
+                 .transpose(1, 0, 2).reshape(nr, 1, J * B))
+    beta_lane = (beta_pad.astype(f32).reshape(C, J, nr, B)
+                 .transpose(2, 0, 1, 3).reshape(nr, C * J, B))
+    kw = {}
+    if fold or missing:
+        kw = dict(
+            srow=_lane_rows(x_scale.astype(f32), B=B, J=J, nr=nr),
+            msrow=_lane_rows(x_mean.astype(f32) * x_scale.astype(f32),
+                             B=B, J=J, nr=nr),
+            xsum=_lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr))
+        if missing:
+            kw["mcrow"] = _lane_rows(
+                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
+                B=B, J=J, nr=nr)
+    return StridedOperandsMC(
+        inner_row=inner_row, pkgT=pkgT, gpT=gpT,
+        gas_lane=_lane_rows(g_assign_pad.astype(jnp.int32), B=B, J=J,
+                            nr=nr),
+        beta_lane=beta_lane,
+        hse=(0.5 / sigmaE.astype(f32)).reshape(C, 1), **kw)
+
+
+def bayesr_jacobi_t_mc_rounds(XT_pad, ops, rho_chunk, epsC, *, J, B, K, G,
+                              C, nr_total, packed, fold, missing=False,
+                              tile_n=512, interpret=False):
+    """Sweep ONE CHUNK of strided rounds for C FUSED chains -- the
+    sharded run_chains unit of work (one cross-slice (C, Npad) eps psum
+    per chunk; X streamed once per chunk for ALL chains).  ``ops`` holds
+    the full-iteration operands (build_strided_operands_mc); beta/kv
+    output slabs arrive in VISIT order.  Reference gap this closes at
+    pod scale: one chain per R process (src/BayesRv2.cpp:171).
+
+    Returns (epsC (C, Npad), beta_slabs (nrc, C*J, B), kv_slabs
+    (nrc, C*J, B), v (C, G*K), bacc (C, G))."""
+    f32 = jnp.float32
+    miss = bool(missing)
+    fold = bool(fold) or miss
+    _warn_ablate()
+    F = 3 * K + 4
+    nrc = rho_chunk.shape[0]
+    if packed:
+        Npad = XT_pad.shape[1] * 16
+        best = None
+        for q in (4, 2, 1):
+            if J % q:
+                continue
+            tn = _packed_tile_n_mc(Npad, B, J, F, q, C)
+            inv = (J // q) * (Npad // tn)
+            if best is None or inv < best[0]:
+                best = (inv, q, tn)
+        _, Q, TN = best
+    else:
+        Q = auto_q(J)
+        Npad = epsC.shape[1]
+        TN = min(tile_n, max(128, 1 << (Npad - 1).bit_length()))
+        TN = min(TN, Npad)
+        if Npad % TN:
+            TN = Npad
+    nt = Npad // TN
+
+    def im_xt(q):
+        def f(r, ph, jq, t, rho_ref):
+            return ((jq * Q + q) * nr_total + rho_ref[r], t)
+        return f
+
+    def im_round(r, ph, jq, t, rho_ref):
+        return (rho_ref[r], 0, 0)
+
+    def im_visit(r, ph, jq, t, rho_ref):
+        return (r, 0, 0)
+
+    def im_full(r, ph, jq, t, rho_ref):
+        return (0, 0)
+
+    x_tile_w = TN // 16 if packed else TN
+    in_specs = (
+        [pl.BlockSpec((B, x_tile_w), im_xt(q)) for q in range(Q)] + [
+            pl.BlockSpec((1, 1, J * B), im_round),
+            pl.BlockSpec((1, B * F * C, J), im_round),     # pkgT
+            pl.BlockSpec((1, B * B, J), im_round),         # gpT
+            pl.BlockSpec((1, J, B), im_round),             # gas (shared)
+            pl.BlockSpec((1, C * J, B), im_round),         # beta (lane)
+            pl.BlockSpec((C, 1), im_full),                 # 0.5/sigmaE
+            pl.BlockSpec(memory_space=pl.ANY),             # eps (HBM)
+        ])
+    args = [XT_pad] * Q + [ops.inner_row, ops.pkgT, ops.gpT,
+                           ops.gas_lane, ops.beta_lane, ops.hse,
+                           epsC.astype(f32)]
+    scratch = [
+        pltpu.VMEM((C * J, B), f32), pltpu.VMEM((C * B, J), f32),
+        pltpu.VMEM((C * B, J), f32), pltpu.VMEM((C * B, J), f32),
+        pltpu.VMEM((C * B, J), f32), pltpu.VMEM((C * J, B), f32),
+        pltpu.VMEM((C * J, B), f32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if fold:
+        in_specs += [pl.BlockSpec((1, J, B), im_round)] * 3 + [
+            pl.BlockSpec((C, 1), im_full)]
+        args += [ops.srow, ops.msrow, ops.xsum,
+                 jnp.sum(epsC.astype(f32), axis=1, keepdims=True)]
+        if miss:
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]
+            args += [ops.mcrow]
+        scratch += [pltpu.VMEM((C, 1), f32),
+                    pltpu.VMEM((C, J), f32),
+                    pltpu.VMEM((J // Q, C), f32)]
+        if miss:
+            scratch += [pltpu.VMEM((C * J, B), f32),
+                        pltpu.VMEM((C * J, B), f32)]
+    out_specs = [
+        pl.BlockSpec((C, Npad), im_full),                  # eps_out
+        pl.BlockSpec((1, C * J, B), im_visit),             # beta (visit)
+        pl.BlockSpec((1, C * J, B), im_visit),             # kv (visit)
+        pl.BlockSpec((C, G * K), im_full),
+        pl.BlockSpec((C, G), im_full),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((C, Npad), f32),
+        jax.ShapeDtypeStruct((nrc, C * J, B), f32),
+        jax.ShapeDtypeStruct((nrc, C * J, B), f32),
+        jax.ShapeDtypeStruct((C, G * K), f32),
+        jax.ShapeDtypeStruct((C, G), f32),
+    ]
+    kernel = functools.partial(_jacobi_t_mc_kernel, B=B, TN=TN, K=K, G=G,
+                               C=C, J=J, Q=Q, packed=packed, fold=fold,
+                               miss=miss)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nrc, 2, J // Q, nt),

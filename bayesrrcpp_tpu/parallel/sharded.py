@@ -388,6 +388,9 @@ class ShardedSpikeSlabSampler:
             row_valid = put_global(mesh, P(AXIS_N), np.arange(Npad) < N)
             n_perm = empty_i
         self._x_fold = self.x_quantized and not self._has_missing
+        # 2-bit packed with missing calls keeps the transposed fast path
+        # via the exact sparse correction (ops/pallas_jacobi_t.py)
+        self._x_miss = self.x_packed and self._has_missing
 
         fixedTh = np.zeros((F, Npad), self.dtype)
         fixedTh[:, :N] = fixed.T
@@ -547,7 +550,8 @@ class ShardedSpikeSlabSampler:
         z_arr = jax.random.normal(kz, (nb_loc, B), dt)
         use_t = (self.backend == "pallas" and not self._split
                  and self.jacobi_t > 1
-                 and (not self.x_quantized or self._x_fold))
+                 and (not self.x_quantized or self._x_fold
+                      or self._x_miss))
         if use_t:
             # transposed strided-rounds kernel per slice: rho = round
             # visit order over the slice's fixed strided partition, inner
@@ -666,6 +670,7 @@ class ShardedSpikeSlabSampler:
         dt = self.dtype
         f32 = jnp.float32
         fold = self._x_fold
+        missing = self._x_miss
 
         ops = build_strided_operands(
             data.gram, data.xsq, data.g_assign, data.valid,
@@ -675,7 +680,7 @@ class ShardedSpikeSlabSampler:
             x_mean=data.x_mean if self.x_quantized else None,
             x_scale=data.x_scale if self.x_quantized else None,
             x_xsum=data.x_colsum if self.x_quantized else None,
-            fold=fold)
+            fold=fold, missing=missing)
         eps2d = eps.astype(f32).reshape(1, -1)
         if self.x_packed:
             lane_mask = data.row_valid.astype(f32).reshape(1, -1)
@@ -695,10 +700,11 @@ class ShardedSpikeSlabSampler:
             eps_new, beta_c, kv_c, v_c, bacc_c = bayesr_jacobi_t_rounds(
                 data.XT, ops, rho_c, eps2d, state.sigmaE,
                 J=J, B=B, K=K, G=G, nr_total=nr, packed=self.x_packed,
-                fold=fold, interpret=self._pallas_interpret)
+                fold=fold, missing=missing,
+                interpret=self._pallas_interpret)
             delta = eps_new[0] - eps2d[0]
             eps_next = eps2d[0] + lax.psum(delta, AXIS_M)
-            if self.x_packed and fold:
+            if self.x_packed and (fold or missing):
                 eps_next = eps_next * lane_mask[0]
             return ((eps_next.reshape(1, -1),
                      beta_sl.at[rho_c].set(beta_c),

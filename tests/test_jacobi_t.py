@@ -303,3 +303,125 @@ def test_hs_mc_t_equals_single_chain_runs(C):
                                    rtol=3e-4, atol=3e-6)
         np.testing.assert_allclose(np.asarray(e_r), np.asarray(eps_o[c]),
                                    rtol=3e-4, atol=3e-5)
+
+
+# ------------------------------------------------- missing-data fast path
+
+def _missing_dosage(seed, N, M, frac=0.03):
+    """Dosage matrix with sparse NaN missing calls plus its exact dense
+    equivalent (standardized, missing -> 0 = mean imputation -- the same
+    decode the serial in-kernel-missing path applies)."""
+    rng = np.random.default_rng(seed)
+    freqs = rng.uniform(0.2, 0.8, M)
+    dosage = rng.binomial(2, freqs, size=(N, M)).astype(float)
+    mask = rng.random(dosage.shape) < frac
+    mask[0, :] = False  # keep every marker observed at least once
+    dosage[mask] = np.nan
+    means = np.nanmean(dosage, axis=0)
+    sds = np.nanstd(dosage, axis=0, ddof=1)
+    dense = np.where(np.isnan(dosage), 0.0, (dosage - means) / sds)
+    beta_t = np.zeros(M)
+    beta_t[rng.choice(M, 8, replace=False)] = rng.normal(0, 0.3, 8)
+    y = dense @ beta_t + rng.normal(0, 0.7, N)
+    return dosage, dense, y
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("jacobi", [1, 3])
+def test_t_missing_packed_equals_dense(jacobi):
+    """2-bit packed X WITH missing calls must equal the dense sampler on
+    the exact mean-imputed standardized matrix -- at J=1 through the
+    serial in-kernel-missing kernel (the pre-existing path), at J>1
+    through the NEW transposed-Jacobi sparse-correction fast path; both
+    against the same dense anchor, so the two packed paths agree with
+    each other (round-4 VERDICT ask #1)."""
+    dosage, dense, y = _missing_dosage(83, 150, 96)
+    cfg = BayesRConfig(block_size=16)
+    kw = ({"jacobi_blocks": 1} if jacobi == 1
+          else {"jacobi_blocks": jacobi, "jacobi_layout": "t"})
+    s_d = SpikeSlabSampler(dense, y, CVA, cfg, backend="pallas",
+                           dtype=jnp.float32, **kw)
+    s_q = SpikeSlabSampler(dosage, y, CVA, cfg, x_dtype="2bit",
+                           dtype=jnp.float32, **kw)
+    assert s_q._x_miss and not s_q._x_fold
+    assert s_q.jacobi == jacobi  # no silent fallback to J=1
+    key = jax.random.PRNGKey(42)
+    st_d, st_q = s_d.init(key), s_q.init(key)
+    for _ in range(3):
+        st_d, st_q = s_d.step(st_d), s_q.step(st_q)
+    np.testing.assert_array_equal(np.asarray(st_d.labels),
+                                  np.asarray(st_q.labels))
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_q.beta),
+                               rtol=3e-4, atol=3e-6)
+    np.testing.assert_allclose(float(st_d.sigmaE), float(st_q.sigmaE),
+                               rtol=2e-4)
+    # eps pad lanes must stay exactly zero (miss mode: pads decode to 0)
+    pad_lanes = ~np.asarray(s_q.data.row_valid)
+    assert np.all(np.asarray(st_q.eps)[pad_lanes] == 0.0)
+
+
+@pytest.mark.slow
+def test_mc_t_missing_packed_equals_dense():
+    """Fused multi-chain sweep with packed-missing X == dense, through
+    step_chains (supports_fused_chains must include the missing path)."""
+    dosage, dense, y = _missing_dosage(85, 150, 96)
+    cfg = BayesRConfig(block_size=16)
+    s_d = SpikeSlabSampler(dense, y, CVA, cfg, backend="pallas",
+                           dtype=jnp.float32, jacobi_blocks=3,
+                           jacobi_layout="t")
+    s_q = SpikeSlabSampler(dosage, y, CVA, cfg, x_dtype="2bit",
+                           dtype=jnp.float32, jacobi_blocks=3,
+                           jacobi_layout="t")
+    assert s_q.supports_fused_chains
+    C = 3
+    ks = jax.random.split(jax.random.PRNGKey(47), C)
+    st_d = jax.vmap(s_d.init)(ks)
+    st_q = jax.vmap(s_q.init)(ks)
+    for _ in range(3):
+        st_d, st_q = s_d.step_chains(st_d), s_q.step_chains(st_q)
+    np.testing.assert_array_equal(np.asarray(st_d.labels),
+                                  np.asarray(st_q.labels))
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_q.beta),
+                               rtol=3e-4, atol=3e-6)
+
+
+@pytest.mark.slow
+def test_hs_t_missing_packed_equals_dense():
+    dosage, dense, y = _missing_dosage(87, 150, 96)
+    cfg = HorseshoeConfig(block_size=16)
+    h_d = HorseshoeSampler(dense, y, cfg, backend="pallas",
+                           dtype=jnp.float32, jacobi_blocks=3,
+                           jacobi_layout="t")
+    h_q = HorseshoeSampler(dosage, y, cfg, x_dtype="2bit",
+                           dtype=jnp.float32, jacobi_blocks=3,
+                           jacobi_layout="t")
+    assert h_q._x_miss and h_q.jacobi == 3
+    key = jax.random.PRNGKey(48)
+    st_d, st_q = h_d.init(key), h_q.init(key)
+    for _ in range(3):
+        st_d, st_q = h_d.step(st_d), h_q.step(st_q)
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_q.beta),
+                               rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(float(st_d.sigmaE), float(st_q.sigmaE),
+                               rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_hs_mc_t_missing_packed_equals_dense():
+    dosage, dense, y = _missing_dosage(89, 150, 96)
+    cfg = HorseshoeConfig(block_size=16)
+    h_d = HorseshoeSampler(dense, y, cfg, backend="pallas",
+                           dtype=jnp.float32, jacobi_blocks=3,
+                           jacobi_layout="t")
+    h_q = HorseshoeSampler(dosage, y, cfg, x_dtype="2bit",
+                           dtype=jnp.float32, jacobi_blocks=3,
+                           jacobi_layout="t")
+    assert h_q.supports_fused_chains
+    C = 2
+    ks = jax.random.split(jax.random.PRNGKey(51), C)
+    st_d = jax.vmap(h_d.init)(ks)
+    st_q = jax.vmap(h_q.init)(ks)
+    for _ in range(3):
+        st_d, st_q = h_d.step_chains(st_d), h_q.step_chains(st_q)
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_q.beta),
+                               rtol=3e-4, atol=1e-5)
