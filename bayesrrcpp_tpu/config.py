@@ -19,6 +19,14 @@ class ChainConfig:
     max_iterations: int
     burn_in: int
     thinning: int = 1
+    # Recompute eps = Y - mu - X beta (- F alpha) with one fresh X pass
+    # every ~K iterations (applied at the nearest emission-chunk
+    # boundary).  The f32 engine accumulates the residual by rank-1
+    # updates; a periodic fresh dot bounds the drift the f64 reference
+    # never accrues (src/BayesRv2.cpp:60 runs f64 end to end).  None
+    # disables (measured drift at the biobank shape stays ~1e-6
+    # relative over 1000+ iterations; see BENCH.md round 5).
+    eps_refresh_every: "int | None" = None
 
     def __post_init__(self):
         if self.max_iterations < self.burn_in or self.max_iterations < 1 or self.burn_in < 1:
@@ -29,6 +37,8 @@ class ChainConfig:
             )
         if self.thinning < 1:
             raise ValueError("thinning must be >= 1")
+        if self.eps_refresh_every is not None and self.eps_refresh_every < 1:
+            raise ValueError("eps_refresh_every must be >= 1 or None")
 
     def emit_iterations(self) -> range:
         """Iterations whose post-update state is emitted.

@@ -87,16 +87,36 @@ def exp_rng(key, mean=1.0):
 
 
 def gamma_shape_rng(key, alpha, size, dtype=None):
-    """M-sized Gamma(alpha, 1) draws with an exact fast path at the
-    STATIC shape alpha == 1, where Gamma(1, 1) == Exponential(1) and the
-    inverse CDF replaces XLA's rejection sampler (the horseshoe's
-    local-scale refresh draws 2M of these per iteration at the default
-    vL = 1, src/HorseshoeR.cpp:218,242 -- the rejection path costs ~7 ms
-    per chain-million on v5e and dominated the fused multi-chain
-    horseshoe)."""
+    """M-sized Gamma(alpha, 1) draws with exact rejection-free fast paths
+    for STATIC integer and half-integer shapes.
+
+    - alpha == 1: Gamma(1, 1) == Exponential(1), inverse CDF (the
+      horseshoe's local-scale refresh draws 2M of these per iteration at
+      the default vL = 1, src/HorseshoeR.cpp:218,242 -- XLA's rejection
+      sampler costs ~7 ms per chain-million on v5e).
+    - alpha in {0.5, 1.5, 2, 2.5, ...}: the exact decomposition
+      Gamma(n + r) == sum of n Exponentials + [r == 1/2] * Z^2/2
+      (Gamma(1/2, 1) == chi^2_1 / 2).  The horseshoe's shape is
+      (1 + vL)/2, so EVERY integer dof vL is rejection-free -- the
+      reference exposes vL as a free argument (src/HorseshoeR.cpp:109).
+    - anything else: XLA's batched rejection sampler.
+    """
     import jax
 
     dtype = jnp.float32 if dtype is None else dtype
-    if float(alpha) == 1.0:
+    a = float(alpha)
+    if a == 1.0:
         return jax.random.exponential(key, (size,), dtype)
+    if a > 0 and (2.0 * a) == int(2.0 * a):
+        n = int(a)
+        half = (a - n) == 0.5
+        ke, kz = jax.random.split(key)
+        tot = jnp.zeros((size,), dtype)
+        if n > 0:
+            tot = jnp.sum(jax.random.exponential(ke, (n, size), dtype),
+                          axis=0)
+        if half:
+            z = jax.random.normal(kz, (size,), dtype)
+            tot = tot + 0.5 * z * z
+        return tot
     return jax.random.gamma(key, jnp.full((size,), alpha, dtype), dtype=dtype)

@@ -15,7 +15,7 @@ import numpy as np
 
 def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
               sink=None, collect=True, emit_chunk=32, start_iteration=0,
-              progress=None, on_chunk=None):
+              progress=None, on_chunk=None, refresh_fn=None):
     """Drive a full chain.
 
     steps_fn(state, n)           -- advance n iterations (n static).
@@ -30,10 +30,26 @@ def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
                                     checkpointing; the reference has no
                                     mid-chain recovery at all, SURVEY.md
                                     section 5).
+    refresh_fn(state)            -- optional exact-residual recompute,
+                                    applied every chain.eps_refresh_every
+                                    iterations at the nearest chunk
+                                    boundary (f32 drift bound; the f64
+                                    reference needs no analog).
     """
     emits = list(chain.emit_iterations())
     collected = [] if collect else None
     total = len(emits)
+
+    every = getattr(chain, "eps_refresh_every", None)
+    last_refresh = [start_iteration]
+
+    def maybe_refresh(state, it_now):
+        if refresh_fn is None or not every:
+            return state
+        if it_now - last_refresh[0] >= every:
+            last_refresh[0] = it_now
+            return refresh_fn(state)
+        return state
 
     def deliver(rows, done, state):
         rows = jax.tree.map(np.asarray, rows)
@@ -54,6 +70,7 @@ def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
         pre = emits[0] + 1 - start_iteration
         if pre > 0:
             state = steps_fn(state, pre)
+        state = maybe_refresh(state, emits[0] + 1)
         state, first = emit_fn(state, 1, 0)
         deliver(first, 1, state)
         done = 1
@@ -62,6 +79,7 @@ def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
             state, rows = emit_fn(state, n, chain.thinning)
             done += n
             deliver(rows, done, state)
+            state = maybe_refresh(state, emits[done - 1] + 1)
         tail = chain.max_iterations - (emits[-1] + 1)
         if tail > 0:
             state = steps_fn(state, tail)

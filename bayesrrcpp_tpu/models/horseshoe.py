@@ -233,6 +233,38 @@ class HorseshoeSampler:
         self._mc_emit_chunk = jax.jit(self._mc_emit_chunk_impl,
                                       static_argnums=(2, 3),
                                       donate_argnums=(0,))
+        # exact-residual recompute (ChainConfig.eps_refresh_every)
+        self._refresh = jax.jit(self._refresh_impl)
+        self._vrefresh = jax.jit(jax.vmap(self._refresh_impl,
+                                          in_axes=(0, None)))
+
+    def _refresh_impl(self, state, data):
+        """Recompute eps = Y - mu - X beta with ONE fresh X pass (see
+        SpikeSlabSampler._refresh_impl / ChainConfig.eps_refresh_every)."""
+        from ..ops import genotypes
+
+        f32 = jnp.float32
+        beta = state.beta.astype(f32)
+        if not self.x_quantized:
+            xb = beta @ data.XT.astype(f32)
+        elif self.x_packed:
+            xb = self._maybe_permute_rows(
+                genotypes.xbeta_packed(data.XT, data.x_mean, data.x_scale,
+                                       beta, self.B, self.N),
+                data.n_perm)
+        else:
+            xb = genotypes.xbeta_int8(data.XT, data.x_mean, data.x_scale,
+                                      beta, self.B)
+        eps = self.Y.astype(f32) - xb - state.mu.astype(f32)
+        if self.x_packed:
+            eps = jnp.where(data.row_valid, eps, 0.0)
+        return state._replace(eps=eps.astype(self.dtype))
+
+    def refresh_eps(self, state):
+        """Exact residual recompute (single state or chain-batched)."""
+        if getattr(state.mu, "ndim", 0):
+            return self._vrefresh(state, self.data)
+        return self._refresh(state, self.data)
 
     def _maybe_permute_rows(self, arr, n_perm, axis=0):
         """Pad the individual axis to Npad and reorder into the packed-word
@@ -611,7 +643,7 @@ class HorseshoeSampler:
             emit_fn=lambda st, n, t: self._emit_chunk(st, self.data, n, t),
             sink=sink, collect=collect, emit_chunk=emit_chunk,
             start_iteration=int(state.iteration), progress=progress,
-            on_chunk=on_chunk)
+            on_chunk=on_chunk, refresh_fn=self.refresh_eps)
 
     def run_chains(self, key, n_chains: int, chain: ChainConfig, *,
                    collect: bool = True, emit_chunk: int = 32,
@@ -638,7 +670,8 @@ class HorseshoeSampler:
             state, chain,
             steps_fn=steps_fn, emit_fn=emit_fn, sink=sink,
             collect=collect, emit_chunk=emit_chunk,
-            progress=progress, on_chunk=on_chunk)
+            progress=progress, on_chunk=on_chunk,
+            refresh_fn=self.refresh_eps)
 
     @staticmethod
     def _deliver(rows, sink, collected):

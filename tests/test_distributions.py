@@ -81,3 +81,22 @@ def test_gamma_shape_rng_exponential_fast_path():
     x2 = np.asarray(dist.gamma_shape_rng(jax.random.PRNGKey(1), 1.5,
                                          20000, dtype=jnp.float32))
     assert st.kstest(x2, "gamma", args=(1.5,)).pvalue > 1e-3
+
+
+def test_gamma_shape_rng_half_integer_decomposition():
+    """Integer/half-integer static shapes are exact rejection-free
+    decompositions (sum of Exponentials + chi^2_1/2); the horseshoe's
+    shape (1 + vL)/2 hits this path for EVERY integer dof vL
+    (src/HorseshoeR.cpp:109 exposes vL).  Non-(half-)integer shapes fall
+    back to the rejection sampler -- all must match Gamma(a, 1) in law."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.stats as st
+
+    from bayesrrcpp_tpu import distributions as dist
+
+    for i, a in enumerate([0.5, 2.0, 2.5, 1.3]):
+        x = np.asarray(dist.gamma_shape_rng(jax.random.PRNGKey(10 + i), a,
+                                            20000, dtype=jnp.float32))
+        assert x.dtype == np.float32
+        assert st.kstest(x, "gamma", args=(a,)).pvalue > 1e-3, a
