@@ -687,10 +687,19 @@ class ShardedSpikeSlabSampler:
             lane_mask = data.row_valid.astype(f32).reshape(1, -1)
 
         # rounds per psum: keep the cross-slice window at ~chunk_blocks
-        # blocks (default 128 -> one round per chunk at J=128)
-        nrc = max(1, min(nr, -(-min(self.chunk_blocks or 128, nb_loc) // J)))
-        while nr % nrc:
-            nrc -= 1
+        # blocks (default 128 -> one round per chunk at J=128).  On a
+        # single m-slice the psum is the identity and chunking is pure
+        # per-call dispatch overhead (~123 pallas calls/iter at the
+        # biobank shape -- the round-4 "21% sharding tax"), so Dm == 1
+        # runs ALL rounds in ONE kernel call (bitwise-identical
+        # semantics: rounds are sequential inside the kernel too).
+        if self.Dm == 1:
+            nrc = nr
+        else:
+            nrc = max(1, min(nr, -(-min(self.chunk_blocks or 128, nb_loc)
+                                   // J)))
+            while nr % nrc:
+                nrc -= 1
         v0 = lax.pcast(jnp.zeros((G, K), f32), (AXIS_M,), to="varying")
         bacc0 = lax.pcast(jnp.zeros((G,), f32), (AXIS_M,), to="varying")
         beta_sl0 = jnp.zeros((nr, J, B), f32)
@@ -980,10 +989,13 @@ class ShardedSpikeSlabSampler:
         if self.x_packed:
             lane_mask = data.row_valid.astype(f32)
 
-        nrc = max(1, min(nr, -(-min(self.chunk_blocks or 128, nb_loc)
-                               // J)))
-        while nr % nrc:
-            nrc -= 1
+        if self.Dm == 1:
+            nrc = nr          # single slice: psum is identity, one call
+        else:
+            nrc = max(1, min(nr, -(-min(self.chunk_blocks or 128, nb_loc)
+                                   // J)))
+            while nr % nrc:
+                nrc -= 1
         v0 = lax.pcast(jnp.zeros((C, G * K), f32), (AXIS_M,), to="varying")
         bacc0 = lax.pcast(jnp.zeros((C, G), f32), (AXIS_M,), to="varying")
         beta_sl0 = jnp.zeros((nr, C * J, B), f32)

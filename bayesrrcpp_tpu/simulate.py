@@ -87,3 +87,34 @@ def random_packed_words(key, M, n_words):
 def packed_word_stats(M):
     """x_stats matching random_packed_words' code distribution."""
     return np.full(M, 1.25), np.full(M, float(np.sqrt(11.0 / 16.0)))
+
+
+def random_packed_words_missing(key, M, n_words, levels: int = 6):
+    """random_packed_words plus missing-at-random calls: each 2-bit field
+    is forced to the missing code 3 with probability 2**-levels (~1.6% at
+    the default -- the realistic non-imputed .bed missingness the
+    fast-path bench config models).  Missing-at-random leaves the
+    non-missing code distribution unchanged, so packed_word_stats still
+    applies.  Fully fused elementwise generation (no extra biobank-sized
+    temps)."""
+    import jax
+    import jax.numpy as jnp
+
+    def gen(key):
+        kw, km = jax.random.split(key)
+        w = jax.random.randint(kw, (M, n_words), -(2 ** 31), 2 ** 31 - 1,
+                               jnp.int32)
+        hi_mask = jnp.int32(np.uint32(0xAAAAAAAA).astype(np.int32))
+        lo_mask = jnp.int32(0x55555555)
+        h = w & hi_mask
+        l = w & lo_mask & ~(h >> 1)
+        codes = h | l
+        m = jnp.full((M, n_words), -1, jnp.int32)
+        for i in range(levels):
+            m = m & jax.random.randint(jax.random.fold_in(km, i),
+                                       (M, n_words), -(2 ** 31),
+                                       2 ** 31 - 1, jnp.int32)
+        lo = m & lo_mask
+        return codes | lo | (lo << 1)        # both bits set -> code 3
+
+    return jax.jit(gen)(key)

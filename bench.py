@@ -166,7 +166,8 @@ def measured_reference_rates():
 
 
 def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
-               chains=1, dtype_name="f32", label="", jacobi=None):
+               chains=1, dtype_name="f32", label="", jacobi=None,
+               missing=False, sharded=False, emit=False):
     """Run one bench config; returns the result record."""
     import jax
     import jax.numpy as jnp
@@ -183,10 +184,15 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
     extra = {}
     if x_dtype == "2bit":
         from bayesrrcpp_tpu.simulate import (packed_word_stats,
-                                             random_packed_words)
+                                             random_packed_words,
+                                             random_packed_words_missing)
 
         N = -(-N // 2048) * 2048
-        if os.environ.get("BENCH_MISSING") == "1":  # in-kernel decode path
+        if missing:
+            # ~1.6% missing-at-random calls: the transposed kernels'
+            # sparse-correction fast path (real non-imputed .bed data)
+            XT = random_packed_words_missing(kx, M, N // 16)
+        elif os.environ.get("BENCH_MISSING") == "1":  # in-kernel decode
             XT = jax.random.randint(kx, (M, N // 16), -(2 ** 31),
                                     2 ** 31 - 1, jnp.int32)
         else:  # missing-free -> fold-affine raw-code kernel (the fast path)
@@ -209,6 +215,43 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
     gen_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    if sharded:
+        # (m=1, n=1) mesh: the SHARDED driver's per-chip rate (the comm
+        # model's per_chip_rate_measured input); psum is the identity
+        from bayesrrcpp_tpu.parallel.mesh import make_mesh
+        from bayesrrcpp_tpu.parallel.sharded import ShardedSpikeSlabSampler
+
+        cva = np.array([0.0001, 0.001, 0.01], np.float64)
+        smp = ShardedSpikeSlabSampler(
+            XT, Y, cva, BayesRConfig(block_size=B), make_mesh(1, 1),
+            backend="pallas", transposed=True, dtype=dtype,
+            has_missing=bool(missing), **extra)
+        jax.block_until_ready(smp.data.gram)
+        setup_s = time.perf_counter() - t0
+        state = smp.init(jax.random.PRNGKey(1))
+        run = lambda st: smp._get_run_steps(iters)(st, smp.data)
+        sync = lambda st: float(np.asarray(st.sigmaE))
+        t0 = time.perf_counter()
+        state = run(state)
+        sync(state)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state = run(state)
+        sync(state)
+        elapsed = time.perf_counter() - t0
+        rate = M * iters / elapsed
+        rec = {"label": label, "snp_updates_per_sec": round(rate, 1),
+               "N": N, "M": M, "iters": iters, "sampler": sampler,
+               "x_dtype": x_dtype, "chains": 1, "sharded": True,
+               "jacobi": smp.jacobi_t, "block_used": smp.B,
+               "platform": platform,
+               "iter_ms": round(1e3 * elapsed / iters, 1),
+               "gibbs_iters_per_min": round(60 * iters / elapsed, 2),
+               "gen_s": round(gen_s, 1), "gram_s": round(setup_s, 1),
+               "compile_s": round(compile_s, 1)}
+        del state, smp, XT, Y
+        gc.collect()
+        return rec
     if sampler == "horseshoe":
         from bayesrrcpp_tpu import HorseshoeConfig
         from bayesrrcpp_tpu.models.horseshoe import HorseshoeSampler
@@ -231,11 +274,56 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
                                dtype=dtype, jacobi_blocks=jacobi, **extra)
     else:
         cva = np.array([0.0001, 0.001, 0.01], np.float64)
-        smp = SpikeSlabSampler(XT, Y, cva, BayesRConfig(block_size=B),
-                               transposed=True, dtype=dtype,
-                               jacobi_blocks=jacobi, **extra)
+        smp = SpikeSlabSampler(
+            XT, Y, cva,
+            BayesRConfig(block_size=B, emit_epsilon=not emit),
+            transposed=True, dtype=dtype, jacobi_blocks=jacobi, **extra)
     jax.block_until_ready(smp.data.gram)
     setup_s = time.perf_counter() - t0
+
+    if emit:
+        # END-TO-END chain with live emission (round-4 VERDICT #4): the
+        # reference's whole deliverable is the thinned CSV stream
+        # (src/BayesRv2.cpp:257-290); this times the full driver loop
+        # with a CSV (native formatter) + npz tee sink, eps off.
+        import tempfile
+
+        from bayesrrcpp_tpu import ChainConfig
+        from bayesrrcpp_tpu.io.sink import CSVSink, NpzSink, TeeSink
+
+        chain = ChainConfig(max_iterations=iters, burn_in=10, thinning=10)
+
+        def one_run():
+            with tempfile.TemporaryDirectory() as td:
+                sink = TeeSink(
+                    CSVSink(os.path.join(td, "c.csv"), "bayesr", M=smp.M,
+                            N=smp.N, emit_epsilon=False),
+                    NpzSink(os.path.join(td, "c.npz")))
+                t1 = time.perf_counter()
+                smp.run(jax.random.PRNGKey(1), chain, sink=sink,
+                        collect=False)
+                sink.close()
+                el = time.perf_counter() - t1
+                csv_mb = os.path.getsize(os.path.join(td, "c.csv")) / 2**20
+                return el, csv_mb
+
+        compile_s, _ = one_run()        # compile + first-touch
+        elapsed, csv_mb = one_run()
+        rate = M * iters / elapsed
+        rec = {"label": label, "snp_updates_per_sec": round(rate, 1),
+               "N": N, "M": M, "iters": iters, "sampler": sampler,
+               "x_dtype": x_dtype, "chains": 1, "emission": True,
+               "thinning": 10, "n_emits": len(list(chain.emit_iterations())),
+               "csv_mb": round(csv_mb, 1),
+               "jacobi": smp.jacobi, "block_used": smp.B,
+               "platform": platform,
+               "iter_ms": round(1e3 * elapsed / iters, 1),
+               "gibbs_iters_per_min": round(60 * iters / elapsed, 2),
+               "gen_s": round(gen_s, 1), "gram_s": round(setup_s, 1),
+               "compile_s": round(compile_s, 1)}
+        del smp, XT, Y
+        gc.collect()
+        return rec
 
     # BENCH_CHAINS > 1: fused multi-chain kernel (all chains share one X
     # stream; SNP-updates count multiplies by the chain count)
@@ -289,6 +377,17 @@ SUITE = [
          x_dtype="2bit", jacobi=1),
     dict(label="biobank-packed-auto", N=100_352, M=503_808, iters=10,
          x_dtype="2bit"),
+    # ~1.6% missing-at-random calls: the sparse-correction fast path for
+    # real (non-imputed) .bed data (round-4 VERDICT ask #1)
+    dict(label="biobank-packed-missing", N=100_352, M=503_808, iters=10,
+         x_dtype="2bit", missing=True),
+    # end-to-end chain with live CSV+npz emission, thinning 10 (ask #4)
+    dict(label="biobank-packed-emit", N=100_352, M=503_808, iters=300,
+         x_dtype="2bit", emit=True),
+    # SHARDED driver on a (1, 1) mesh: per-chip rate for the comm model
+    # (ask #5 -- Dm == 1 now sweeps all rounds in one kernel call)
+    dict(label="biobank-sharded-m1", N=100_352, M=503_808, iters=10,
+         x_dtype="2bit", sharded=True),
     # fused multi-chain JACOBI kernel (bayesr_jacobi_t_pallas_mc): all
     # chains share the X stream AND the batched J-blocks-per-round solve
     dict(label="biobank-packed-8chain", N=100_352, M=503_808, iters=5,
