@@ -1912,6 +1912,13 @@ def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
 
     CG = int(os.environ.get("BAYESR_MC_GROUP", "4"))
     if C > CG:
+        if os.environ.get("BAYESR_MC_WIDE", "1") != "0" and C <= 16:
+            return horseshoe_jacobi_t_pallas_mc8(
+                XT_pad, gram, xsq_pad, eps, beta_pad, rho, inner_perm,
+                z_arr, lam, tau, c2, sigmaE, valid_pad, J=J,
+                interpret=interpret, x_mean=x_mean, x_scale=x_scale,
+                x_xsum=x_xsum, fold_affine=fold_affine,
+                row_valid=row_valid, missing=missing)
         eps_parts, beta_parts = [], []
         for c0 in range(0, C, CG):
             sl = slice(c0, min(c0 + CG, C))
@@ -2407,16 +2414,21 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
 
     refs layout:
     inputs:  xt_0..xt_{Q-1}, inner_row, gpT, gas_lane, hse (C, 1),
-             eps_hbm (ANY), pkg_any (ANY), beta_any (ANY)
+             eps_hbm (ANY), pkg_any (ANY), beta_lane ((1, C*J, B) block)
              [, srow, msrow, xsum, esum0 (C, 1)[, mcrow]]
-    outputs: eps_out (ANY, (C, Npad)), beta_out (ANY), klane_out (ANY),
-             v_out (C, G*K), bacc_out (C, G)
+    outputs: eps_out (ANY, (C, Npad)), beta_out ((1, C*J, B) block),
+             klane_out ((1, C*J, B) block), v_out (C, G*K),
+             bacc_out (C, G)
     scratch: rb (C*J, B), dpos (C*J, B), dlane (C*J, B),
-             pkg_sc (B*F*CGS, J), betab (CGS*J, B), kvb (CGS*J, B),
-             rT (CGS*B, J), bT (CGS*B, J), dposT (CGS*B, J),
-             krecT (CGS*B, J), eps_sc (C, TN), sem, sem2, sem3
+             pkg_sc (B*F*CGS, J), rT (CGS*B, J), bT (CGS*B, J),
+             dposT (CGS*B, J), krecT (CGS*B, J), eps_sc (C, TN),
+             sem, sem3
              [, esum (C, 1), dms (C, J), dmsq (J/Q, C)[, rmb (C*J, B),
              dlm (C*J, B)]]
+
+    Only pkgT streams via explicit DMA (its lane dim is J = 128-aligned;
+    the 32-lane beta/kv bands cannot be DMA-sliced under the (1, 128)
+    VMEM tiling, so they ride ordinary pipelined block specs).
     """
     ng = C // CGS
     (xt_refs, rest) = (refs[:Q], refs[Q:])
@@ -2432,13 +2444,13 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
         outs = rest[7:12]
         scr = rest[12:]
     eps_out, betao_ref, klaneo_ref, v_out, bacc_out = outs
-    (rb_sc, dpos_sc, dlane_sc, pkg_sc, betab_sc, kvb_sc,
-     rT_sc, bT_sc, dposT_sc, krecT_sc, eps_sc, sem, sem2,
-     sem3) = scr[:14]
+    (rb_sc, dpos_sc, dlane_sc, pkg_sc,
+     rT_sc, bT_sc, dposT_sc, krecT_sc, eps_sc, sem,
+     sem3) = scr[:11]
     if fold:
-        esum_sc, dms_sc, dmsq_sc = scr[14:17]
+        esum_sc, dms_sc, dmsq_sc = scr[11:14]
         if miss:
-            rmb_sc, dlm_sc = scr[17:19]
+            rmb_sc, dlm_sc = scr[14:16]
 
     r = pl.program_id(0)
     ph = pl.program_id(1)
@@ -2519,15 +2531,10 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
         hse = hse_ref[...]                                  # (C, 1)
         Kf = jnp.float32(K)
         for gg in range(ng):
-            # stream this group's per-chain operands from HBM
+            # stream this group's per-chain solve table from HBM
             cp = pltpu.make_async_copy(pkg_ref.at[rho_r, gg], pkg_sc, sem)
             cp.start()
-            cb = pltpu.make_async_copy(
-                beta_ref.at[rho_r, pl.ds(gg * CGS * J, CGS * J)],
-                betab_sc, sem2)
-            cb.start()
             cp.wait()
-            cb.wait()
 
             for cl in range(CGS):
                 c = gg * CGS + cl
@@ -2537,8 +2544,8 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
                     rT_sc[cl * B:(cl + 1) * B,
                           ch * JC:(ch + 1) * JC] = _tsp(
                         _lane_to_pos(rows, ir_c, B=B, JC=JC), JC)
-                    brows = betab_sc[cl * J + ch * JC:
-                                     cl * J + (ch + 1) * JC, :]
+                    brows = beta_ref[0, c * J + ch * JC:
+                                     c * J + (ch + 1) * JC, :]
                     bT_sc[cl * B:(cl + 1) * B,
                           ch * JC:(ch + 1) * JC] = _tsp(
                         _lane_to_pos(brows, ir_c, B=B, JC=JC), JC)
@@ -2622,13 +2629,13 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
                     dlane_sc[c * J + ch * JC:c * J + (ch + 1) * JC,
                              :] = _pos_to_lane(dpos_c, ir_c, B=B, JC=JC)
                     kpos_c = _tsp(krecT_sc[cl * B:(cl + 1) * B, cols], B)
-                    kvb_sc[cl * J + ch * JC:cl * J + (ch + 1) * JC,
-                           :] = _pos_to_lane(kpos_c, ir_c, B=B, JC=JC)
+                    klaneo_ref[0, c * J + ch * JC:c * J + (ch + 1) * JC,
+                               :] = _pos_to_lane(kpos_c, ir_c, B=B, JC=JC)
 
                 dl = dlane_sc[c * J:(c + 1) * J, :]         # (J, B)
-                bn = betab_sc[cl * J:(cl + 1) * J, :] + dl
-                betab_sc[cl * J:(cl + 1) * J, :] = bn
-                kl = kvb_sc[cl * J:(cl + 1) * J, :]
+                bn = beta_ref[0, c * J:(c + 1) * J, :] + dl
+                betao_ref[0, c * J:(c + 1) * J, :] = bn
+                kl = klaneo_ref[0, c * J:(c + 1) * J, :]
                 slab2 = jnp.where(kl > 0.0, bn * bn, 0.0)
                 vcols = []
                 bcols = []
@@ -2653,18 +2660,6 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
                     if miss:
                         dlm_sc[c * J:(c + 1) * J, :] = dl * mcrow_ref[0]
                     dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
-
-            # updated beta band + draw records back to HBM
-            wb = pltpu.make_async_copy(
-                betab_sc,
-                betao_ref.at[rho_r, pl.ds(gg * CGS * J, CGS * J)], sem)
-            wb.start()
-            wk = pltpu.make_async_copy(
-                kvb_sc,
-                klaneo_ref.at[rho_r, pl.ds(gg * CGS * J, CGS * J)], sem2)
-            wk.start()
-            wb.wait()
-            wk.wait()
 
         if fold:
             JQ2 = J // Q
@@ -2722,7 +2717,7 @@ def _mc8_tile_n(Npad, B, J, F, Q, C, CGS, miss, packed):
     lanes = max(J, 128)
     budget -= 2 * (B * B * lanes * 4)                   # gpT dbl
     budget -= B * F * CGS * lanes * 4                   # pkg scratch
-    budget -= 2 * (CGS * J * 128 * 4)                   # beta/kv bands
+    budget -= 3 * 2 * (C * J * 128 * 4)                 # beta in+2 outs dbl
     nfull = 3 + (2 if miss else 0)
     budget -= nfull * (C * J * 128 * 4)                 # full-C scratches
     budget -= 4 * (CGS * B * lanes * 4)                 # rT/bT/dposT/krecT
@@ -2826,7 +2821,7 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
             pl.BlockSpec((C, 1), im_full),                 # 0.5/sigmaE
             pl.BlockSpec(memory_space=pl.ANY),             # eps (HBM)
             pl.BlockSpec(memory_space=pl.ANY),             # pkg (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),             # beta (HBM)
+            pl.BlockSpec((1, C * J, B), im_round),         # beta (lane)
         ])
     args = [xt] * Q + [inner_row, gpT, gas_lane, hse2, epsC, pkgG,
                        beta_lane]
@@ -2835,14 +2830,11 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         pltpu.VMEM((C * J, B), f32),                       # dpos
         pltpu.VMEM((C * J, B), f32),                       # dlane
         pltpu.VMEM((B * F * CGS, J), f32),                 # pkg band
-        pltpu.VMEM((CGS * J, B), f32),                     # beta band
-        pltpu.VMEM((CGS * J, B), f32),                     # kv band
         pltpu.VMEM((CGS * B, J), f32),                     # rT
         pltpu.VMEM((CGS * B, J), f32),                     # bT
         pltpu.VMEM((CGS * B, J), f32),                     # dposT
         pltpu.VMEM((CGS * B, J), f32),                     # krecT
         pltpu.VMEM((C, TN), f32),                          # eps tile
-        pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]
@@ -2868,8 +2860,8 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
                         pltpu.VMEM((C * J, B), f32)]       # dlm
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),                 # eps (HBM)
-        pl.BlockSpec(memory_space=pl.ANY),                 # beta_out
-        pl.BlockSpec(memory_space=pl.ANY),                 # klane_out
+        pl.BlockSpec((1, C * J, B), im_round),             # beta_out
+        pl.BlockSpec((1, C * J, B), im_round),             # klane_out
         pl.BlockSpec((C, G * K), im_full),
         pl.BlockSpec((C, G), im_full),
     ]
@@ -2915,3 +2907,383 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         v=v_o.reshape(C, G, K).astype(eps.dtype),
         beta_acum=bacc_o.astype(eps.dtype),
     )
+
+
+def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
+                            packed=False, fold=False, miss=False):
+    """Wide multi-chain transposed horseshoe kernel: _jacobi_t_mc8_kernel
+    minus the selection loop and label/v/bacc outputs (same eps-via-DMA
+    tiling and per-group pkg streaming).  refs layout:
+
+    inputs:  xt_0..xt_{Q-1}, inner_row, gpT, eps_hbm (ANY),
+             pkg_any (ANY), beta_lane ((1, C*J, B) block)
+             [, srow, msrow, xsum, esum0 (C, 1)[, mcrow]]
+    outputs: eps_out (ANY, (C, Npad)), beta_out ((1, C*J, B) block)
+    scratch: rb (C*J, B), dpos (C*J, B), dlane (C*J, B),
+             pkg_sc (B*5*CGS, J), rT (CGS*B, J), bT (CGS*B, J),
+             dposT (CGS*B, J), eps_sc (C, TN), sem, sem3
+             [, esum (C, 1), dms (C, J), dmsq (J/Q, C)[, rmb (C*J, B),
+             dlm (C*J, B)]]
+    """
+    ng = C // CGS
+    (xt_refs, rest) = (refs[:Q], refs[Q:])
+    (innr_ref, gpt_ref, epsh_ref, pkg_ref, beta_ref) = rest[:5]
+    if fold:
+        nf = 5 if miss else 4
+        srow_ref, msrow_ref, xsum_ref, esum0_ref = rest[5:9]
+        mcrow_ref = rest[9] if miss else None
+        outs = rest[5 + nf:7 + nf]
+        scr = rest[7 + nf:]
+    else:
+        outs = rest[5:7]
+        scr = rest[7:]
+    eps_out, betao_ref = outs
+    (rb_sc, dpos_sc, dlane_sc, pkg_sc,
+     rT_sc, bT_sc, dposT_sc, eps_sc, sem, sem3) = scr[:10]
+    if fold:
+        esum_sc, dms_sc, dmsq_sc = scr[10:13]
+        if miss:
+            rmb_sc, dlm_sc = scr[13:15]
+
+    r = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+    jq = pl.program_id(3)
+    f32 = jnp.float32
+    F = 5
+    JC, NC = _permute_chunks(J, B)
+    CW = JC * B
+    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    rho_r = rho_ref[r]
+    JQ_LAST = J // Q - 1
+
+    first = jnp.logical_and(
+        r == 0, jnp.logical_and(ph == 0, jnp.logical_and(t == 0, jq == 0)))
+
+    @pl.when(first)
+    def _init():
+        cp0 = pltpu.make_async_copy(epsh_ref, eps_out, sem3)
+        cp0.start()
+        cp0.wait()
+        if fold:
+            esum_sc[...] = esum0_ref[...]
+
+    @pl.when(jq == 0)
+    def _load_tile():
+        cp = pltpu.make_async_copy(
+            eps_out.at[:, pl.ds(t * TN, TN)], eps_sc, sem3)
+        cp.start()
+        cp.wait()
+
+    @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(t == 0, jq == 0)))
+    def _zero_r():
+        rb_sc[...] = jnp.zeros((C * J, B), f32)
+        if miss:
+            rmb_sc[...] = jnp.zeros((C * J, B), f32)
+
+    @pl.when(ph == 0)
+    def _accumulate_r():
+        acc = accm = None
+        for k in range(SUB):
+            eps_t = eps_sc[:, pl.ds(k * W, W)]              # (C, W)
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
+            d = jax.lax.dot_general(
+                eps_t, ccat, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # (C, Q*B)
+            acc = d if acc is None else acc + d
+            if miss:
+                dm = jax.lax.dot_general(
+                    eps_t, mcat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                accm = dm if accm is None else accm + dm
+        for q in range(Q):
+            jj = jq * Q + q
+            for c in range(C):
+                rb_sc[pl.ds(c * J + jj, 1), :] += acc[c:c + 1,
+                                                      q * B:(q + 1) * B]
+                if miss:
+                    rmb_sc[pl.ds(c * J + jj, 1), :] += accm[
+                        c:c + 1, q * B:(q + 1) * B]
+
+    @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(t == 0, jq == 0)))
+    def _solve():
+        if fold:
+            for c in range(C):
+                es = esum_sc[c, 0]
+                rbv = (rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
+                       - msrow_ref[0] * es)
+                if miss:
+                    rbv = rbv - mcrow_ref[0] * rmb_sc[c * J:(c + 1) * J, :]
+                rb_sc[c * J:(c + 1) * J, :] = rbv
+
+        for gg in range(ng):
+            cp = pltpu.make_async_copy(pkg_ref.at[rho_r, gg], pkg_sc, sem)
+            cp.start()
+            cp.wait()
+
+            for cl in range(CGS):
+                c = gg * CGS + cl
+                for ch in range(NC):
+                    ir_c = innr_ref[0][:, ch * CW:(ch + 1) * CW]
+                    rows = rb_sc[c * J + ch * JC:c * J + (ch + 1) * JC, :]
+                    rT_sc[cl * B:(cl + 1) * B,
+                          ch * JC:(ch + 1) * JC] = _tsp(
+                        _lane_to_pos(rows, ir_c, B=B, JC=JC), JC)
+                    brows = beta_ref[0, c * J + ch * JC:
+                                     c * J + (ch + 1) * JC, :]
+                    bT_sc[cl * B:(cl + 1) * B,
+                          ch * JC:(ch + 1) * JC] = _tsp(
+                        _lane_to_pos(brows, ir_c, B=B, JC=JC), JC)
+
+            def band(sc, s):
+                return jnp.concatenate(
+                    [sc[pl.ds(cl * B + s, 1), :] for cl in range(CGS)],
+                    axis=0)                                 # (CGS, J)
+
+            def body(s, _):
+                slab = pkg_sc[pl.ds(s * F * CGS, F * CGS), :]
+
+                def fld(f):
+                    return slab[f * CGS:(f + 1) * CGS, :]   # (CGS, J)
+
+                invd = fld(0)
+                sdv = fld(1)
+                z_s = fld(2)
+                xsq_j = fld(3)
+                okf = fld(4)
+
+                r_jl = band(rT_sc, s)                       # (CGS, J)
+                beta_old = band(bT_sc, s)
+                num = r_jl + beta_old * xsq_j
+                beta_new = num * invd + sdv * z_s
+                d = okf * (beta_new - beta_old)             # (CGS, J)
+
+                AT = gpt_ref[0, pl.ds(s * B, B), :]         # (B, J)
+                for cl in range(CGS):
+                    rT_sc[cl * B:(cl + 1) * B, :] -= AT * d[cl:cl + 1, :]
+                    dposT_sc[pl.ds(cl * B + s, 1), :] = d[cl:cl + 1, :]
+                return ()
+
+            lax.fori_loop(0, B, body, (), unroll=False)
+
+            for cl in range(CGS):
+                c = gg * CGS + cl
+                for ch in range(NC):
+                    ir_c = innr_ref[0][:, ch * CW:(ch + 1) * CW]
+                    cols = slice(ch * JC, (ch + 1) * JC)
+                    dpos_c = _tsp(dposT_sc[cl * B:(cl + 1) * B, cols], B)
+                    dpos_sc[c * J + ch * JC:c * J + (ch + 1) * JC,
+                            :] = dpos_c
+                    dlane_sc[c * J + ch * JC:c * J + (ch + 1) * JC,
+                             :] = _pos_to_lane(dpos_c, ir_c, B=B, JC=JC)
+
+                dl = dlane_sc[c * J:(c + 1) * J, :]         # (J, B)
+                betao_ref[0, c * J:(c + 1) * J, :] = \
+                    beta_ref[0, c * J:(c + 1) * J, :] + dl
+
+                if fold:
+                    sub1 = jnp.sum(dl * xsum_ref[0], axis=1, keepdims=True)
+                    esum_sc[c:c + 1, :] -= jnp.sum(sub1, axis=0,
+                                                   keepdims=True)
+                    dms_c = jnp.sum(dl * msrow_ref[0], axis=1,
+                                    keepdims=True)
+                    dms_sc[c:c + 1, :] = _tsp(dms_c, J)
+                    if miss:
+                        dlm_sc[c * J:(c + 1) * J, :] = dl * mcrow_ref[0]
+                    dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
+
+        if fold:
+            JQ2 = J // Q
+            gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (JQ2, J), 0)).astype(f32)
+            dmsq_sc[...] = jax.lax.dot_general(
+                gmat, dms_sc[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                 # (J/Q, C)
+
+    @pl.when(ph == 1)
+    def _apply_update():
+        def catrows(sc):
+            rows = []
+            for c in range(C):
+                rows.append(jnp.concatenate(
+                    [sc[pl.ds(c * J + jq * Q + q, 1), :]
+                     for q in range(Q)], axis=1))
+            return jnp.concatenate(rows, axis=0)            # (C, Q*B)
+
+        dlcat = catrows(dlane_sc)
+        if fold:
+            dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
+        if miss:
+            dlmcat = catrows(dlm_sc)
+        for k in range(SUB):
+            if miss:
+                ccat, mcat = x_both(k)
+            else:
+                ccat = x_cat(k)
+            upd = jax.lax.dot_general(
+                dlcat, ccat, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                 # (C, W)
+            if fold:
+                upd = upd - dms
+            if miss:
+                upd = upd - jax.lax.dot_general(
+                    dlmcat, mcat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+            eps_sc[:, pl.ds(k * W, W)] -= upd
+
+        @pl.when(jq == JQ_LAST)
+        def _store_tile():
+            cp = pltpu.make_async_copy(
+                eps_sc, eps_out.at[:, pl.ds(t * TN, TN)], sem3)
+            cp.start()
+            cp.wait()
+
+
+def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
+                                  rho, inner_perm, z_arr, lam, tau, c2,
+                                  sigmaE, valid_pad, *, J: int = 64,
+                                  interpret: bool = False,
+                                  x_mean=None, x_scale=None, x_xsum=None,
+                                  fold_affine: bool = False,
+                                  row_valid=None, missing: bool = False):
+    """Wide fused multi-chain horseshoe sweep (one X stream + decode for
+    all C chains); same contract as horseshoe_jacobi_t_pallas_mc."""
+    nb, B, _ = gram.shape
+    quantized, packed, fold, miss = _validate(nb, J, x_mean, XT_pad,
+                                              fold_affine, missing)
+    _warn_ablate()
+    nr = nb // J
+    f32 = jnp.float32
+    C = eps.shape[0]
+    F = 5
+    CGS = int(os.environ.get("BAYESR_MC8_SOLVE_GROUP", "4"))
+    CGS = min(CGS, C)
+    while C % CGS:
+        CGS -= 1
+    ng = C // CGS
+    Q = auto_q(J)
+
+    if packed:
+        Mpad_x, Nw = XT_pad.shape
+        Npad = Nw * 16
+        if Npad % 2048 or eps.shape[1] != Npad:
+            raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
+                             "matching pre-permuted eps")
+        TN = _mc8_tile_n(Npad, B, J, F, Q, C, CGS, miss, True)
+        xt = XT_pad
+        epsC = eps.astype(f32)
+        lane_mask = row_valid.astype(f32).reshape(1, Npad)
+    else:
+        Mpad_x, N0 = XT_pad.shape
+        TN = min(512, max(128, 1 << (N0 - 1).bit_length()))
+        Npad = -(-N0 // TN) * TN
+        epsC = jnp.zeros((C, Npad), f32).at[:, :N0].set(eps.astype(f32))
+        xt = (XT_pad if Npad == N0
+              else jnp.pad(XT_pad, ((0, 0), (0, Npad - N0))))
+        lane_mask = (jnp.arange(Npad) < N0).astype(f32).reshape(1, Npad)
+    nt = Npad // TN
+    Mpad = beta_pad.shape[1]
+
+    P2 = build_onehot_inner(inner_perm, B=B, J=J, nr=nr)
+    pkgT = build_pkgT_hs_mc_strided(xsq_pad, valid_pad, z_arr, lam, tau,
+                                    c2, sigmaE, P2, B=B, J=J, nr=nr)
+    pkgG = (pkgT.reshape(nr, B * F, ng, CGS, J)
+            .transpose(0, 2, 1, 3, 4).reshape(nr, ng, B * F * CGS, J))
+    gpT = build_gpT_strided(gram, P2, B=B, J=J, nr=nr)
+    inner_row = (inner_perm.astype(jnp.int32).reshape(J, nr, B)
+                 .transpose(1, 0, 2).reshape(nr, 1, J * B))
+    beta_lane = (beta_pad.astype(f32).reshape(C, J, nr, B)
+                 .transpose(2, 0, 1, 3).reshape(nr, C * J, B))
+    rho_i = rho.astype(jnp.int32)
+
+    def im_xt(q):
+        def f(r, ph, t, jq, rho_ref):
+            return ((jq * Q + q) * nr + rho_ref[r], t)
+        return f
+
+    def im_round(r, ph, t, jq, rho_ref):
+        return (rho_ref[r], 0, 0)
+
+    def im_full(r, ph, t, jq, rho_ref):
+        return (0, 0)
+
+    x_tile_w = TN // 16 if packed else TN
+    in_specs = (
+        [pl.BlockSpec((B, x_tile_w), im_xt(q)) for q in range(Q)] + [
+            pl.BlockSpec((1, 1, J * B), im_round),         # inner
+            pl.BlockSpec((1, B * B, J), im_round),         # gpT
+            pl.BlockSpec(memory_space=pl.ANY),             # eps (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),             # pkg (HBM)
+            pl.BlockSpec((1, C * J, B), im_round),         # beta (lane)
+        ])
+    args = [xt] * Q + [inner_row, gpT, epsC, pkgG, beta_lane]
+    scratch = [
+        pltpu.VMEM((C * J, B), f32),                       # rb
+        pltpu.VMEM((C * J, B), f32),                       # dpos
+        pltpu.VMEM((C * J, B), f32),                       # dlane
+        pltpu.VMEM((B * F * CGS, J), f32),                 # pkg band
+        pltpu.VMEM((CGS * B, J), f32),                     # rT
+        pltpu.VMEM((CGS * B, J), f32),                     # bT
+        pltpu.VMEM((CGS * B, J), f32),                     # dposT
+        pltpu.VMEM((C, TN), f32),                          # eps tile
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if fold:
+        in_specs += [pl.BlockSpec((1, J, B), im_round)] * 3 + [
+            pl.BlockSpec((C, 1), im_full)]
+        srow_r = _lane_rows(x_scale.astype(f32), B=B, J=J, nr=nr)
+        msrow_r = _lane_rows(
+            x_mean.astype(f32) * x_scale.astype(f32), B=B, J=J, nr=nr)
+        xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
+        args += [srow_r, msrow_r, xsum_r,
+                 jnp.sum(epsC, axis=1, keepdims=True)]
+        if miss:
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]
+            args += [_lane_rows(
+                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
+                B=B, J=J, nr=nr)]
+        scratch += [pltpu.VMEM((C, 1), f32),
+                    pltpu.VMEM((C, J), f32),
+                    pltpu.VMEM((J // Q, C), f32)]
+        if miss:
+            scratch += [pltpu.VMEM((C * J, B), f32),
+                        pltpu.VMEM((C * J, B), f32)]
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                 # eps (HBM)
+        pl.BlockSpec((1, C * J, B), im_round),             # beta_out
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((C, Npad), f32),
+        jax.ShapeDtypeStruct((nr, C * J, B), f32),
+    ]
+    kernel = functools.partial(_hs_jacobi_t_mc8_kernel, B=B, TN=TN, C=C,
+                               CGS=CGS, J=J, Q=Q, nt=nt, packed=packed,
+                               fold=fold, miss=miss)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nr, 2, nt, J // Q),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    eps_o, beta_o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+        ),
+    )(rho_i, *args)
+
+    if fold:
+        eps_o = eps_o * lane_mask
+    beta_flat = (beta_o.reshape(nr, C, J, B).transpose(1, 2, 0, 3)
+                 .reshape(C, Mpad))
+    return ((eps_o if packed else eps_o[:, :eps.shape[1]]).astype(eps.dtype),
+            beta_flat.astype(beta_pad.dtype))

@@ -457,3 +457,60 @@ def test_mc8_wide_packed_equals_dense(frac_missing):
                                rtol=3e-4, atol=3e-5)
     np.testing.assert_allclose(np.asarray(st_d.sigmaE),
                                np.asarray(st_q.sigmaE), rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_hs_mc8_wide_equals_single_runs():
+    """C=8 fused horseshoe chains through the WIDE mc kernel == 8
+    independent single-chain t-runs."""
+    from bayesrrcpp_tpu.ops.pallas_jacobi_t import (
+        horseshoe_jacobi_t_pallas_mc)
+
+    rng = np.random.default_rng(61)
+    N, M, B, J, C = 96, 256, 8, 8, 8
+    X = rng.standard_normal((N, M)).astype(np.float32)
+    XT = jnp.asarray(X.T)
+    xsq = jnp.sum(XT * XT, axis=1)
+    gram = bs.gram_blocks(XT, B)
+    eps = jnp.asarray(rng.standard_normal((C, N)).astype(np.float32))
+    beta = jnp.zeros((C, M), jnp.float32).at[:, 3].set(0.25)
+    z = jnp.asarray(rng.normal(0, 1, (C, M)).astype(np.float32))
+    lam = jnp.asarray(rng.uniform(0.1, 2.0, (C, M)).astype(np.float32))
+    tau = jnp.asarray(rng.uniform(0.01, 0.1, C).astype(np.float32))
+    c2 = jnp.asarray(rng.uniform(1.0, 2.0, C).astype(np.float32))
+    sigmaE = jnp.asarray(rng.uniform(0.5, 1.0, C).astype(np.float32))
+    valid = jnp.ones(M, bool)
+    rho, inner = bs.strided_orders(jax.random.PRNGKey(29), M // B, B, J)
+    eps_o, beta_o = horseshoe_jacobi_t_pallas_mc(
+        XT, gram, xsq, eps, beta, rho, inner, z, lam, tau, c2, sigmaE,
+        valid, J=J, interpret=True)      # C=8 -> wide kernel
+    for c in range(C):
+        e_r, b_r = horseshoe_jacobi_t_pallas(
+            XT, gram, xsq, eps[c], beta[c], rho, inner, z[c], lam[c],
+            tau[c], c2[c], sigmaE[c], valid, J=J, interpret=True)
+        np.testing.assert_allclose(np.asarray(b_r), np.asarray(beta_o[c]),
+                                   rtol=3e-4, atol=3e-6)
+        np.testing.assert_allclose(np.asarray(e_r), np.asarray(eps_o[c]),
+                                   rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_hs_mc8_wide_packed_equals_dense():
+    """C=8 fused horseshoe chains, packed fold-affine, through
+    step_chains: wide kernel == dense."""
+    dosage, dense, y = _nomissing_dosage(95, 150, 96)
+    cfg = HorseshoeConfig(block_size=16)
+    h_d = HorseshoeSampler(dense, y, cfg, backend="pallas",
+                           dtype=jnp.float32, jacobi_blocks=3,
+                           jacobi_layout="t")
+    h_q = HorseshoeSampler(dosage, y, cfg, x_dtype="2bit",
+                           dtype=jnp.float32, jacobi_blocks=3,
+                           jacobi_layout="t")
+    C = 8
+    ks = jax.random.split(jax.random.PRNGKey(59), C)
+    st_d = jax.vmap(h_d.init)(ks)
+    st_q = jax.vmap(h_q.init)(ks)
+    for _ in range(2):
+        st_d, st_q = h_d.step_chains(st_d), h_q.step_chains(st_q)
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_q.beta),
+                               rtol=3e-4, atol=3e-5)

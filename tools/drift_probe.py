@@ -1,0 +1,66 @@
+"""Long-chain f32 residual drift at the biobank shape (round-4 VERDICT
+ask #6): run >= 1000 Gibbs iterations of the packed headline config and
+periodically compare the TRACKED eps (rank-1 updates inside the kernel)
+against a fresh exact recompute eps = Y - mu - X beta (the sampler's
+refresh_eps pass, ops/genotypes.xbeta_packed).
+
+The f64 reference accrues no meaningful drift (src/BayesRv2.cpp:60); the
+f32 engine needs this measured bound + the optional
+ChainConfig.eps_refresh_every mitigation.
+
+Run on the TPU:  python tools/drift_probe.py [iters] [check_every]
+Writes tools/drift_curve.json and prints the curve.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax                                                     # noqa: E402
+import jax.numpy as jnp                                        # noqa: E402
+import numpy as np                                             # noqa: E402
+
+
+def main(iters=1000, check_every=100, N=100_352, M=503_808):
+    from bayesrrcpp_tpu import BayesRConfig, SpikeSlabSampler
+    from bayesrrcpp_tpu.simulate import (packed_word_stats,
+                                         random_packed_words)
+
+    key = jax.random.PRNGKey(0)
+    kx, kc = jax.random.split(key)
+    XT = random_packed_words(kx, M, N // 16)
+    Y = jax.random.normal(kc, (N,), jnp.float32)
+    smp = SpikeSlabSampler(XT, Y, np.array([0.0001, 0.001, 0.01]),
+                           BayesRConfig(block_size=512), transposed=True,
+                           x_dtype="2bit", x_stats=packed_word_stats(M))
+    state = smp.init(jax.random.PRNGKey(1))
+    curve = []
+    t0 = time.perf_counter()
+    for it in range(0, iters, check_every):
+        state = smp._run_steps(state, smp.data, check_every)
+        exact = smp.refresh_eps(state)
+        num = float(jnp.linalg.norm(state.eps - exact.eps))
+        den = float(jnp.linalg.norm(exact.eps))
+        rel = num / max(den, 1e-30)
+        curve.append({"iteration": it + check_every,
+                      "rel_drift": rel,
+                      "abs_drift": num})
+        print(f"iter {it + check_every:5d}  rel drift {rel:.3e}  "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        # keep sweeping the TRACKED eps (drift accumulates undisturbed)
+        state = state._replace(eps=state.eps)
+    out = {"config": f"biobank packed N={N} M={M} f32",
+           "iters": iters, "check_every": check_every, "curve": curve,
+           "max_rel_drift": max(c["rel_drift"] for c in curve)}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "drift_curve.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["curve"][-1]), "->", path)
+
+
+if __name__ == "__main__":
+    a = [int(x) for x in sys.argv[1:]]
+    main(*a)
