@@ -233,52 +233,44 @@ def _pos_to_lane(rows_pos, ir_c, *, B, JC):
 
 
 def _decoders(xt_refs, Q, TN, packed, fold, ablate=""):
-    """Per-subword X-tile decode helpers shared by the four kernels:
-    ``x_cat(k)`` yields the (Q*B, W) f32 code (or dense) tile of subword
-    k; ``x_both(k)`` additionally yields the missing indicator
-    (c == MISSING_CODE) from the SAME shift/and -- the missing fast
-    path's second dot operand costs no extra decode work."""
+    """Per-subword X-tile decode helpers shared by the kernels:
+    ``x_cat(k, mcs=None)`` yields the (Q*B, W) f32 code (or dense) tile
+    of subword k.  ``mcs`` (missing mode) is a list of Q per-block
+    (B, 1) per-marker MEAN columns: missing fields (code 3) decode to
+    the marker mean, which the fold-affine algebra then cancels exactly
+    -- (m - m) * s == 0 -- so mean imputation costs ONE compare+select
+    per element and no extra dot."""
     f32 = jnp.float32
     if packed:
         SUB, W = 16, TN // 16
         if ablate == "k1":           # perf probe: 1 of 16 subwords
             SUB = 1
 
-        def x_sub(q, k):
+        def x_sub(q, k, mc=None):
             if ablate == "noshift":  # perf probe: skip the bit extracts
                 return xt_refs[q][...].astype(f32)
             c = (xt_refs[q][...] >> (2 * k)) & 3           # (B, W) int32
-            return c.astype(f32)
-
-        def xm_sub(q, k):
-            c = (xt_refs[q][...] >> (2 * k)) & 3
-            return c.astype(f32), (c == 3).astype(f32)
+            cf = c.astype(f32)
+            if mc is not None:
+                cf = jnp.where(c == 3, mc, cf)
+            return cf
     else:
         SUB, W = 1, TN
 
-        def x_sub(q, k):
+        def x_sub(q, k, mc=None):
             xr = xt_refs[q]
             if fold and xr.dtype != jnp.float32:
                 return xr[...].astype(f32)
             return xr[...]
 
-        def xm_sub(q, k):
-            x = x_sub(q, k)
-            return x, jnp.zeros_like(x)
-
-    def x_cat(k):
+    def x_cat(k, mcs=None):
+        parts = [x_sub(q, k, None if mcs is None else mcs[q])
+                 for q in range(Q)]
         if Q == 1:
-            return x_sub(0, k)
-        return jnp.concatenate([x_sub(q, k) for q in range(Q)], axis=0)
+            return parts[0]
+        return jnp.concatenate(parts, axis=0)
 
-    def x_both(k):
-        pairs = [xm_sub(q, k) for q in range(Q)]
-        if Q == 1:
-            return pairs[0]
-        return (jnp.concatenate([p[0] for p in pairs], axis=0),
-                jnp.concatenate([p[1] for p in pairs], axis=0))
-
-    return x_cat, x_both, SUB, W
+    return x_cat, SUB, W
 
 
 def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
@@ -316,8 +308,6 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
         scr = rest[12 + nf:]
         (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc,
          dpos_sc, dlane_sc, fold_sc) = scr[:8]
-        if miss:
-            rmb_sc, dlm_sc = scr[8:10]
     else:
         outs = rest[7:12]
         (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc,
@@ -334,8 +324,15 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
     _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
-    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold,
-                                      ablate=_ablate)
+    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold,
+                              ablate=_ablate)
+    if miss:
+        def _mcols():
+            # per-block (B, 1) mean columns: missing fields decode to the
+            # marker mean, which the fold affine algebra cancels exactly
+            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
+                    for q in range(Q)]
+
 
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
@@ -351,35 +348,22 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((J, B), f32)
-        if miss:
-            rmb_sc[...] = jnp.zeros((J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
         # ONE (1, W) x (W, Q*B) MXU dot per subword covers this grid
         # step's Q blocks at full output width (plus the missing-
         # indicator dot in miss mode, from the same decode)
-        acc = accm = None
+        mcs = _mcols() if miss else None
+        acc = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (1, W)
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, ccat, (((1,), (1,)), ((), ())),
+                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (1, Q*B)
             acc = d if acc is None else acc + d
-            if miss:
-                dm = jax.lax.dot_general(
-                    eps_t, mcat, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
-                accm = dm if accm is None else accm + dm
         for q in range(Q):
             rb_sc[pl.ds(jq * Q + q, 1), :] += acc[:, q * B:(q + 1) * B]
-            if miss:
-                rmb_sc[pl.ds(jq * Q + q, 1), :] += accm[:,
-                                                        q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
@@ -392,19 +376,12 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
             klane_out[0] = jnp.full((J, B), -1.0, f32)
             if fold:
                 fold_sc[1:1 + J, :] = jnp.zeros((J, 1), f32)
-            if miss:
-                dlm_sc[...] = jnp.zeros_like(dlm_sc)
             return
         if fold:
             # code-domain r -> standardized domain, whole round at once
             # (srow/msrow rows are in LANE order, like rb at this point)
             es = fold_sc[0, 0]
-            rbv = rb_sc[...] * srow_ref[0] - msrow_ref[0] * es
-            if miss:
-                # exact sparse correction: the raw-code dot counted the
-                # missing lanes' code 3 as a real dosage
-                rbv = rbv - mcrow_ref[0] * rmb_sc[...]
-            rb_sc[...] = rbv
+            rb_sc[...] = rb_sc[...] * srow_ref[0] - msrow_ref[0] * es
 
         # r and beta to position order + transposed layout (chunked
         # batched one-hot matmuls)
@@ -518,8 +495,6 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
             fold_sc[0:1, :] -= jnp.sum(sub1, axis=0, keepdims=True)
             fold_sc[1:1 + J, :] = jnp.sum(dl * msrow_ref[0], axis=1,
                                           keepdims=True)   # dms per block
-            if miss:
-                dlm_sc[...] = dl * mcrow_ref[0]
             dlane_sc[...] = dl * srow_ref[0]
 
     @pl.when(ph == 1)
@@ -532,24 +507,13 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
             dms = fold_sc[pl.ds(1 + jq * Q, 1), :]
             for q in range(1, Q):
                 dms = dms + fold_sc[pl.ds(1 + jq * Q + q, 1), :]
-        if miss:
-            dlmcat = jnp.concatenate(
-                [dlm_sc[pl.ds(jq * Q + q, 1), :] for q in range(Q)],
-                axis=1)
+        mcs = _mcols() if miss else None
         for k in range(SUB):
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, ccat, (((1,), (0,)), ((), ())),
+                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                # (1, W)
             if fold:
                 upd = upd - dms
-            if miss:
-                upd = upd - jax.lax.dot_general(
-                    dlmcat, mcat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
@@ -575,8 +539,6 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
         scr = rest[7 + nf:]
         (rb_sc, rT_sc, bT_sc, dposT_sc,
          dpos_sc, dlane_sc, fold_sc) = scr[:7]
-        if miss:
-            rmb_sc, dlm_sc = scr[7:9]
     else:
         eps_out, beta_out = rest[5:7]
         (rb_sc, rT_sc, bT_sc, dposT_sc,
@@ -590,7 +552,14 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
     F = 5
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    if miss:
+        def _mcols():
+            # per-block (B, 1) mean columns: missing fields decode to the
+            # marker mean, which the fold affine algebra cancels exactly
+            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
+                    for q in range(Q)]
+
 
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
@@ -604,41 +573,25 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((J, B), f32)
-        if miss:
-            rmb_sc[...] = jnp.zeros((J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        acc = accm = None
+        mcs = _mcols() if miss else None
+        acc = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, ccat, (((1,), (1,)), ((), ())),
+                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                # (1, Q*B)
             acc = d if acc is None else acc + d
-            if miss:
-                dm = jax.lax.dot_general(
-                    eps_t, mcat, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
-                accm = dm if accm is None else accm + dm
         for q in range(Q):
             rb_sc[pl.ds(jq * Q + q, 1), :] += acc[:, q * B:(q + 1) * B]
-            if miss:
-                rmb_sc[pl.ds(jq * Q + q, 1), :] += accm[:,
-                                                        q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
         if fold:
             es = fold_sc[0, 0]
-            rbv = rb_sc[...] * srow_ref[0] - msrow_ref[0] * es
-            if miss:
-                rbv = rbv - mcrow_ref[0] * rmb_sc[...]
-            rb_sc[...] = rbv
+            rb_sc[...] = rb_sc[...] * srow_ref[0] - msrow_ref[0] * es
 
         for c in range(NC):
             ir_c = innr_ref[0][:, c * CW:(c + 1) * CW]
@@ -686,8 +639,6 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
             fold_sc[0:1, :] -= jnp.sum(sub1, axis=0, keepdims=True)
             fold_sc[1:1 + J, :] = jnp.sum(dl * msrow_ref[0], axis=1,
                                           keepdims=True)
-            if miss:
-                dlm_sc[...] = dl * mcrow_ref[0]
             dlane_sc[...] = dl * srow_ref[0]
 
     @pl.when(ph == 1)
@@ -698,24 +649,13 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
             dms = fold_sc[pl.ds(1 + jq * Q, 1), :]
             for q in range(1, Q):
                 dms = dms + fold_sc[pl.ds(1 + jq * Q + q, 1), :]
-        if miss:
-            dlmcat = jnp.concatenate(
-                [dlm_sc[pl.ds(jq * Q + q, 1), :] for q in range(Q)],
-                axis=1)
+        mcs = _mcols() if miss else None
         for k in range(SUB):
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, ccat, (((1,), (0,)), ((), ())),
+                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                # (1, W)
             if fold:
                 upd = upd - dms
-            if miss:
-                upd = upd - jax.lax.dot_general(
-                    dlmcat, mcat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
@@ -914,14 +854,9 @@ def bayesr_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad, labels_pad,
         xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
         args += [srow_r, msrow_r, xsum_r, jnp.sum(eps2d, axis=1)]
         if miss:
-            in_specs += [pl.BlockSpec((1, J, B), im_round)]  # mcoef rows
-            args += [_lane_rows(
-                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
-                B=B, J=J, nr=nr)]
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]  # mean rows
+            args += [_lane_rows(x_mean.astype(f32), B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((1 + J, 1), f32)]           # esum ; dms_j
-        if miss:
-            scratch += [pltpu.VMEM((J, B), f32),           # rmiss rows
-                        pltpu.VMEM((J, B), f32)]           # delta*mcoef
     out_specs = [
         pl.BlockSpec((1, Npad), im_full),                  # eps_out
         pl.BlockSpec((1, J, B), im_round),                 # beta_out (lane)
@@ -1045,14 +980,9 @@ def horseshoe_jacobi_t_pallas(XT_pad, gram, xsq_pad, eps, beta_pad,
         xsum_r = _lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr)
         args += [srow_r, msrow_r, xsum_r, jnp.sum(eps2d, axis=1)]
         if miss:
-            in_specs += [pl.BlockSpec((1, J, B), im_round)]  # mcoef rows
-            args += [_lane_rows(
-                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
-                B=B, J=J, nr=nr)]
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]  # mean rows
+            args += [_lane_rows(x_mean.astype(f32), B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((1 + J, 1), f32)]
-        if miss:
-            scratch += [pltpu.VMEM((J, B), f32),
-                        pltpu.VMEM((J, B), f32)]
     out_specs = [
         pl.BlockSpec((1, Npad), im_full),                  # eps_out
         pl.BlockSpec((1, J, B), im_round),                 # beta_out (lane)
@@ -1145,8 +1075,6 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
         scr = rest[12 + nf:]
         (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc, dpos_sc, dlane_sc,
          sem, esum_sc, dms_sc, dmsq_sc) = scr[:11]
-        if miss:
-            rmb_sc, dlm_sc = scr[11:13]
     else:
         outs = rest[7:12]
         (rb_sc, rT_sc, bT_sc, dposT_sc, krecT_sc, dpos_sc, dlane_sc,
@@ -1162,7 +1090,14 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
     _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
-    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    if miss:
+        def _mcols():
+            # per-block (B, 1) mean columns: missing fields decode to the
+            # marker mean, which the fold affine algebra cancels exactly
+            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
+                    for q in range(Q)]
+
 
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
@@ -1189,41 +1124,26 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
         klane_out[0] = jnp.full((C * J, B), -1.0, f32)
         if fold:
             dmsq_sc[...] = jnp.zeros_like(dmsq_sc)
-        if miss:
-            dlm_sc[...] = jnp.zeros_like(dlm_sc)
 
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((C * J, B), f32)
-        if miss:
-            rmb_sc[...] = jnp.zeros((C * J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        acc = accm = None
+        mcs = _mcols() if miss else None
+        acc = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, ccat, (((1,), (1,)), ((), ())),
+                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
             acc = d if acc is None else acc + d
-            if miss:
-                dm = jax.lax.dot_general(
-                    eps_t, mcat, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
-                accm = dm if accm is None else accm + dm
         for q in range(Q):
             jj = jq * Q + q
             for c in range(C):
                 rb_sc[pl.ds(c * J + jj, 1), :] += acc[c:c + 1,
                                                       q * B:(q + 1) * B]
-                if miss:
-                    rmb_sc[pl.ds(c * J + jj, 1), :] += accm[
-                        c:c + 1, q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
@@ -1233,11 +1153,9 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
         if fold:
             for c in range(C):
                 es = esum_sc[c, 0]
-                rbv = (rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
-                       - msrow_ref[0] * es)
-                if miss:
-                    rbv = rbv - mcrow_ref[0] * rmb_sc[c * J:(c + 1) * J, :]
-                rb_sc[c * J:(c + 1) * J, :] = rbv
+                rb_sc[c * J:(c + 1) * J, :] = (
+                    rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
+                    - msrow_ref[0] * es)
 
         for c in range(C):
             for ch in range(NC):
@@ -1362,8 +1280,6 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
                 dms_c = jnp.sum(dl * msrow_ref[0], axis=1,
                                 keepdims=True)              # (J, 1)
                 dms_sc[c:c + 1, :] = _tsp(dms_c, J)         # row c: (1, J)
-                if miss:
-                    dlm_sc[c * J:(c + 1) * J, :] = dl * mcrow_ref[0]
                 dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
             # per-(grid-step, chain) pre-summed dms: row jq holds the sum
             # of its Q blocks' dms for each chain
@@ -1388,22 +1304,13 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
         dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
-        if miss:
-            dlmcat = catrows(dlm_sc)
+        mcs = _mcols() if miss else None
         for k in range(SUB):
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, ccat, (((1,), (0,)), ((), ())),
+                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
-            if miss:
-                upd = upd - jax.lax.dot_general(
-                    dlmcat, mcat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
@@ -1551,16 +1458,11 @@ def bayesr_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
         args += [srow_r, msrow_r, xsum_r,
                  jnp.sum(epsC, axis=1, keepdims=True)]
         if miss:
-            in_specs += [pl.BlockSpec((1, J, B), im_round)]  # mcoef rows
-            args += [_lane_rows(
-                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
-                B=B, J=J, nr=nr)]
+            in_specs += [pl.BlockSpec((1, J, B), im_round)]  # mean rows
+            args += [_lane_rows(x_mean.astype(f32), B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((C, 1), f32),               # esum / chain
                     pltpu.VMEM((C, J), f32),               # dms rows
                     pltpu.VMEM((J // Q, C), f32)]          # dms / grid step
-        if miss:
-            scratch += [pltpu.VMEM((C * J, B), f32),       # rmiss rows
-                        pltpu.VMEM((C * J, B), f32)]       # delta*mcoef
     out_specs = [
         pl.BlockSpec((C, Npad), im_full),                  # eps_out
         pl.BlockSpec((1, C * J, B), im_round),             # beta_out
@@ -1716,8 +1618,6 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
         scr = rest[7 + nf:]
         (rb_sc, rT_sc, bT_sc, dposT_sc, dpos_sc, dlane_sc,
          sem, esum_sc, dms_sc, dmsq_sc) = scr[:10]
-        if miss:
-            rmb_sc, dlm_sc = scr[10:12]
     else:
         eps_out, beta_out = rest[5:7]
         (rb_sc, rT_sc, bT_sc, dposT_sc, dpos_sc, dlane_sc,
@@ -1731,7 +1631,14 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
     F = 5
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    if miss:
+        def _mcols():
+            # per-block (B, 1) mean columns: missing fields decode to the
+            # marker mean, which the fold affine algebra cancels exactly
+            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
+                    for q in range(Q)]
+
 
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
@@ -1747,46 +1654,31 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(jq == 0, t == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((C * J, B), f32)
-        if miss:
-            rmb_sc[...] = jnp.zeros((C * J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        acc = accm = None
+        mcs = _mcols() if miss else None
+        acc = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, ccat, (((1,), (1,)), ((), ())),
+                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
             acc = d if acc is None else acc + d
-            if miss:
-                dm = jax.lax.dot_general(
-                    eps_t, mcat, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
-                accm = dm if accm is None else accm + dm
         for q in range(Q):
             jj = jq * Q + q
             for c in range(C):
                 rb_sc[pl.ds(c * J + jj, 1), :] += acc[c:c + 1,
                                                       q * B:(q + 1) * B]
-                if miss:
-                    rmb_sc[pl.ds(c * J + jj, 1), :] += accm[
-                        c:c + 1, q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(jq == 0, t == 0)))
     def _solve():
         if fold:
             for c in range(C):
                 es = esum_sc[c, 0]
-                rbv = (rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
-                       - msrow_ref[0] * es)
-                if miss:
-                    rbv = rbv - mcrow_ref[0] * rmb_sc[c * J:(c + 1) * J, :]
-                rb_sc[c * J:(c + 1) * J, :] = rbv
+                rb_sc[c * J:(c + 1) * J, :] = (
+                    rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
+                    - msrow_ref[0] * es)
 
         for c in range(C):
             for ch in range(NC):
@@ -1847,8 +1739,6 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
                 esum_sc[c:c + 1, :] -= jnp.sum(sub1, axis=0, keepdims=True)
                 dms_c = jnp.sum(dl * msrow_ref[0], axis=1, keepdims=True)
                 dms_sc[c:c + 1, :] = _tsp(dms_c, J)
-                if miss:
-                    dlm_sc[c * J:(c + 1) * J, :] = dl * mcrow_ref[0]
                 dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
             JQ2 = J // Q
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
@@ -1871,22 +1761,13 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
         dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
-        if miss:
-            dlmcat = catrows(dlm_sc)
+        mcs = _mcols() if miss else None
         for k in range(SUB):
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, ccat, (((1,), (0,)), ((), ())),
+                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
-            if miss:
-                upd = upd - jax.lax.dot_general(
-                    dlmcat, mcat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
             eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
 
 
@@ -2006,15 +1887,10 @@ def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
                  jnp.sum(epsC, axis=1, keepdims=True)]
         if miss:
             in_specs += [pl.BlockSpec((1, J, B), im_round)]
-            args += [_lane_rows(
-                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
-                B=B, J=J, nr=nr)]
+            args += [_lane_rows(x_mean.astype(f32), B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((C, 1), f32),
                     pltpu.VMEM((C, J), f32),
                     pltpu.VMEM((J // Q, C), f32)]
-        if miss:
-            scratch += [pltpu.VMEM((C * J, B), f32),
-                        pltpu.VMEM((C * J, B), f32)]
     out_specs = [
         pl.BlockSpec((C, Npad), im_full),                  # eps_out
         pl.BlockSpec((1, C * J, B), im_round),             # beta_out
@@ -2095,9 +1971,8 @@ def build_strided_operands(gram, xsq_pad, g_assign_pad, valid_pad, p_arr,
                              B=B, J=J, nr=nr),
             xsum=_lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr))
         if missing:
-            kw["mcrow"] = _lane_rows(
-                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
-                B=B, J=J, nr=nr)
+            kw["mcrow"] = _lane_rows(x_mean.astype(f32), B=B, J=J,
+                                     nr=nr)
     return StridedOperands(
         inner_row=inner_row, pkgT=pkgT, gpT=gpT,
         gas_lane=_lane_rows(g_assign_pad.astype(jnp.int32), B=B, J=J,
@@ -2180,9 +2055,6 @@ def bayesr_jacobi_t_rounds(XT_pad, ops, rho_chunk, eps2d, sigmaE, *,
             in_specs += [pl.BlockSpec((1, J, B), im_round)]
             args += [ops.mcrow]
         scratch += [pltpu.VMEM((1 + J, 1), f32)]
-        if miss:
-            scratch += [pltpu.VMEM((J, B), f32),
-                        pltpu.VMEM((J, B), f32)]
     out_specs = [
         pl.BlockSpec((1, Npad), im_full),
         pl.BlockSpec((1, J, B), im_visit),                 # beta (visit)
@@ -2263,9 +2135,8 @@ def build_strided_operands_mc(gram, xsq_pad, g_assign_pad, valid_pad,
                              B=B, J=J, nr=nr),
             xsum=_lane_rows(x_xsum.astype(f32), B=B, J=J, nr=nr))
         if missing:
-            kw["mcrow"] = _lane_rows(
-                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
-                B=B, J=J, nr=nr)
+            kw["mcrow"] = _lane_rows(x_mean.astype(f32), B=B, J=J,
+                                     nr=nr)
     return StridedOperandsMC(
         inner_row=inner_row, pkgT=pkgT, gpT=gpT,
         gas_lane=_lane_rows(g_assign_pad.astype(jnp.int32), B=B, J=J,
@@ -2358,9 +2229,6 @@ def bayesr_jacobi_t_mc_rounds(XT_pad, ops, rho_chunk, epsC, *, J, B, K, G,
         scratch += [pltpu.VMEM((C, 1), f32),
                     pltpu.VMEM((C, J), f32),
                     pltpu.VMEM((J // Q, C), f32)]
-        if miss:
-            scratch += [pltpu.VMEM((C * J, B), f32),
-                        pltpu.VMEM((C * J, B), f32)]
     out_specs = [
         pl.BlockSpec((C, Npad), im_full),                  # eps_out
         pl.BlockSpec((1, C * J, B), im_visit),             # beta (visit)
@@ -2449,8 +2317,6 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
      sem3) = scr[:11]
     if fold:
         esum_sc, dms_sc, dmsq_sc = scr[11:14]
-        if miss:
-            rmb_sc, dlm_sc = scr[14:16]
 
     r = pl.program_id(0)
     ph = pl.program_id(1)
@@ -2460,7 +2326,14 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
     F = 3 * K + 4
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    if miss:
+        def _mcols():
+            # per-block (B, 1) mean columns: missing fields decode to the
+            # marker mean, which the fold affine algebra cancels exactly
+            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
+                    for q in range(Q)]
+
     rho_r = rho_ref[r]
     JQ_LAST = J // Q - 1
 
@@ -2487,46 +2360,31 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(t == 0, jq == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((C * J, B), f32)
-        if miss:
-            rmb_sc[...] = jnp.zeros((C * J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        acc = accm = None
+        mcs = _mcols() if miss else None
+        acc = None
         for k in range(SUB):
             eps_t = eps_sc[:, pl.ds(k * W, W)]              # (C, W)
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, ccat, (((1,), (1,)), ((), ())),
+                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
             acc = d if acc is None else acc + d
-            if miss:
-                dm = jax.lax.dot_general(
-                    eps_t, mcat, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
-                accm = dm if accm is None else accm + dm
         for q in range(Q):
             jj = jq * Q + q
             for c in range(C):
                 rb_sc[pl.ds(c * J + jj, 1), :] += acc[c:c + 1,
                                                       q * B:(q + 1) * B]
-                if miss:
-                    rmb_sc[pl.ds(c * J + jj, 1), :] += accm[
-                        c:c + 1, q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(t == 0, jq == 0)))
     def _solve():
         if fold:
             for c in range(C):
                 es = esum_sc[c, 0]
-                rbv = (rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
-                       - msrow_ref[0] * es)
-                if miss:
-                    rbv = rbv - mcrow_ref[0] * rmb_sc[c * J:(c + 1) * J, :]
-                rb_sc[c * J:(c + 1) * J, :] = rbv
+                rb_sc[c * J:(c + 1) * J, :] = (
+                    rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
+                    - msrow_ref[0] * es)
 
         hse = hse_ref[...]                                  # (C, 1)
         Kf = jnp.float32(K)
@@ -2657,8 +2515,6 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
                     dms_c = jnp.sum(dl * msrow_ref[0], axis=1,
                                     keepdims=True)
                     dms_sc[c:c + 1, :] = _tsp(dms_c, J)
-                    if miss:
-                        dlm_sc[c * J:(c + 1) * J, :] = dl * mcrow_ref[0]
                     dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
 
         if fold:
@@ -2683,23 +2539,13 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
         dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
-        if miss:
-            dlmcat = catrows(dlm_sc)
+        mcs = _mcols() if miss else None
         for k in range(SUB):
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, ccat, (((1,), (0,)), ((), ())),
+                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
-            if miss:
-                upd = upd - jax.lax.dot_general(
-                    dlmcat, mcat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
-
             eps_sc[:, pl.ds(k * W, W)] -= upd
 
         @pl.when(jq == JQ_LAST)
@@ -2718,8 +2564,7 @@ def _mc8_tile_n(Npad, B, J, F, Q, C, CGS, miss, packed):
     budget -= 2 * (B * B * lanes * 4)                   # gpT dbl
     budget -= B * F * CGS * lanes * 4                   # pkg scratch
     budget -= 3 * 2 * (C * J * 128 * 4)                 # beta in+2 outs dbl
-    nfull = 3 + (2 if miss else 0)
-    budget -= nfull * (C * J * 128 * 4)                 # full-C scratches
+    budget -= 3 * (C * J * 128 * 4)                     # full-C scratches
     budget -= 4 * (CGS * B * lanes * 4)                 # rT/bT/dposT/krecT
     budget -= 2 * 6 * (J * 128 * 4)                     # row operands
     budget -= int(0.5 * 2 ** 20)
@@ -2849,15 +2694,10 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
                  jnp.sum(epsC, axis=1, keepdims=True)]
         if miss:
             in_specs += [pl.BlockSpec((1, J, B), im_round)]
-            args += [_lane_rows(
-                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
-                B=B, J=J, nr=nr)]
+            args += [_lane_rows(x_mean.astype(f32), B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((C, 1), f32),               # esum
                     pltpu.VMEM((C, J), f32),               # dms
                     pltpu.VMEM((J // Q, C), f32)]          # dmsq
-        if miss:
-            scratch += [pltpu.VMEM((C * J, B), f32),       # rmb
-                        pltpu.VMEM((C * J, B), f32)]       # dlm
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),                 # eps (HBM)
         pl.BlockSpec((1, C * J, B), im_round),             # beta_out
@@ -2942,8 +2782,6 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
      rT_sc, bT_sc, dposT_sc, eps_sc, sem, sem3) = scr[:10]
     if fold:
         esum_sc, dms_sc, dmsq_sc = scr[10:13]
-        if miss:
-            rmb_sc, dlm_sc = scr[13:15]
 
     r = pl.program_id(0)
     ph = pl.program_id(1)
@@ -2953,7 +2791,14 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
     F = 5
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-    x_cat, x_both, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    if miss:
+        def _mcols():
+            # per-block (B, 1) mean columns: missing fields decode to the
+            # marker mean, which the fold affine algebra cancels exactly
+            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
+                    for q in range(Q)]
+
     rho_r = rho_ref[r]
     JQ_LAST = J // Q - 1
 
@@ -2978,46 +2823,31 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
     @pl.when(jnp.logical_and(ph == 0, jnp.logical_and(t == 0, jq == 0)))
     def _zero_r():
         rb_sc[...] = jnp.zeros((C * J, B), f32)
-        if miss:
-            rmb_sc[...] = jnp.zeros((C * J, B), f32)
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        acc = accm = None
+        mcs = _mcols() if miss else None
+        acc = None
         for k in range(SUB):
             eps_t = eps_sc[:, pl.ds(k * W, W)]              # (C, W)
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             d = jax.lax.dot_general(
-                eps_t, ccat, (((1,), (1,)), ((), ())),
+                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
             acc = d if acc is None else acc + d
-            if miss:
-                dm = jax.lax.dot_general(
-                    eps_t, mcat, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
-                accm = dm if accm is None else accm + dm
         for q in range(Q):
             jj = jq * Q + q
             for c in range(C):
                 rb_sc[pl.ds(c * J + jj, 1), :] += acc[c:c + 1,
                                                       q * B:(q + 1) * B]
-                if miss:
-                    rmb_sc[pl.ds(c * J + jj, 1), :] += accm[
-                        c:c + 1, q * B:(q + 1) * B]
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(t == 0, jq == 0)))
     def _solve():
         if fold:
             for c in range(C):
                 es = esum_sc[c, 0]
-                rbv = (rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
-                       - msrow_ref[0] * es)
-                if miss:
-                    rbv = rbv - mcrow_ref[0] * rmb_sc[c * J:(c + 1) * J, :]
-                rb_sc[c * J:(c + 1) * J, :] = rbv
+                rb_sc[c * J:(c + 1) * J, :] = (
+                    rb_sc[c * J:(c + 1) * J, :] * srow_ref[0]
+                    - msrow_ref[0] * es)
 
         for gg in range(ng):
             cp = pltpu.make_async_copy(pkg_ref.at[rho_r, gg], pkg_sc, sem)
@@ -3091,8 +2921,6 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
                     dms_c = jnp.sum(dl * msrow_ref[0], axis=1,
                                     keepdims=True)
                     dms_sc[c:c + 1, :] = _tsp(dms_c, J)
-                    if miss:
-                        dlm_sc[c * J:(c + 1) * J, :] = dl * mcrow_ref[0]
                     dlane_sc[c * J:(c + 1) * J, :] = dl * srow_ref[0]
 
         if fold:
@@ -3117,22 +2945,13 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
         dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
-        if miss:
-            dlmcat = catrows(dlm_sc)
+        mcs = _mcols() if miss else None
         for k in range(SUB):
-            if miss:
-                ccat, mcat = x_both(k)
-            else:
-                ccat = x_cat(k)
             upd = jax.lax.dot_general(
-                dlcat, ccat, (((1,), (0,)), ((), ())),
+                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
-            if miss:
-                upd = upd - jax.lax.dot_general(
-                    dlmcat, mcat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
             eps_sc[:, pl.ds(k * W, W)] -= upd
 
         @pl.when(jq == JQ_LAST)
@@ -3244,15 +3063,10 @@ def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
                  jnp.sum(epsC, axis=1, keepdims=True)]
         if miss:
             in_specs += [pl.BlockSpec((1, J, B), im_round)]
-            args += [_lane_rows(
-                (3.0 - x_mean.astype(f32)) * x_scale.astype(f32),
-                B=B, J=J, nr=nr)]
+            args += [_lane_rows(x_mean.astype(f32), B=B, J=J, nr=nr)]
         scratch += [pltpu.VMEM((C, 1), f32),
                     pltpu.VMEM((C, J), f32),
                     pltpu.VMEM((J // Q, C), f32)]
-        if miss:
-            scratch += [pltpu.VMEM((C * J, B), f32),
-                        pltpu.VMEM((C * J, B), f32)]
     out_specs = [
         pl.BlockSpec(memory_space=pl.ANY),                 # eps (HBM)
         pl.BlockSpec((1, C * J, B), im_round),             # beta_out

@@ -1,5 +1,5 @@
 """Multi-chip communication model for the sharded samplers (round-4
-VERDICT #6): per-iteration collective counts + payload bytes, validated
+VERDICT #6, extended round 5 with the fused multi-chain pattern): per-iteration collective counts + payload bytes, validated
 against the compiled HLO of the virtual-mesh dry run, and a projected
 scaling efficiency at BASELINE.md config 5 (N=400k x M=1M, >= 8 chips).
 
@@ -10,7 +10,7 @@ from the measured single-chip compute rate + published v5e ICI numbers.
 
 Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       JAX_PLATFORMS=cpu python tools/comm_model.py
-Writes COMM_MODEL_r04.json at the repo root.
+Writes COMM_MODEL_r05.json at the repo root.
 """
 import json
 import os
@@ -98,6 +98,36 @@ def hlo_collective_count(Dm, Dn, *, N=512, M=512, B=32, chunk_blocks=4):
             "nb_loc": s.nb_loc, "chunk_blocks": chunk_blocks}
 
 
+def hlo_collective_count_mc(Dm, *, N=512, M=2048, B=32, C=4):
+    """All-reduce sites of the FUSED MULTI-CHAIN step (step_chains on an
+    (m, 1) mesh with the transposed mc kernel engaged): one (C, Npad)
+    eps psum per chunk round + the per-iteration (vmapped) hyper
+    reductions -- same SITE structure as the single-chain path, payload
+    scaled by C."""
+    from bayesrrcpp_tpu import BayesRConfig
+    from bayesrrcpp_tpu.parallel.mesh import make_mesh
+    from bayesrrcpp_tpu.parallel.sharded import ShardedSpikeSlabSampler
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((N, M)).astype(np.float32)
+    Y = rng.standard_normal(N).astype(np.float32)
+    s = ShardedSpikeSlabSampler(
+        X, Y, np.array([0.001, 0.01, 0.1]), BayesRConfig(block_size=B),
+        make_mesh(Dm, 1), dtype=jnp.float32, backend="pallas")
+    assert s.jacobi_t > 1, "shape must engage the transposed mc kernel"
+    st = s.init_chains(jax.random.PRNGKey(0), C)
+    fn = s._get_mc_run_steps(1, C)
+    txt = jax.jit(lambda st: fn(st, s.data)).lower(st).compile().as_text()
+    got = int(txt.count("all-reduce"))
+    expected = 1 + 6
+    assert got == expected, (got, expected)
+    return {"mesh": [Dm, 1], "backend": "pallas-mc-t", "chains": C,
+            "hlo_all_reduce_sites": got,
+            "expected_sites_analytic": expected, "match": True,
+            "eps_psum_payload_bytes": int(C * s.Npad * 4),
+            "nb_loc": s.nb_loc, "jacobi_t": s.jacobi_t}
+
+
 def projection_config5():
     """Projected scaling at BASELINE config 5 (N=400k, M=1M groups) from
     the measured round-4 single-chip rate and v5e interconnect numbers.
@@ -154,10 +184,11 @@ def main():
             hlo_collective_count(4, 1),
             hlo_collective_count(2, 2),
         ],
+        "hlo_validation_mc": [hlo_collective_count_mc(4, C=4)],
         "projection": projection_config5(),
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "COMM_MODEL_r04.json")
+    path = os.path.join(here, "COMM_MODEL_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
