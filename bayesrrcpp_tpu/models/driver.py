@@ -52,9 +52,10 @@ def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
         return state
 
     def deliver(rows, done, state):
-        rows = jax.tree.map(np.asarray, rows)
-        if postprocess is not None:
-            rows = postprocess(rows)
+        if collected is not None or sink is not None:
+            rows = jax.tree.map(np.asarray, rows)   # device -> host
+            if postprocess is not None:
+                rows = postprocess(rows)
         if collected is not None:
             collected.append(rows)
         if sink is not None:
@@ -72,14 +73,24 @@ def run_chain(state, chain, *, steps_fn, emit_fn, postprocess=None,
             state = steps_fn(state, pre)
         state = maybe_refresh(state, emits[0] + 1)
         state, first = emit_fn(state, 1, 0)
-        deliver(first, 1, state)
+        # one chunk stays IN FLIGHT: the next chunk is dispatched (async)
+        # before the previous one's rows are fetched/written, so the
+        # device computes chunk k+1 while the host transfers, formats and
+        # writes chunk k (the overlap the reference built from OpenMP
+        # threads + a lock-free queue, src/BayesRv2.cpp:102-108)
+        # (pending rows are delivered with the NEWEST state -- the state
+        # captured at chunk time is donated by the next dispatch, and
+        # on_chunk checkpoints want the latest state anyway)
+        pending = (first, 1)
         done = 1
         while done - 1 < total - 1:
+            state = maybe_refresh(state, emits[done - 1] + 1)
             n = min(emit_chunk, total - done)
             state, rows = emit_fn(state, n, chain.thinning)
             done += n
-            deliver(rows, done, state)
-            state = maybe_refresh(state, emits[done - 1] + 1)
+            deliver(pending[0], pending[1], state)
+            pending = (rows, done)
+        deliver(pending[0], pending[1], state)
         tail = chain.max_iterations - (emits[-1] + 1)
         if tail > 0:
             state = steps_fn(state, tail)

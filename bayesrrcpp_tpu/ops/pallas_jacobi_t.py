@@ -2556,6 +2556,23 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
             cp.wait()
 
 
+def _mc8_plan_q_tn(Npad, B, J, F, C, CGS, packed):
+    """Jointly pick (Q, TN) minimizing grid invocations under the wide
+    kernel's VMEM model: a wider per-step dot (Q blocks fused) divides
+    the jq axis, a larger N-tile divides the t axis -- both axes
+    multiply into the invocation count that dominated the first mc8
+    measurement (55k invocations/iter at Q=4, TN=14336)."""
+    best = None
+    for q in (16, 8, 4, 2, 1):
+        if J % q:
+            continue
+        tn = _mc8_tile_n(Npad, B, J, F, q, C, CGS, False, packed)
+        inv = (J // q) * (Npad // tn)
+        if best is None or inv < best[0]:
+            best = (inv, q, tn)
+    return best[1], best[2]
+
+
 def _mc8_tile_n(Npad, B, J, F, Q, C, CGS, miss, packed):
     """Largest N-tile under the wide-mc kernel's VMEM model."""
     cap_mb = float(os.environ.get("BAYESR_VMEM_CAP_MB", "13"))
@@ -2606,7 +2623,6 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
     while C % CGS:
         CGS -= 1
     ng = C // CGS
-    Q = auto_q(J)
 
     if packed:
         Mpad_x, Nw = XT_pad.shape
@@ -2614,11 +2630,12 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         if Npad % 2048 or eps.shape[1] != Npad:
             raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
                              "matching pre-permuted eps")
-        TN = _mc8_tile_n(Npad, B, J, F, Q, C, CGS, miss, True)
+        Q, TN = _mc8_plan_q_tn(Npad, B, J, F, C, CGS, True)
         xt = XT_pad
         epsC = eps.astype(f32)
         lane_mask = row_valid.astype(f32).reshape(1, Npad)
     else:
+        Q = auto_q(J)
         Mpad_x, N0 = XT_pad.shape
         TN = min(512, max(128, 1 << (N0 - 1).bit_length()))
         Npad = -(-N0 // TN) * TN
@@ -2984,7 +3001,6 @@ def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
     while C % CGS:
         CGS -= 1
     ng = C // CGS
-    Q = auto_q(J)
 
     if packed:
         Mpad_x, Nw = XT_pad.shape
@@ -2992,11 +3008,12 @@ def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         if Npad % 2048 or eps.shape[1] != Npad:
             raise ValueError("packed sweep needs Npad % 2048 == 0 and a "
                              "matching pre-permuted eps")
-        TN = _mc8_tile_n(Npad, B, J, F, Q, C, CGS, miss, True)
+        Q, TN = _mc8_plan_q_tn(Npad, B, J, F, C, CGS, True)
         xt = XT_pad
         epsC = eps.astype(f32)
         lane_mask = row_valid.astype(f32).reshape(1, Npad)
     else:
+        Q = auto_q(J)
         Mpad_x, N0 = XT_pad.shape
         TN = min(512, max(128, 1 << (N0 - 1).bit_length()))
         Npad = -(-N0 // TN) * TN

@@ -300,8 +300,10 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
                             N=smp.N, emit_epsilon=False),
                     NpzSink(os.path.join(td, "c.npz")))
                 t1 = time.perf_counter()
+                # emit_chunk=8: enough pipeline stages that host
+                # transfer+format+write overlap device compute
                 smp.run(jax.random.PRNGKey(1), chain, sink=sink,
-                        collect=False)
+                        collect=False, emit_chunk=8)
                 sink.close()
                 el = time.perf_counter() - t1
                 csv_mb = os.path.getsize(os.path.join(td, "c.csv")) / 2**20
