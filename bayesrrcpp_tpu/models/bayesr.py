@@ -770,7 +770,9 @@ class SpikeSlabSampler:
             "beta": state.beta[:M],
             "sigmaE": state.sigmaE,
             "sigmaG": state.sigmaGG,
-            "comp": state.labels[:M],
+            # int8: component labels are < K <= 127; a 4x smaller
+            # emission payload matters on slow device->host links
+            "comp": state.labels[:M].astype(jnp.int8),
             "epsilon": eps,
             "alpha": state.alpha,
             "sigmaF": state.sigmaF,

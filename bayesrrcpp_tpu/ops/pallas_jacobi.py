@@ -132,8 +132,12 @@ def auto_jacobi_plan(M: int, B: int):
         wmax *= 2
     best = None
     w = wmax
-    while w >= 64:
-        J = min(128, w // 8)
+    while w >= 256:
+        # B >= 32: Mosaic rejects the kernel's chunked one-hot permute
+        # broadcasts at B = 8/16 on real TPUs ((1, JC*B) -> (B, JC*B)
+        # "Invalid input layout"), so small blocks trade lanes (smaller
+        # J) rather than sublanes
+        J = min(128, w // 32)
         Bc = w // J
         cand = (M % unit8(J, Bc) == 0, J, Bc)
         if best is None or cand > best:
@@ -143,7 +147,7 @@ def auto_jacobi_plan(M: int, B: int):
         if not best[0]:
             # no padding-free window: take the largest (padding was
             # already unavoidable; dense/host paths pad cheaply)
-            J = min(128, wmax // 8)
+            J = min(128, wmax // 32)
             return J, wmax // J, "t"
         return best[1], best[2], "t"
     J, Bc = auto_jacobi(M, B)

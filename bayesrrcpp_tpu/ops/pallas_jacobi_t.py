@@ -697,8 +697,25 @@ def _prep_x(XT_pad, eps, *, packed, fold, tile_n, B, J, F, Q, row_valid):
         lane_mask = row_valid.astype(f32).reshape(1, Npad)
     else:
         Mpad, N = XT_pad.shape
-        TN = min(tile_n, max(128, 1 << (N - 1).bit_length()))
-        Npad = -(-N // TN) * TN
+        TN0 = min(tile_n, max(128, 1 << (N - 1).bit_length()))
+        Npad = -(-N // TN0) * TN0
+        # VMEM-aware tile enlargement: 512-wide dense tiles put ~25k grid
+        # invocations (~7 ms of pure overhead) on the 16k x 49k bench
+        # shape -- grow TN to the largest multiple of TN0 that fits the
+        # residency model (measured round 5; the packed path already
+        # does this in _packed_tile_n_t)
+        budget = int(float(os.environ.get("BAYESR_VMEM_CAP_MB", "13"))
+                     * 2 ** 20)
+        lanes = max(J, 128)
+        budget -= 2 * (B * B * lanes * 4) + 2 * (B * F * lanes * 4)
+        budget -= 2 * 6 * (J * 128 * 4) + int(1.0 * 2 ** 20) + Npad * 4
+        nt_total = Npad // TN0
+        kmax = max(1, budget // (Q * 2 * (B * TN0 * 4)))
+        TN = TN0
+        for k in range(min(nt_total, kmax), 0, -1):
+            if nt_total % k == 0:
+                TN = TN0 * k
+                break
         eps2d = jnp.zeros((1, Npad), f32).at[0, :N].set(eps.astype(f32))
         xt = (XT_pad if Npad == N
               else jnp.pad(XT_pad, ((0, 0), (0, Npad - N))))

@@ -1154,7 +1154,7 @@ class ShardedSpikeSlabSampler:
             "beta": state.beta,
             "sigmaE": state.sigmaE,
             "sigmaG": state.sigmaGG,
-            "comp": state.labels,
+            "comp": state.labels.astype(jnp.int8),  # 4x smaller payload
             "epsilon": state.eps,
             "alpha": state.alpha,
             "sigmaF": state.sigmaF,

@@ -240,8 +240,9 @@ def test_auto_jacobi_plan_selection():
     assert auto_jacobi_plan(503_808, 512) == (128, 32, "t")
     # dense bench shape
     assert auto_jacobi_plan(49_152, 512) == (128, 32, "t")
-    # vignette scale: padding unavoidable, largest window under M/8
-    assert auto_jacobi_plan(10_000, 512) == (128, 8, "t")
+    # vignette scale: padding unavoidable, largest window under M/8;
+    # B floors at 32 (smaller blocks fail Mosaic layout on real TPUs)
+    assert auto_jacobi_plan(10_000, 512) == (32, 32, "t")
     # tiny M: no transposed plan -> row-layout fallback (J=1 sequential)
     j, b, lay = auto_jacobi_plan(96, 512)
     assert lay == "row" and j == 1

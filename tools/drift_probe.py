@@ -28,10 +28,22 @@ def main(iters=1000, check_every=100, N=100_352, M=503_808):
     from bayesrrcpp_tpu.simulate import (packed_word_stats,
                                          random_packed_words)
 
+    from bayesrrcpp_tpu.ops.genotypes import xbeta_packed
+
     key = jax.random.PRNGKey(0)
-    kx, kc = jax.random.split(key)
+    kx, kb, kc = jax.random.split(key, 3)
     XT = random_packed_words(kx, M, N // 16)
-    Y = jax.random.normal(kc, (N,), jnp.float32)
+    # Y needs real signal: a no-signal chain can hit m0 == 0 and draw
+    # sigmaG from an ~0-dof inv-scaled-chi^2 (NaN path)
+    means, sds = packed_word_stats(M)
+    n_causal = M // 500
+    bt = jnp.zeros((M,), jnp.float32).at[
+        jax.random.choice(kb, M, (n_causal,), replace=False)].set(
+        jax.random.normal(kb, (n_causal,)) * float(np.sqrt(0.5 / n_causal)))
+    g = xbeta_packed(XT, jnp.asarray(means, jnp.float32),
+                     jnp.asarray(1.0 / sds, jnp.float32), bt, 512, N)
+    Y = g + jax.random.normal(kc, (N,), jnp.float32) * \
+        jnp.sqrt(jnp.maximum(jnp.var(g), 1e-3))
     smp = SpikeSlabSampler(XT, Y, np.array([0.0001, 0.001, 0.01]),
                            BayesRConfig(block_size=512), transposed=True,
                            x_dtype="2bit", x_stats=packed_word_stats(M))
