@@ -38,15 +38,21 @@ class QuantizedGenotypes(NamedTuple):
     has_missing: bool
 
 
-def _lane_perm(Npad: int, TN: int, W: int):
+def _lane_perm(Npad: int, TN: int = 0, W: int = 0):
     """Stored-position -> original-individual permutation of the packed
-    layout: position t*TN + k*W + i holds original individual
-    16*(t*W + i) + k (the kernel decodes word bit-plane k of tile word i to
-    lane k*W + i, so no in-kernel reshuffle is needed)."""
-    t_idx = np.arange(Npad) // TN
-    rem = np.arange(Npad) % TN
-    k_idx, i_idx = rem // W, rem % W
-    return 16 * (t_idx * W + i_idx) + k_idx
+    eps/Y layout: GLOBAL plane-major -- position k*Nw + w (Nw = Npad/16
+    words) holds original individual 16*w + k (bit-plane k of word w).
+
+    Plane-major is the unique layout that keeps the (bit-plane k,
+    N-tile t) eps segment CONTIGUOUS for EVERY kernel N-tile size: the
+    kernels slice eps at [k*Nw + t*W, W) regardless of their TN.  (The
+    previous per-2048-tile interleave silently mispaired eps rows with
+    genotype words whenever a kernel grew its N-tile past 2048 -- the
+    VMEM-aware full-row grids at biobank scale -- scrambling the X<->Y
+    association; TN/W args are retired and ignored.)"""
+    nw = Npad // 16
+    p = np.arange(Npad)
+    return 16 * (p % nw) + p // nw
 
 
 def pack_codes_host(X, transposed, x_stats, Mpad, N):

@@ -304,6 +304,7 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
                 return xt_ref[...].astype(f32)
             return xt_ref[...]
 
+    NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(j == 0, t == 0)))
 
@@ -334,7 +335,7 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
     def _accumulate_r():
         # r_j += eps_tile . X_j_tile' (marker-lane order at this point)
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (1, W)
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (1, W)
             rb_sc[pl.ds(j, 1), :] += jax.lax.dot_general(
                 eps_t, x_sub(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (1, B)
@@ -474,7 +475,7 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
                 preferred_element_type=f32)                # (1, W)
             if fold:
                 upd = upd - fold_sc[pl.ds(1 + j, 1), :]
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def _jacobi_kernel_f(border_ref, xt_ref, inner_ref, pkg_ref, gpint_ref,
@@ -913,6 +914,7 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
                 return xt_ref[...].astype(f32)
             return xt_ref[...]
 
+    NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(j == 0, t == 0)))
 
@@ -937,7 +939,7 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
     @pl.when(ph == 0)
     def _accumulate_r():
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]      # (1, W)
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]      # (1, W)
             rb_sc[pl.ds(j, 1), :] += jax.lax.dot_general(
                 eps_t, x_sub(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                   # (1, B)
@@ -1013,7 +1015,7 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
                 preferred_element_type=f32)                   # (1, W)
             if fold:
                 upd = upd - fold_sc[pl.ds(1 + j, 1), :]
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def _hs_jacobi_kernel_f(border_ref, xt_ref, inner_ref, pkg_ref, gpint_ref,

@@ -326,6 +326,9 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
     _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
     x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold,
                               ablate=_ablate)
+    # global plane-major eps layout: the (bit-plane k, tile t) segment
+    # lives at [k*NW + t*W, W) for ANY tile size (genotypes._lane_perm)
+    NW = eps_out.shape[-1] // SUB
     if miss:
         def _mcols():
             # per-block (B, 1) mean columns: missing fields decode to the
@@ -357,7 +360,7 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
         mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (1, W)
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (1, W)
             d = jax.lax.dot_general(
                 eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (1, Q*B)
@@ -514,7 +517,7 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
                 preferred_element_type=f32)                # (1, W)
             if fold:
                 upd = upd - dms
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
@@ -553,6 +556,7 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
     x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     if miss:
         def _mcols():
             # per-block (B, 1) mean columns: missing fields decode to the
@@ -579,7 +583,7 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
         mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]
             d = jax.lax.dot_general(
                 eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                # (1, Q*B)
@@ -656,7 +660,7 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
                 preferred_element_type=f32)                # (1, W)
             if fold:
                 upd = upd - dms
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def _packed_tile_n_t(Npad, B, J, F, Q):
@@ -1108,6 +1112,7 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
     CW = JC * B
     _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
     x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     if miss:
         def _mcols():
             # per-block (B, 1) mean columns: missing fields decode to the
@@ -1151,7 +1156,7 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
         mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (C, W)
             d = jax.lax.dot_general(
                 eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
@@ -1328,7 +1333,7 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def bayesr_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
@@ -1649,6 +1654,7 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
     x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     if miss:
         def _mcols():
             # per-block (B, 1) mean columns: missing fields decode to the
@@ -1677,7 +1683,7 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
         mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (C, W)
             d = jax.lax.dot_general(
                 eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
@@ -1785,7 +1791,7 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def horseshoe_jacobi_t_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,
@@ -2369,8 +2375,11 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
 
     @pl.when(jq == 0)
     def _load_tile():
+        # eps rides HBM as (SUB, C, NW) plane-major (genotypes._lane_perm):
+        # one strided DMA loads tile t's (SUB, C, W) block, each bit-plane
+        # k a contiguous (C, W) page of the scratch
         cp = pltpu.make_async_copy(
-            eps_out.at[:, pl.ds(t * TN, TN)], eps_sc, sem3)
+            eps_out.at[:, :, pl.ds(t * W, W)], eps_sc, sem3)
         cp.start()
         cp.wait()
 
@@ -2383,7 +2392,7 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
         mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
-            eps_t = eps_sc[:, pl.ds(k * W, W)]              # (C, W)
+            eps_t = eps_sc[k]                               # (C, W)
             d = jax.lax.dot_general(
                 eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
@@ -2563,12 +2572,12 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
-            eps_sc[:, pl.ds(k * W, W)] -= upd
+            eps_sc[k, :, :] -= upd
 
         @pl.when(jq == JQ_LAST)
         def _store_tile():
             cp = pltpu.make_async_copy(
-                eps_sc, eps_out.at[:, pl.ds(t * TN, TN)], sem3)
+                eps_sc, eps_out.at[:, :, pl.ds(t * W, W)], sem3)
             cp.start()
             cp.wait()
 
@@ -2651,6 +2660,7 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         xt = XT_pad
         epsC = eps.astype(f32)
         lane_mask = row_valid.astype(f32).reshape(1, Npad)
+        SUBk = 16
     else:
         Q = auto_q(J)
         Mpad_x, N0 = XT_pad.shape
@@ -2660,7 +2670,12 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         xt = (XT_pad if Npad == N0
               else jnp.pad(XT_pad, ((0, 0), (0, Npad - N0))))
         lane_mask = (jnp.arange(Npad) < N0).astype(f32).reshape(1, Npad)
+        SUBk = 1
     nt = Npad // TN
+    # eps travels to/from the kernel as a (SUB, C, NW) plane-major view
+    # (each bit-plane a contiguous page; one strided DMA per N-tile) -- a
+    # 3 MB-class transpose per sweep call, invisible next to the X stream
+    eps3 = epsC.reshape(C, SUBk, Npad // SUBk).transpose(1, 0, 2)
     Mpad = beta_pad.shape[1]
 
     P2 = build_onehot_inner(inner_perm, B=B, J=J, nr=nr)
@@ -2702,7 +2717,7 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
             pl.BlockSpec(memory_space=pl.ANY),             # pkg (HBM)
             pl.BlockSpec((1, C * J, B), im_round),         # beta (lane)
         ])
-    args = [xt] * Q + [inner_row, gpT, gas_lane, hse2, epsC, pkgG,
+    args = [xt] * Q + [inner_row, gpT, gas_lane, hse2, eps3, pkgG,
                        beta_lane]
     scratch = [
         pltpu.VMEM((C * J, B), f32),                       # rb
@@ -2713,7 +2728,7 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         pltpu.VMEM((CGS * B, J), f32),                     # bT
         pltpu.VMEM((CGS * B, J), f32),                     # dposT
         pltpu.VMEM((CGS * B, J), f32),                     # krecT
-        pltpu.VMEM((C, TN), f32),                          # eps tile
+        pltpu.VMEM((SUBk, C, TN // SUBk), f32),            # eps tile
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]
@@ -2740,7 +2755,7 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         pl.BlockSpec((C, G), im_full),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((C, Npad), f32),
+        jax.ShapeDtypeStruct((SUBk, C, Npad // SUBk), f32),
         jax.ShapeDtypeStruct((nr, C * J, B), f32),
         jax.ShapeDtypeStruct((nr, C * J, B), f32),
         jax.ShapeDtypeStruct((C, G * K), f32),
@@ -2766,6 +2781,7 @@ def bayesr_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         ),
     )(rho_i, *args)
 
+    eps_o = eps_o.transpose(1, 0, 2).reshape(C, -1)        # plane-major back
     if fold:
         eps_o = eps_o * lane_mask
     beta_flat = (beta_o.reshape(nr, C, J, B).transpose(1, 2, 0, 3)
@@ -2849,8 +2865,11 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
 
     @pl.when(jq == 0)
     def _load_tile():
+        # eps rides HBM as (SUB, C, NW) plane-major (genotypes._lane_perm):
+        # one strided DMA loads tile t's (SUB, C, W) block, each bit-plane
+        # k a contiguous (C, W) page of the scratch
         cp = pltpu.make_async_copy(
-            eps_out.at[:, pl.ds(t * TN, TN)], eps_sc, sem3)
+            eps_out.at[:, :, pl.ds(t * W, W)], eps_sc, sem3)
         cp.start()
         cp.wait()
 
@@ -2863,7 +2882,7 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
         mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
-            eps_t = eps_sc[:, pl.ds(k * W, W)]              # (C, W)
+            eps_t = eps_sc[k]                               # (C, W)
             d = jax.lax.dot_general(
                 eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, Q*B)
@@ -2986,12 +3005,12 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms
-            eps_sc[:, pl.ds(k * W, W)] -= upd
+            eps_sc[k, :, :] -= upd
 
         @pl.when(jq == JQ_LAST)
         def _store_tile():
             cp = pltpu.make_async_copy(
-                eps_sc, eps_out.at[:, pl.ds(t * TN, TN)], sem3)
+                eps_sc, eps_out.at[:, :, pl.ds(t * W, W)], sem3)
             cp.start()
             cp.wait()
 
@@ -3029,6 +3048,7 @@ def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         xt = XT_pad
         epsC = eps.astype(f32)
         lane_mask = row_valid.astype(f32).reshape(1, Npad)
+        SUBk = 16
     else:
         Q = auto_q(J)
         Mpad_x, N0 = XT_pad.shape
@@ -3038,7 +3058,12 @@ def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         xt = (XT_pad if Npad == N0
               else jnp.pad(XT_pad, ((0, 0), (0, Npad - N0))))
         lane_mask = (jnp.arange(Npad) < N0).astype(f32).reshape(1, Npad)
+        SUBk = 1
     nt = Npad // TN
+    # eps travels to/from the kernel as a (SUB, C, NW) plane-major view
+    # (each bit-plane a contiguous page; one strided DMA per N-tile) -- a
+    # 3 MB-class transpose per sweep call, invisible next to the X stream
+    eps3 = epsC.reshape(C, SUBk, Npad // SUBk).transpose(1, 0, 2)
     Mpad = beta_pad.shape[1]
 
     P2 = build_onehot_inner(inner_perm, B=B, J=J, nr=nr)
@@ -3073,7 +3098,7 @@ def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
             pl.BlockSpec(memory_space=pl.ANY),             # pkg (HBM)
             pl.BlockSpec((1, C * J, B), im_round),         # beta (lane)
         ])
-    args = [xt] * Q + [inner_row, gpT, epsC, pkgG, beta_lane]
+    args = [xt] * Q + [inner_row, gpT, eps3, pkgG, beta_lane]
     scratch = [
         pltpu.VMEM((C * J, B), f32),                       # rb
         pltpu.VMEM((C * J, B), f32),                       # dpos
@@ -3082,7 +3107,7 @@ def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         pltpu.VMEM((CGS * B, J), f32),                     # rT
         pltpu.VMEM((CGS * B, J), f32),                     # bT
         pltpu.VMEM((CGS * B, J), f32),                     # dposT
-        pltpu.VMEM((C, TN), f32),                          # eps tile
+        pltpu.VMEM((SUBk, C, TN // SUBk), f32),            # eps tile
         pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA,
     ]
@@ -3106,7 +3131,7 @@ def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         pl.BlockSpec((1, C * J, B), im_round),             # beta_out
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((C, Npad), f32),
+        jax.ShapeDtypeStruct((SUBk, C, Npad // SUBk), f32),
         jax.ShapeDtypeStruct((nr, C * J, B), f32),
     ]
     kernel = functools.partial(_hs_jacobi_t_mc8_kernel, B=B, TN=TN, C=C,
@@ -3129,6 +3154,7 @@ def horseshoe_jacobi_t_pallas_mc8(XT_pad, gram, xsq_pad, eps, beta_pad,
         ),
     )(rho_i, *args)
 
+    eps_o = eps_o.transpose(1, 0, 2).reshape(C, -1)        # plane-major back
     if fold:
         eps_o = eps_o * lane_mask
     beta_flat = (beta_o.reshape(nr, C, J, B).transpose(1, 2, 0, 3)

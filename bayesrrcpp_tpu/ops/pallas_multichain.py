@@ -136,6 +136,7 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
         def x_sub(k):
             return xt_ref[...]
 
+    NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
         eps_out[...] = eps_ref[...]
@@ -151,7 +152,7 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
             r_sc[0:C, :] = jnp.zeros((C, B), f32)
 
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (C, W)
             r_sc[0:C, :] += jax.lax.dot_general(
                 eps_t, x_sub(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)                 # (C, B)
@@ -258,7 +259,7 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
                 preferred_element_type=f32)                 # (C, W)
             if fold:
                 upd = upd - dms_sc[...]
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def _mc_call(border, inner, xt, pkg, gram, xsq3, gasr3, valid3, hse2,
@@ -536,6 +537,7 @@ def _hs_mc_kernel(border_ref, inner_ref,
         def x_sub(k):
             return xt_ref[...]
 
+    NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
         eps_out[...] = eps_ref[...]
@@ -549,7 +551,7 @@ def _hs_mc_kernel(border_ref, inner_ref,
             r_sc[...] = jnp.zeros_like(r_sc)
 
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (C, W)
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (C, W)
             r_sc[...] += jax.lax.dot_general(
                 eps_t, x_sub(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=f32)
@@ -603,7 +605,7 @@ def _hs_mc_kernel(border_ref, inner_ref,
                 preferred_element_type=f32)
             if fold:
                 upd = upd - dms_sc[...]
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def horseshoe_sweep_pallas_mc(XT_pad, gram, xsq_pad, eps, beta_pad,

@@ -123,7 +123,8 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
     # sub-tile decomposition: dense/int8 tiles decode whole; 2-bit packed
     # tiles hold 16 genotypes per int32 word and decode per bit-plane k into
     # a (B, W) sub-tile covering the PERMUTED individual range
-    # [t*TN + k*W, t*TN + (k+1)*W)  (the sampler permutes eps to match)
+    # [k*NW + t*W, k*NW + (t+1)*W)  -- the GLOBAL plane-major layout the
+    # sampler permutes eps into (genotypes._lane_perm)
     if packed:
         SUB = 16
         W = TN // 16
@@ -144,6 +145,8 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
                 return xt_ref[...]
             return _decode_tile(xt_ref[...], mean_ref[0], scale_ref[0])
 
+    NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
+
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
         eps_out[...] = eps_ref[...]
@@ -159,7 +162,7 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
             r_sc[...] = jnp.zeros_like(r_sc)
 
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]   # (1, W)
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (1, W)
             r_sc[...] += jax.lax.dot_general(
                 eps_t, x_sub(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)         # (1, B)
@@ -295,7 +298,7 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
                 preferred_element_type=jnp.float32)     # (1, W)
             if fold:
                 upd = upd - dms_sc[...]
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def _sweep_kernel_q(border_ref, inner_ref, xt_ref, mean3_ref, scale3_ref,
@@ -655,6 +658,8 @@ def _hs_kernel(border_ref, inner_ref,
                 return xt_ref[...]
             return _decode_tile(xt_ref[...], mean_ref[0], scale_ref[0])
 
+    NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
+
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
         eps_out[...] = eps_ref[...]
@@ -668,7 +673,7 @@ def _hs_kernel(border_ref, inner_ref,
             r_sc[...] = jnp.zeros_like(r_sc)
 
         for k in range(SUB):
-            eps_t = eps_out[:, pl.ds(t * TN + k * W, W)]
+            eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]
             r_sc[...] += jax.lax.dot_general(
                 eps_t, x_sub(k), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -722,7 +727,7 @@ def _hs_kernel(border_ref, inner_ref,
                 preferred_element_type=jnp.float32)
             if fold:
                 upd = upd - dms_sc[...]
-            eps_out[:, pl.ds(t * TN + k * W, W)] -= upd
+            eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
 
 
 def _hs_kernel_q(border_ref, inner_ref, xt_ref, mean3_ref, scale3_ref,

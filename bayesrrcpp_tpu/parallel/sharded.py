@@ -154,7 +154,7 @@ def _packed_shard_setup(mesh, X, x_on_device, prepacked, transposed, x_stats,
         in_specs=(P(AXIS_M), P(AXIS_M), P(AXIS_M)),
         out_specs=(P(AXIS_M), P(AXIS_M, None, None), P(AXIS_M))))
     xsq, gram, x_colsum = f(XT, x_mean, x_scale)
-    perm = genotypes._lane_perm(Npad, 2048, 128)
+    perm = genotypes._lane_perm(Npad)
     row_valid = put_global(mesh, P(AXIS_N), perm < N)
     n_perm = put_global(mesh, P(AXIS_N), perm.astype(np.int32))
     return (XT, x_mean, x_scale, xsq, gram, x_colsum, row_valid, n_perm,

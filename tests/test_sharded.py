@@ -409,7 +409,7 @@ def test_sharded_t_kernel_recovery():
     # N << M is deliberately underpowered; the easier signal (few strong
     # causals) keeps the recovery check meaningful at test runtimes (the
     # serial local sweep scores ~the same on the harder variant)
-    sim2 = simulate.simulate_bayesr(seed=91, N=320, M=2048, n_causal=16,
+    sim2 = simulate.simulate_bayesr(seed=91, N=320, M=4096, n_causal=16,
                                     h2=0.8)
     s = ShardedSpikeSlabSampler(sim2.X, sim2.Y, CVA,
                                 BayesRConfig(block_size=32),
@@ -433,7 +433,7 @@ def test_sharded_t_kernel_recovery():
 def test_sharded_t_kernel_packed():
     """2-bit packed X through the sharded strided t-sweep (fold path)."""
     rng = np.random.default_rng(93)
-    N, M = 320, 2048
+    N, M = 320, 4096   # per-shard 2048: the t-plan engagement point
     dosage = rng.binomial(2, rng.uniform(0.2, 0.8, M), size=(N, M)).astype(
         float)
     means = dosage.mean(axis=0)
@@ -514,7 +514,7 @@ def test_mc_t_rounds_driver_equals_per_chain():
 def test_sharded_run_chains_fused_t():
     """run_chains on a marker shape large enough to engage the transposed
     mc kernel (jacobi_t > 1): recovery + per-chain residual bookkeeping."""
-    sim = simulate.simulate_bayesr(seed=57, N=260, M=1024, n_causal=30,
+    sim = simulate.simulate_bayesr(seed=57, N=260, M=4096, n_causal=30,
                                    h2=0.5)
     s = ShardedSpikeSlabSampler(sim.X, sim.Y, CVA,
                                 BayesRConfig(block_size=32),
@@ -543,7 +543,7 @@ def test_sharded_packed_missing_keeps_jacobi_t():
     sweep (round-4 VERDICT ask #1): the (m, 1) t-sweep runs with the
     sparse missing correction; residual invariant pins exactness."""
     rng = np.random.default_rng(73)
-    N, M = 260, 1024
+    N, M = 260, 4096   # per-shard 2048: the t-plan engagement point
     dos = rng.integers(0, 3, size=(N, M)).astype(float)
     dos[rng.random((N, M)) < 0.02] = np.nan
     dos[0, :] = 1.0  # keep every marker observed
