@@ -179,8 +179,7 @@ def _tsp(a, n):
     x*0; the sum adds one non-zero -- bit-exact)."""
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(a.dtype)
-    return jax.lax.dot_general(a, eye, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    return _dot2(a, eye, 0, 0, True)
 
 
 def _permute_chunks(J: int, B: int):
@@ -205,14 +204,12 @@ def _lane_to_pos(rows, ir_c, *, B, JC):
     CW = JC * B
     pcat = (jax.lax.broadcasted_iota(jnp.int32, (B, CW), 0)
             == ir_c).astype(f32)                           # (B, CW)
-    full = jax.lax.dot_general(rows, pcat, (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32)  # (JC, CW)
+    full = _dot2(rows, pcat, 1, 0, True)               # (JC, CW)
     gm = (jax.lax.broadcasted_iota(jnp.int32, (JC, CW), 1) // B
           == jax.lax.broadcasted_iota(jnp.int32, (JC, CW), 0)).astype(f32)
     itile = (jax.lax.broadcasted_iota(jnp.int32, (CW, B), 0) % B
              == jax.lax.broadcasted_iota(jnp.int32, (CW, B), 1)).astype(f32)
-    return jax.lax.dot_general(full * gm, itile, (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32)  # (JC, B)
+    return _dot2(full * gm, itile, 1, 0, True)         # (JC, B)
 
 
 def _pos_to_lane(rows_pos, ir_c, *, B, JC):
@@ -222,55 +219,144 @@ def _pos_to_lane(rows_pos, ir_c, *, B, JC):
     CW = JC * B
     tileT = (jax.lax.broadcasted_iota(jnp.int32, (B, CW), 1) % B
              == jax.lax.broadcasted_iota(jnp.int32, (B, CW), 0)).astype(f32)
-    exp = jax.lax.dot_general(rows_pos, tileT, (((1,), (0,)), ((), ())),
-                              preferred_element_type=f32)   # (JC, CW)
+    exp = _dot2(rows_pos, tileT, 1, 0, True)           # (JC, CW)
     gm = (jax.lax.broadcasted_iota(jnp.int32, (JC, CW), 1) // B
           == jax.lax.broadcasted_iota(jnp.int32, (JC, CW), 0)).astype(f32)
     pcat2 = (jax.lax.broadcasted_iota(jnp.int32, (CW, B), 1)
              == ir_c.reshape(CW, 1)).astype(f32)            # (CW, B)
-    return jax.lax.dot_general(exp * gm, pcat2, (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32)  # (JC, B)
+    return _dot2(exp * gm, pcat2, 1, 0, True)          # (JC, B)
+
+
+def _dot2(lhs, rhs, cl, cr, exact):
+    """f32-accurate MXU dot under the bf16-per-pass TPU matmul model.
+
+    ``exact=True`` requires every ``rhs`` value to be EXACTLY
+    representable in bfloat16 (2-bit genotype codes 0..3, int8 codes,
+    missing indicators, one-hot rows): then splitting ``lhs`` into its
+    bf16 hi part plus the f32 remainder makes BOTH single-pass products
+    exact-input, and two DEFAULT-precision passes reproduce the f32 dot
+    (residual error ~2e-8 relative, vs ~4e-3 for one raw bf16 pass --
+    which was enough to DIVERGE biobank-scale chains through the
+    sigmaE/sigmaG feedback, measured round 5).  ``exact=False`` (dense
+    f32 X) splits BOTH sides and drops the lo*lo term -- the classic
+    bf16x3 expansion (~1.6e-5 relative, the 'float32' precision class),
+    written out manually so every pass Mosaic sees is single-pass."""
+    f32 = jnp.float32
+    dn = (((cl,), (cr,)), ((), ()))
+    P = lax.Precision.DEFAULT
+
+    def d(a, b):
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=f32,
+                                   precision=P)
+
+    hi = lhs.astype(jnp.bfloat16).astype(f32)
+    lo = lhs - hi
+    if not exact:
+        rhi = rhs.astype(jnp.bfloat16).astype(f32)
+        return d(hi, rhi) + d(lo, rhi) + d(hi, rhs - rhi)
+    return d(hi, rhs) + d(lo, rhs)
 
 
 def _decoders(xt_refs, Q, TN, packed, fold, ablate=""):
     """Per-subword X-tile decode helpers shared by the kernels:
-    ``x_cat(k, mcs=None)`` yields the (Q*B, W) f32 code (or dense) tile
-    of subword k.  ``mcs`` (missing mode) is a list of Q per-block
-    (B, 1) per-marker MEAN columns: missing fields (code 3) decode to
-    the marker mean, which the fold-affine algebra then cancels exactly
-    -- (m - m) * s == 0 -- so mean imputation costs ONE compare+select
-    per element and no extra dot."""
+    ``x_cat(k)`` yields the RAW (Q*B, W) f32 code (or dense) tile of
+    subword k; ``x_mcat(k)`` the (Q*B, W) missing-indicator tile
+    (c == 3).  Missing fields are handled in the DOT layer (see
+    ``_make_dots``): the mean-substituted value cf = c + (m-3)*1[c==3]
+    decomposes into the raw-code dot plus an (m-3)-scaled indicator dot,
+    keeping every MXU operand exactly bf16-representable (codes 0..3 /
+    indicators 0..1) so the 2-pass split dots stay f32-exact.
+
+    Returns (x_cat, x_mcat, SUB, W, exact)."""
     f32 = jnp.float32
     if packed:
         SUB, W = 16, TN // 16
         if ablate == "k1":           # perf probe: 1 of 16 subwords
             SUB = 1
+        exact = True
 
-        def x_sub(q, k, mc=None):
+        def x_sub(q, k):
             if ablate == "noshift":  # perf probe: skip the bit extracts
                 return xt_refs[q][...].astype(f32)
-            c = (xt_refs[q][...] >> (2 * k)) & 3           # (B, W) int32
-            cf = c.astype(f32)
-            if mc is not None:
-                cf = jnp.where(c == 3, mc, cf)
-            return cf
+            return ((xt_refs[q][...] >> (2 * k)) & 3).astype(f32)
+
+        def m_sub(q, k):
+            return ((xt_refs[q][...] >> (2 * k)) & 3 == 3).astype(f32)
     else:
         SUB, W = 1, TN
+        # int8 fold codes (0..2) are exactly bf16-representable; dense
+        # f32 X is not -> compiler multi-pass
+        exact = bool(fold) and xt_refs[0].dtype != jnp.float32
 
-        def x_sub(q, k, mc=None):
+        def x_sub(q, k):
             xr = xt_refs[q]
             if fold and xr.dtype != jnp.float32:
                 return xr[...].astype(f32)
             return xr[...]
 
-    def x_cat(k, mcs=None):
-        parts = [x_sub(q, k, None if mcs is None else mcs[q])
-                 for q in range(Q)]
+        def m_sub(q, k):
+            raise AssertionError("missing mode is packed-only")
+
+    def _cat(f, k):
+        parts = [f(q, k) for q in range(Q)]
         if Q == 1:
             return parts[0]
         return jnp.concatenate(parts, axis=0)
 
-    return x_cat, SUB, W
+    return (lambda k: _cat(x_sub, k)), (lambda k: _cat(m_sub, k)), \
+        SUB, W, exact
+
+
+def _dot2_rows(lhs, rhs, cr, exact):
+    """_dot2 for the sweep's hot X-dots: lhs is 2D contracting dim 1.
+    The hi/lo halves STACK as extra lhs rows so the (expensive, decoded)
+    rhs tile feeds ONE MXU pass -- two separate dots made Mosaic run the
+    2-bit decode twice per subword (measured: 70 -> 142 ms/iter at the
+    biobank headline)."""
+    f32 = jnp.float32
+    dn = (((1,), (cr,)), ((), ()))
+    P = lax.Precision.DEFAULT
+
+    def d(a, b):
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=f32,
+                                   precision=P)
+
+    hi = lhs.astype(jnp.bfloat16).astype(f32)
+    lo = lhs - hi
+    R = lhs.shape[0]
+    out = d(jnp.concatenate([hi, lo], axis=0), rhs)
+    res = out[:R] + out[R:]
+    if not exact:
+        # the stacked pass rounded rhs to bf16; add the hi . rhs_lo
+        # cross term for the bf16x3 expansion (lo terms of rhs_lo are
+        # below f32 resolution)
+        rhi = rhs.astype(jnp.bfloat16).astype(f32)
+        res = res + d(hi, rhs - rhi)
+    return res
+
+
+def _make_dots(x_cat, x_mcat, exact, miss, mc_row):
+    """The two X-dot shapes of every sweep phase, f32-exact (see _dot2):
+
+    - ``dot_r(v, k)``: (R, W) . tile' -> (R, Q*B)   (r accumulation)
+    - ``dot_a(v, k)``: (R, Q*B) . tile -> (R, W)    (eps apply)
+
+    ``mc_row()`` (miss mode) returns the (1, Q*B) per-marker (mean - 3)
+    row of this grid step's blocks: the scaled indicator dot completes
+    the mean-substituted decode cf = c + (m-3)*1[c==3] exactly."""
+    def dot_r(v, k):
+        d = _dot2_rows(v, x_cat(k), 1, exact)
+        if miss:
+            d = d + _dot2_rows(v, x_mcat(k), 1, True) * mc_row()
+        return d
+
+    def dot_a(v, k):
+        u = _dot2_rows(v, x_cat(k), 0, exact)
+        if miss:
+            u = u + _dot2_rows(v * mc_row(), x_mcat(k), 0, True)
+        return u
+
+    return dot_r, dot_a
 
 
 def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
@@ -324,17 +410,21 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
     _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
-    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold,
-                              ablate=_ablate)
+    x_cat, x_mcat, SUB, W, exact = _decoders(xt_refs, Q, TN, packed,
+                                             fold, ablate=_ablate)
     # global plane-major eps layout: the (bit-plane k, tile t) segment
     # lives at [k*NW + t*W, W) for ANY tile size (genotypes._lane_perm)
     NW = eps_out.shape[-1] // SUB
     if miss:
-        def _mcols():
-            # per-block (B, 1) mean columns: missing fields decode to the
-            # marker mean, which the fold affine algebra cancels exactly
-            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
-                    for q in range(Q)]
+        def mc_row():
+            # (1, Q*B) per-marker (mean - 3) row of this grid step's
+            # blocks (see _make_dots)
+            return jnp.concatenate(
+                [mcrow_ref[0, pl.ds(jq * Q + q, 1), :]
+                 for q in range(Q)], axis=1) - 3.0
+    else:
+        mc_row = None
+    dot_r, dot_a = _make_dots(x_cat, x_mcat, exact, miss, mc_row)
 
 
     first = jnp.logical_and(
@@ -357,13 +447,10 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
         # ONE (1, W) x (W, Q*B) MXU dot per subword covers this grid
         # step's Q blocks at full output width (plus the missing-
         # indicator dot in miss mode, from the same decode)
-        mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (1, W)
-            d = jax.lax.dot_general(
-                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (1, Q*B)
+            d = dot_r(eps_t, k)
             acc = d if acc is None else acc + d
         for q in range(Q):
             rb_sc[pl.ds(jq * Q + q, 1), :] += acc[:, q * B:(q + 1) * B]
@@ -510,11 +597,8 @@ def _jacobi_t_kernel(rho_ref,                               # scalar prefetch
             dms = fold_sc[pl.ds(1 + jq * Q, 1), :]
             for q in range(1, Q):
                 dms = dms + fold_sc[pl.ds(1 + jq * Q + q, 1), :]
-        mcs = _mcols() if miss else None
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                # (1, W)
+            upd = dot_a(dlcat, k)
             if fold:
                 upd = upd - dms
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
@@ -555,14 +639,18 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
     F = 5
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, x_mcat, SUB, W, exact = _decoders(xt_refs, Q, TN, packed, fold)
     NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     if miss:
-        def _mcols():
-            # per-block (B, 1) mean columns: missing fields decode to the
-            # marker mean, which the fold affine algebra cancels exactly
-            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
-                    for q in range(Q)]
+        def mc_row():
+            # (1, Q*B) per-marker (mean - 3) row of this grid step's
+            # blocks (see _make_dots)
+            return jnp.concatenate(
+                [mcrow_ref[0, pl.ds(jq * Q + q, 1), :]
+                 for q in range(Q)], axis=1) - 3.0
+    else:
+        mc_row = None
+    dot_r, dot_a = _make_dots(x_cat, x_mcat, exact, miss, mc_row)
 
 
     first = jnp.logical_and(
@@ -580,13 +668,10 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]
-            d = jax.lax.dot_general(
-                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                # (1, Q*B)
+            d = dot_r(eps_t, k)
             acc = d if acc is None else acc + d
         for q in range(Q):
             rb_sc[pl.ds(jq * Q + q, 1), :] += acc[:, q * B:(q + 1) * B]
@@ -653,11 +738,8 @@ def _hs_jacobi_t_kernel(rho_ref, *refs, B, TN, J, Q, packed=False,
             dms = fold_sc[pl.ds(1 + jq * Q, 1), :]
             for q in range(1, Q):
                 dms = dms + fold_sc[pl.ds(1 + jq * Q + q, 1), :]
-        mcs = _mcols() if miss else None
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                # (1, W)
+            upd = dot_a(dlcat, k)
             if fold:
                 upd = upd - dms
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
@@ -714,7 +796,9 @@ def _prep_x(XT_pad, eps, *, packed, fold, tile_n, B, J, F, Q, row_valid):
         budget -= 2 * (B * B * lanes * 4) + 2 * (B * F * lanes * 4)
         budget -= 2 * 6 * (J * 128 * 4) + int(1.0 * 2 ** 20) + Npad * 4
         nt_total = Npad // TN0
-        kmax = max(1, budget // (Q * 2 * (B * TN0 * 4)))
+        # dense dots run the 3-pass bf16x3 split (_dot2 exact=False):
+        # the hi/lo operand copies triple the resident X-tile bytes
+        kmax = max(1, budget // (3 * Q * 2 * (B * TN0 * 4)))
         TN = TN0
         for k in range(min(nt_total, kmax), 0, -1):
             if nt_total % k == 0:
@@ -1111,14 +1195,18 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
     _ablate = os.environ.get("BAYESR_T_ABLATE", "")  # perf probe only
-    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, x_mcat, SUB, W, exact = _decoders(xt_refs, Q, TN, packed, fold)
     NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     if miss:
-        def _mcols():
-            # per-block (B, 1) mean columns: missing fields decode to the
-            # marker mean, which the fold affine algebra cancels exactly
-            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
-                    for q in range(Q)]
+        def mc_row():
+            # (1, Q*B) per-marker (mean - 3) row of this grid step's
+            # blocks (see _make_dots)
+            return jnp.concatenate(
+                [mcrow_ref[0, pl.ds(jq * Q + q, 1), :]
+                 for q in range(Q)], axis=1) - 3.0
+    else:
+        mc_row = None
+    dot_r, dot_a = _make_dots(x_cat, x_mcat, exact, miss, mc_row)
 
 
     first = jnp.logical_and(
@@ -1153,13 +1241,10 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (C, W)
-            d = jax.lax.dot_general(
-                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (C, Q*B)
+            d = dot_r(eps_t, k)
             acc = d if acc is None else acc + d
         for q in range(Q):
             jj = jq * Q + q
@@ -1309,9 +1394,19 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
                     == jax.lax.broadcasted_iota(
                         jnp.int32, (JQ2, J), 0)).astype(f32)
-            dmsq_sc[...] = jax.lax.dot_general(
-                gmat, dms_sc[...], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (J/Q, C)
+            # one-hot x f32: split the VALUE side (rhs) so both
+            # DEFAULT-precision passes are exact-input (see _dot2)
+            dms_v = dms_sc[...]
+            dms_hi = dms_v.astype(jnp.bfloat16).astype(f32)
+            _dn = (((1,), (1,)), ((), ()))
+            _P = lax.Precision.DEFAULT
+            dmsq_sc[...] = (
+                jax.lax.dot_general(gmat, dms_hi, _dn,
+                                    preferred_element_type=f32,
+                                    precision=_P)
+                + jax.lax.dot_general(gmat, dms_v - dms_hi, _dn,
+                                      preferred_element_type=f32,
+                                      precision=_P))                 # (J/Q, C)
 
     @pl.when(ph == 1)
     def _apply_update():
@@ -1326,11 +1421,8 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
         dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
-        mcs = _mcols() if miss else None
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                 # (C, W)
+            upd = dot_a(dlcat, k)
             if fold:
                 upd = upd - dms
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
@@ -1653,14 +1745,18 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
     F = 5
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, x_mcat, SUB, W, exact = _decoders(xt_refs, Q, TN, packed, fold)
     NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
     if miss:
-        def _mcols():
-            # per-block (B, 1) mean columns: missing fields decode to the
-            # marker mean, which the fold affine algebra cancels exactly
-            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
-                    for q in range(Q)]
+        def mc_row():
+            # (1, Q*B) per-marker (mean - 3) row of this grid step's
+            # blocks (see _make_dots)
+            return jnp.concatenate(
+                [mcrow_ref[0, pl.ds(jq * Q + q, 1), :]
+                 for q in range(Q)], axis=1) - 3.0
+    else:
+        mc_row = None
+    dot_r, dot_a = _make_dots(x_cat, x_mcat, exact, miss, mc_row)
 
 
     first = jnp.logical_and(
@@ -1680,13 +1776,10 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (C, W)
-            d = jax.lax.dot_general(
-                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (C, Q*B)
+            d = dot_r(eps_t, k)
             acc = d if acc is None else acc + d
         for q in range(Q):
             jj = jq * Q + q
@@ -1767,9 +1860,19 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
                     == jax.lax.broadcasted_iota(
                         jnp.int32, (JQ2, J), 0)).astype(f32)
-            dmsq_sc[...] = jax.lax.dot_general(
-                gmat, dms_sc[...], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (J/Q, C)
+            # one-hot x f32: split the VALUE side (rhs) so both
+            # DEFAULT-precision passes are exact-input (see _dot2)
+            dms_v = dms_sc[...]
+            dms_hi = dms_v.astype(jnp.bfloat16).astype(f32)
+            _dn = (((1,), (1,)), ((), ()))
+            _P = lax.Precision.DEFAULT
+            dmsq_sc[...] = (
+                jax.lax.dot_general(gmat, dms_hi, _dn,
+                                    preferred_element_type=f32,
+                                    precision=_P)
+                + jax.lax.dot_general(gmat, dms_v - dms_hi, _dn,
+                                      preferred_element_type=f32,
+                                      precision=_P))                 # (J/Q, C)
 
     @pl.when(ph == 1)
     def _apply_update():
@@ -1784,11 +1887,8 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
         dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
-        mcs = _mcols() if miss else None
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                 # (C, W)
+            upd = dot_a(dlcat, k)
             if fold:
                 upd = upd - dms
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
@@ -2349,13 +2449,17 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
     F = 3 * K + 4
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, x_mcat, SUB, W, exact = _decoders(xt_refs, Q, TN, packed, fold)
     if miss:
-        def _mcols():
-            # per-block (B, 1) mean columns: missing fields decode to the
-            # marker mean, which the fold affine algebra cancels exactly
-            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
-                    for q in range(Q)]
+        def mc_row():
+            # (1, Q*B) per-marker (mean - 3) row of this grid step's
+            # blocks (see _make_dots)
+            return jnp.concatenate(
+                [mcrow_ref[0, pl.ds(jq * Q + q, 1), :]
+                 for q in range(Q)], axis=1) - 3.0
+    else:
+        mc_row = None
+    dot_r, dot_a = _make_dots(x_cat, x_mcat, exact, miss, mc_row)
 
     rho_r = rho_ref[r]
     JQ_LAST = J // Q - 1
@@ -2389,13 +2493,10 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
             eps_t = eps_sc[k]                               # (C, W)
-            d = jax.lax.dot_general(
-                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (C, Q*B)
+            d = dot_r(eps_t, k)
             acc = d if acc is None else acc + d
         for q in range(Q):
             jj = jq * Q + q
@@ -2548,9 +2649,19 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
                     == jax.lax.broadcasted_iota(
                         jnp.int32, (JQ2, J), 0)).astype(f32)
-            dmsq_sc[...] = jax.lax.dot_general(
-                gmat, dms_sc[...], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (J/Q, C)
+            # one-hot x f32: split the VALUE side (rhs) so both
+            # DEFAULT-precision passes are exact-input (see _dot2)
+            dms_v = dms_sc[...]
+            dms_hi = dms_v.astype(jnp.bfloat16).astype(f32)
+            _dn = (((1,), (1,)), ((), ()))
+            _P = lax.Precision.DEFAULT
+            dmsq_sc[...] = (
+                jax.lax.dot_general(gmat, dms_hi, _dn,
+                                    preferred_element_type=f32,
+                                    precision=_P)
+                + jax.lax.dot_general(gmat, dms_v - dms_hi, _dn,
+                                      preferred_element_type=f32,
+                                      precision=_P))                 # (J/Q, C)
 
     @pl.when(ph == 1)
     def _apply_update():
@@ -2565,11 +2676,8 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
         dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
-        mcs = _mcols() if miss else None
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                 # (C, W)
+            upd = dot_a(dlcat, k)
             if fold:
                 upd = upd - dms
             eps_sc[k, :, :] -= upd
@@ -2841,13 +2949,17 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
     F = 5
     JC, NC = _permute_chunks(J, B)
     CW = JC * B
-    x_cat, SUB, W = _decoders(xt_refs, Q, TN, packed, fold)
+    x_cat, x_mcat, SUB, W, exact = _decoders(xt_refs, Q, TN, packed, fold)
     if miss:
-        def _mcols():
-            # per-block (B, 1) mean columns: missing fields decode to the
-            # marker mean, which the fold affine algebra cancels exactly
-            return [_tsp(mcrow_ref[0, pl.ds(jq * Q + q, 1), :], 1)
-                    for q in range(Q)]
+        def mc_row():
+            # (1, Q*B) per-marker (mean - 3) row of this grid step's
+            # blocks (see _make_dots)
+            return jnp.concatenate(
+                [mcrow_ref[0, pl.ds(jq * Q + q, 1), :]
+                 for q in range(Q)], axis=1) - 3.0
+    else:
+        mc_row = None
+    dot_r, dot_a = _make_dots(x_cat, x_mcat, exact, miss, mc_row)
 
     rho_r = rho_ref[r]
     JQ_LAST = J // Q - 1
@@ -2879,13 +2991,10 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
 
     @pl.when(ph == 0)
     def _accumulate_r():
-        mcs = _mcols() if miss else None
         acc = None
         for k in range(SUB):
             eps_t = eps_sc[k]                               # (C, W)
-            d = jax.lax.dot_general(
-                eps_t, x_cat(k, mcs), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (C, Q*B)
+            d = dot_r(eps_t, k)
             acc = d if acc is None else acc + d
         for q in range(Q):
             jj = jq * Q + q
@@ -2981,9 +3090,19 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
                     == jax.lax.broadcasted_iota(
                         jnp.int32, (JQ2, J), 0)).astype(f32)
-            dmsq_sc[...] = jax.lax.dot_general(
-                gmat, dms_sc[...], (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (J/Q, C)
+            # one-hot x f32: split the VALUE side (rhs) so both
+            # DEFAULT-precision passes are exact-input (see _dot2)
+            dms_v = dms_sc[...]
+            dms_hi = dms_v.astype(jnp.bfloat16).astype(f32)
+            _dn = (((1,), (1,)), ((), ()))
+            _P = lax.Precision.DEFAULT
+            dmsq_sc[...] = (
+                jax.lax.dot_general(gmat, dms_hi, _dn,
+                                    preferred_element_type=f32,
+                                    precision=_P)
+                + jax.lax.dot_general(gmat, dms_v - dms_hi, _dn,
+                                      preferred_element_type=f32,
+                                      precision=_P))                 # (J/Q, C)
 
     @pl.when(ph == 1)
     def _apply_update():
@@ -2998,11 +3117,8 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
         dlcat = catrows(dlane_sc)
         if fold:
             dms = _tsp(dmsq_sc[pl.ds(jq, 1), :], 1)         # (C, 1)
-        mcs = _mcols() if miss else None
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                dlcat, x_cat(k, mcs), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                 # (C, W)
+            upd = dot_a(dlcat, k)
             if fold:
                 upd = upd - dms
             eps_sc[k, :, :] -= upd
