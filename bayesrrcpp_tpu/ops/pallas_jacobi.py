@@ -53,6 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sweep import SweepResult
+from .pallas_jacobi_t import _dot2_rows
 
 
 def auto_jacobi(M: int, B: int):
@@ -305,6 +306,9 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
             return xt_ref[...]
 
     NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
+    # codes/int8 are bf16-exact -> 2-pass split dot; decoded/dense f32
+    # falls back to the 3-pass bf16x3 expansion (see _dot2_rows)
+    x_exact = fold and (packed or xt_ref.dtype != jnp.float32)
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(j == 0, t == 0)))
 
@@ -336,9 +340,7 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
         # r_j += eps_tile . X_j_tile' (marker-lane order at this point)
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (1, W)
-            rb_sc[pl.ds(j, 1), :] += jax.lax.dot_general(
-                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (1, B)
+            rb_sc[pl.ds(j, 1), :] += _dot2_rows(eps_t, x_sub(k), 1, x_exact)
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(j == 0, t == 0)))
     def _solve():
@@ -470,9 +472,7 @@ def _jacobi_kernel(border_ref,                              # scalar prefetch
                   == j).astype(f32)
         dl = jnp.sum(dlane_sc[...] * rowsel, axis=0, keepdims=True)  # (1, B)
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                dl, x_sub(k), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                # (1, W)
+            upd = _dot2_rows(dl, x_sub(k), 0, x_exact)
             if fold:
                 upd = upd - fold_sc[pl.ds(1 + j, 1), :]
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
@@ -915,6 +915,9 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
             return xt_ref[...]
 
     NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
+    # codes/int8 are bf16-exact -> 2-pass split dot; decoded/dense f32
+    # falls back to the 3-pass bf16x3 expansion (see _dot2_rows)
+    x_exact = fold and (packed or xt_ref.dtype != jnp.float32)
     first = jnp.logical_and(
         r == 0, jnp.logical_and(ph == 0, jnp.logical_and(j == 0, t == 0)))
 
@@ -940,9 +943,7 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
     def _accumulate_r():
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]      # (1, W)
-            rb_sc[pl.ds(j, 1), :] += jax.lax.dot_general(
-                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                   # (1, B)
+            rb_sc[pl.ds(j, 1), :] += _dot2_rows(eps_t, x_sub(k), 1, x_exact)
 
     @pl.when(jnp.logical_and(ph == 1, jnp.logical_and(j == 0, t == 0)))
     def _solve():
@@ -1010,9 +1011,7 @@ def _hs_jacobi_kernel(border_ref,                             # scalar prefetch
                   == j).astype(f32)
         dl = jnp.sum(dlane_sc[...] * rowsel, axis=0, keepdims=True)  # (1, B)
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                dl, x_sub(k), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                   # (1, W)
+            upd = _dot2_rows(dl, x_sub(k), 0, x_exact)
             if fold:
                 upd = upd - fold_sc[pl.ds(1 + j, 1), :]
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd

@@ -249,6 +249,11 @@ def _dot2(lhs, rhs, cl, cr, exact):
         return jax.lax.dot_general(a, b, dn, preferred_element_type=f32,
                                    precision=P)
 
+    if jax.default_backend() == "cpu":
+        # interpret mode computes exact f32 dots regardless of precision;
+        # keep the single-dot form so the bit-exact oracle/parity test
+        # contracts (which compare against plain XLA dots) hold
+        return d(lhs, rhs)
     hi = lhs.astype(jnp.bfloat16).astype(f32)
     lo = lhs - hi
     if not exact:
@@ -260,8 +265,8 @@ def _dot2(lhs, rhs, cl, cr, exact):
 def _decoders(xt_refs, Q, TN, packed, fold, ablate=""):
     """Per-subword X-tile decode helpers shared by the kernels:
     ``x_cat(k)`` yields the RAW (Q*B, W) f32 code (or dense) tile of
-    subword k; ``x_mcat(k)`` the (Q*B, W) missing-indicator tile
-    (c == 3).  Missing fields are handled in the DOT layer (see
+    subword k; ``x_mcat(k)`` the FUSED (2*Q*B, W)
+    codes+missing-indicator tile (miss mode).  Missing fields are handled in the DOT layer (see
     ``_make_dots``): the mean-substituted value cf = c + (m-3)*1[c==3]
     decomposes into the raw-code dot plus an (m-3)-scaled indicator dot,
     keeping every MXU operand exactly bf16-representable (codes 0..3 /
@@ -280,8 +285,6 @@ def _decoders(xt_refs, Q, TN, packed, fold, ablate=""):
                 return xt_refs[q][...].astype(f32)
             return ((xt_refs[q][...] >> (2 * k)) & 3).astype(f32)
 
-        def m_sub(q, k):
-            return ((xt_refs[q][...] >> (2 * k)) & 3 == 3).astype(f32)
     else:
         SUB, W = 1, TN
         # int8 fold codes (0..2) are exactly bf16-representable; dense
@@ -294,8 +297,6 @@ def _decoders(xt_refs, Q, TN, packed, fold, ablate=""):
                 return xr[...].astype(f32)
             return xr[...]
 
-        def m_sub(q, k):
-            raise AssertionError("missing mode is packed-only")
 
     def _cat(f, k):
         parts = [f(q, k) for q in range(Q)]
@@ -303,8 +304,20 @@ def _decoders(xt_refs, Q, TN, packed, fold, ablate=""):
             return parts[0]
         return jnp.concatenate(parts, axis=0)
 
-    return (lambda k: _cat(x_sub, k)), (lambda k: _cat(m_sub, k)), \
-        SUB, W, exact
+    def _catm(k):
+        # stacked codes+indicator (2*Q*B, W); each half decodes its own
+        # copy of the shifted word tile -- Mosaic fuses a single-consumer
+        # decode into the dot operand stream, and two fused decodes beat
+        # one shared materialized tile (see _make_dots.dot_r)
+        parts = [x_sub(q, k) for q in range(Q)]
+        if packed:
+            ind = [((xt_refs[q][...] >> (2 * k)) & 3 == 3).astype(f32)
+                   for q in range(Q)]
+        else:
+            ind = [jnp.maximum(cp - 2.0, 0.0) for cp in parts]
+        return jnp.concatenate(parts + ind, axis=0)
+
+    return (lambda k: _cat(x_sub, k)), _catm, SUB, W, exact
 
 
 def _dot2_rows(lhs, rhs, cr, exact):
@@ -321,6 +334,8 @@ def _dot2_rows(lhs, rhs, cr, exact):
         return jax.lax.dot_general(a, b, dn, preferred_element_type=f32,
                                    precision=P)
 
+    if jax.default_backend() == "cpu":
+        return d(lhs, rhs)                 # see _dot2: interpret is exact
     hi = lhs.astype(jnp.bfloat16).astype(f32)
     lo = lhs - hi
     R = lhs.shape[0]
@@ -335,6 +350,24 @@ def _dot2_rows(lhs, rhs, cr, exact):
     return res
 
 
+def _dot2_vrhs(lhs_exact, rhs):
+    """One-hot (exact) lhs x f32 rhs contracting BOTH dim 1: split the
+    VALUE side (rhs) so both DEFAULT-precision passes are exact-input
+    (see _dot2); single dot on CPU interpret."""
+    f32 = jnp.float32
+    dn = (((1,), (1,)), ((), ()))
+    P = lax.Precision.DEFAULT
+
+    def d(a, b):
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=f32,
+                                   precision=P)
+
+    if jax.default_backend() == "cpu":
+        return d(lhs_exact, rhs)
+    rhi = rhs.astype(jnp.bfloat16).astype(f32)
+    return d(lhs_exact, rhi) + d(lhs_exact, rhs - rhi)
+
+
 def _make_dots(x_cat, x_mcat, exact, miss, mc_row):
     """The two X-dot shapes of every sweep phase, f32-exact (see _dot2):
 
@@ -345,16 +378,26 @@ def _make_dots(x_cat, x_mcat, exact, miss, mc_row):
     row of this grid step's blocks: the scaled indicator dot completes
     the mean-substituted decode cf = c + (m-3)*1[c==3] exactly."""
     def dot_r(v, k):
-        d = _dot2_rows(v, x_cat(k), 1, exact)
-        if miss:
-            d = d + _dot2_rows(v, x_mcat(k), 1, True) * mc_row()
-        return d
+        if not miss:
+            return _dot2_rows(v, x_cat(k), 1, exact)
+        # codes and indicator STACK along the block axis into one rhs so
+        # the 2-bit decode runs ONCE and one MXU pass serves both dots
+        # (two separate dots re-decode: measured 143 vs ~95 ms/iter at
+        # the biobank missing config)
+        # one (R, 2QB) dot against the stacked codes+indicator operand:
+        # each half's decode fuses into the MXU operand stream (sharing
+        # the converted codes across TWO dots makes Mosaic materialize
+        # the 3 MB tile and spill: 153 ms vs 118 vs 143 for two
+        # independent-decode dots, measured at the biobank shape)
+        out = _dot2_rows(v, x_mcat(k), 1, True)            # (R, 2*Q*B)
+        qb = out.shape[1] // 2
+        return out[:, :qb] + out[:, qb:] * mc_row()
 
     def dot_a(v, k):
-        u = _dot2_rows(v, x_cat(k), 0, exact)
-        if miss:
-            u = u + _dot2_rows(v * mc_row(), x_mcat(k), 0, True)
-        return u
+        if not miss:
+            return _dot2_rows(v, x_cat(k), 0, exact)
+        va = jnp.concatenate([v, v * mc_row()], axis=1)    # (R, 2*Q*B)
+        return _dot2_rows(va, x_mcat(k), 0, True)
 
     return dot_r, dot_a
 
@@ -1394,19 +1437,7 @@ def _jacobi_t_mc_kernel(rho_ref, *refs, B, TN, K, G, C, J, Q,
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
                     == jax.lax.broadcasted_iota(
                         jnp.int32, (JQ2, J), 0)).astype(f32)
-            # one-hot x f32: split the VALUE side (rhs) so both
-            # DEFAULT-precision passes are exact-input (see _dot2)
-            dms_v = dms_sc[...]
-            dms_hi = dms_v.astype(jnp.bfloat16).astype(f32)
-            _dn = (((1,), (1,)), ((), ()))
-            _P = lax.Precision.DEFAULT
-            dmsq_sc[...] = (
-                jax.lax.dot_general(gmat, dms_hi, _dn,
-                                    preferred_element_type=f32,
-                                    precision=_P)
-                + jax.lax.dot_general(gmat, dms_v - dms_hi, _dn,
-                                      preferred_element_type=f32,
-                                      precision=_P))                 # (J/Q, C)
+            dmsq_sc[...] = _dot2_vrhs(gmat, dms_sc[...])                 # (J/Q, C)
 
     @pl.when(ph == 1)
     def _apply_update():
@@ -1860,19 +1891,7 @@ def _hs_jacobi_t_mc_kernel(rho_ref, *refs, B, TN, C, J, Q, packed=False,
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
                     == jax.lax.broadcasted_iota(
                         jnp.int32, (JQ2, J), 0)).astype(f32)
-            # one-hot x f32: split the VALUE side (rhs) so both
-            # DEFAULT-precision passes are exact-input (see _dot2)
-            dms_v = dms_sc[...]
-            dms_hi = dms_v.astype(jnp.bfloat16).astype(f32)
-            _dn = (((1,), (1,)), ((), ()))
-            _P = lax.Precision.DEFAULT
-            dmsq_sc[...] = (
-                jax.lax.dot_general(gmat, dms_hi, _dn,
-                                    preferred_element_type=f32,
-                                    precision=_P)
-                + jax.lax.dot_general(gmat, dms_v - dms_hi, _dn,
-                                      preferred_element_type=f32,
-                                      precision=_P))                 # (J/Q, C)
+            dmsq_sc[...] = _dot2_vrhs(gmat, dms_sc[...])                 # (J/Q, C)
 
     @pl.when(ph == 1)
     def _apply_update():
@@ -2649,19 +2668,7 @@ def _jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, K, G, C, CGS, J, Q, nt,
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
                     == jax.lax.broadcasted_iota(
                         jnp.int32, (JQ2, J), 0)).astype(f32)
-            # one-hot x f32: split the VALUE side (rhs) so both
-            # DEFAULT-precision passes are exact-input (see _dot2)
-            dms_v = dms_sc[...]
-            dms_hi = dms_v.astype(jnp.bfloat16).astype(f32)
-            _dn = (((1,), (1,)), ((), ()))
-            _P = lax.Precision.DEFAULT
-            dmsq_sc[...] = (
-                jax.lax.dot_general(gmat, dms_hi, _dn,
-                                    preferred_element_type=f32,
-                                    precision=_P)
-                + jax.lax.dot_general(gmat, dms_v - dms_hi, _dn,
-                                      preferred_element_type=f32,
-                                      precision=_P))                 # (J/Q, C)
+            dmsq_sc[...] = _dot2_vrhs(gmat, dms_sc[...])                 # (J/Q, C)
 
     @pl.when(ph == 1)
     def _apply_update():
@@ -3090,19 +3097,7 @@ def _hs_jacobi_t_mc8_kernel(rho_ref, *refs, B, TN, C, CGS, J, Q, nt,
             gmat = (jax.lax.broadcasted_iota(jnp.int32, (JQ2, J), 1) // Q
                     == jax.lax.broadcasted_iota(
                         jnp.int32, (JQ2, J), 0)).astype(f32)
-            # one-hot x f32: split the VALUE side (rhs) so both
-            # DEFAULT-precision passes are exact-input (see _dot2)
-            dms_v = dms_sc[...]
-            dms_hi = dms_v.astype(jnp.bfloat16).astype(f32)
-            _dn = (((1,), (1,)), ((), ()))
-            _P = lax.Precision.DEFAULT
-            dmsq_sc[...] = (
-                jax.lax.dot_general(gmat, dms_hi, _dn,
-                                    preferred_element_type=f32,
-                                    precision=_P)
-                + jax.lax.dot_general(gmat, dms_v - dms_hi, _dn,
-                                      preferred_element_type=f32,
-                                      precision=_P))                 # (J/Q, C)
+            dmsq_sc[...] = _dot2_vrhs(gmat, dms_sc[...])                 # (J/Q, C)
 
     @pl.when(ph == 1)
     def _apply_update():

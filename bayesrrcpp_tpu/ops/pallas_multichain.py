@@ -60,6 +60,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_sweep import _decode_tile
+from .pallas_jacobi_t import _dot2_rows
 
 
 class MCSweepResult(NamedTuple):
@@ -137,6 +138,9 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
             return xt_ref[...]
 
     NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
+    # codes/int8 are bf16-exact -> 2-pass split dot; decoded/dense f32
+    # falls back to the 3-pass bf16x3 expansion (see _dot2_rows)
+    x_exact = fold and (packed or xt_ref.dtype != jnp.float32)
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
         eps_out[...] = eps_ref[...]
@@ -153,9 +157,7 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
 
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (C, W)
-            r_sc[0:C, :] += jax.lax.dot_general(
-                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                 # (C, B)
+            r_sc[0:C, :] += _dot2_rows(eps_t, x_sub(k), 1, x_exact)
 
     @pl.when(jnp.logical_and(ph == 1, t == 0))
     def _solve():
@@ -254,9 +256,7 @@ def _mc_kernel(border_ref, inner_ref,               # scalar prefetch (SMEM)
     @pl.when(ph == 1)
     def _apply_update():
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                delta_sc[...], x_sub(k), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                 # (C, W)
+            upd = _dot2_rows(delta_sc[...], x_sub(k), 0, x_exact)
             if fold:
                 upd = upd - dms_sc[...]
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
@@ -538,6 +538,9 @@ def _hs_mc_kernel(border_ref, inner_ref,
             return xt_ref[...]
 
     NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
+    # codes/int8 are bf16-exact -> 2-pass split dot; decoded/dense f32
+    # falls back to the 3-pass bf16x3 expansion (see _dot2_rows)
+    x_exact = fold and (packed or xt_ref.dtype != jnp.float32)
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
         eps_out[...] = eps_ref[...]
@@ -552,9 +555,7 @@ def _hs_mc_kernel(border_ref, inner_ref,
 
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (C, W)
-            r_sc[...] += jax.lax.dot_general(
-                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
+            r_sc[...] += _dot2_rows(eps_t, x_sub(k), 1, x_exact)
 
     @pl.when(jnp.logical_and(ph == 1, t == 0))
     def _solve():
@@ -600,9 +601,7 @@ def _hs_mc_kernel(border_ref, inner_ref,
     @pl.when(ph == 1)
     def _apply_update():
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                delta_sc[...], x_sub(k), (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
+            upd = _dot2_rows(delta_sc[...], x_sub(k), 0, x_exact)
             if fold:
                 upd = upd - dms_sc[...]
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd

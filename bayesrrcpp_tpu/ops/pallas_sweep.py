@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sweep import SweepResult
+from .pallas_jacobi_t import _dot2_rows
 
 # Dev-only ablation knobs for locating cycle sinks in the sequential solve
 # (tools/solve_ablation.py).  Comma-separated names; OFF in production.
@@ -146,6 +147,9 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
             return _decode_tile(xt_ref[...], mean_ref[0], scale_ref[0])
 
     NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
+    # codes/int8 are bf16-exact -> 2-pass split dot; decoded/dense f32
+    # falls back to the 3-pass bf16x3 expansion (see _dot2_rows)
+    x_exact = fold and (packed or xt_ref.dtype != jnp.float32)
 
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
@@ -163,9 +167,7 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
 
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]   # (1, W)
-            r_sc[...] += jax.lax.dot_general(
-                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (1, B)
+            r_sc[...] += _dot2_rows(eps_t, x_sub(k), 1, x_exact)
 
     @pl.when(jnp.logical_and(ph == 1, t == 0))
     def _solve():
@@ -293,9 +295,7 @@ def _sweep_kernel(border_ref, inner_ref,           # scalar prefetch (SMEM)
     @pl.when(ph == 1)
     def _apply_update():
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                delta_sc[...], x_sub(k), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (1, W)
+            upd = _dot2_rows(delta_sc[...], x_sub(k), 0, x_exact)
             if fold:
                 upd = upd - dms_sc[...]
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd
@@ -659,6 +659,9 @@ def _hs_kernel(border_ref, inner_ref,
             return _decode_tile(xt_ref[...], mean_ref[0], scale_ref[0])
 
     NW = eps_out.shape[-1] // SUB     # plane-major eps (see _lane_perm)
+    # codes/int8 are bf16-exact -> 2-pass split dot; decoded/dense f32
+    # falls back to the 3-pass bf16x3 expansion (see _dot2_rows)
+    x_exact = fold and (packed or xt_ref.dtype != jnp.float32)
 
     @pl.when(jnp.logical_and(b == 0, jnp.logical_and(ph == 0, t == 0)))
     def _init():
@@ -674,9 +677,7 @@ def _hs_kernel(border_ref, inner_ref,
 
         for k in range(SUB):
             eps_t = eps_out[:, pl.ds(k * NW + t * W, W)]
-            r_sc[...] += jax.lax.dot_general(
-                eps_t, x_sub(k), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            r_sc[...] += _dot2_rows(eps_t, x_sub(k), 1, x_exact)
 
     @pl.when(jnp.logical_and(ph == 1, t == 0))
     def _solve():
@@ -722,9 +723,7 @@ def _hs_kernel(border_ref, inner_ref,
     @pl.when(ph == 1)
     def _apply_update():
         for k in range(SUB):
-            upd = jax.lax.dot_general(
-                delta_sc[...], x_sub(k), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            upd = _dot2_rows(delta_sc[...], x_sub(k), 0, x_exact)
             if fold:
                 upd = upd - dms_sc[...]
             eps_out[:, pl.ds(k * NW + t * W, W)] -= upd

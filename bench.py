@@ -167,7 +167,7 @@ def measured_reference_rates():
 
 def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
                chains=1, dtype_name="f32", label="", jacobi=None,
-               missing=False, sharded=False, emit=False):
+               missing=False, sharded=False, emit=False, vL=1.0):
     """Run one bench config; returns the result record."""
     import jax
     import jax.numpy as jnp
@@ -256,7 +256,7 @@ def run_config(*, N, M, iters, B=512, x_dtype="dense", sampler="bayesr",
         from bayesrrcpp_tpu import HorseshoeConfig
         from bayesrrcpp_tpu.models.horseshoe import HorseshoeSampler
 
-        smp = HorseshoeSampler(XT, Y, HorseshoeConfig(block_size=B),
+        smp = HorseshoeSampler(XT, Y, HorseshoeConfig(block_size=B, vL=vL),
                                transposed=True, dtype=jnp.float32,
                                jacobi_blocks=jacobi, **extra)
     elif sampler == "groups":
@@ -396,6 +396,10 @@ SUITE = [
          x_dtype="2bit", chains=8),
     dict(label="biobank-horseshoe", N=100_352, M=503_808, iters=10,
          x_dtype="2bit", sampler="horseshoe"),
+    # non-default local dof (round-4 VERDICT ask #9): vL=3 -> gamma shape
+    # 2, the exact sum-of-exponentials path (no rejection sampler)
+    dict(label="biobank-horseshoe-vL3", N=100_352, M=503_808, iters=10,
+         x_dtype="2bit", sampler="horseshoe", vL=3.0),
     dict(label="biobank-horseshoe-8chain", N=100_352, M=503_808, iters=5,
          x_dtype="2bit", sampler="horseshoe", chains=8),
     dict(label="biobank-groups", N=100_352, M=503_808, iters=10,
