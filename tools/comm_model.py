@@ -98,7 +98,7 @@ def hlo_collective_count(Dm, Dn, *, N=512, M=512, B=32, chunk_blocks=4):
             "nb_loc": s.nb_loc, "chunk_blocks": chunk_blocks}
 
 
-def hlo_collective_count_mc(Dm, *, N=512, M=2048, B=32, C=4):
+def hlo_collective_count_mc(Dm, *, N=512, M=8192, B=32, C=4):
     """All-reduce sites of the FUSED MULTI-CHAIN step (step_chains on an
     (m, 1) mesh with the transposed mc kernel engaged): one (C, Npad)
     eps psum per chunk round + the per-iteration (vmapped) hyper
@@ -130,12 +130,12 @@ def hlo_collective_count_mc(Dm, *, N=512, M=2048, B=32, C=4):
 
 def projection_config5():
     """Projected scaling at BASELINE config 5 (N=400k, M=1M groups) from
-    the measured round-4 single-chip rate and v5e interconnect numbers.
+    the measured round-5 single-chip rate and v5e interconnect numbers.
 
-    Compute: the SHARDED (m, 1) sampler itself measures 6.04M
+    Compute: the SHARDED (m, 1) sampler itself measures 5.99M
     SNP-updates/s/chip at the biobank shape on a (1, 1) mesh (the
     strided t-kernel local sweep, parallel/sharded.py::
-    _pallas_local_sweep_t -- 83.4 ms/iter incl. the chunked psum loop),
+    _pallas_local_sweep_t -- 84.1 ms/iter incl. the chunked psum loop),
     with the X stream (2 passes x 0.25 B/genotype) the dominant term; at
     fixed N the per-chip sweep time scales with M_loc = M/Dm.
     Comm: one eps psum (Npad * 4 B) per chunk round rides the ICI
@@ -145,7 +145,8 @@ def projection_config5():
     """
     N, M, B = 400_000, 1_000_000, 32
     Npad = -(-N // 2048) * 2048
-    rate_chip = 6.04e6     # SNP-updates/s/chip, measured SHARDED (r4)
+    rate_chip = 5.99e6     # SNP-updates/s/chip, measured SHARDED (r5,
+    #                        exact split-dot kernels, 84.1 ms/iter)
     # per-chip iteration time at Dm chips (compute only)
     rows = []
     for Dm in (8, 16, 32):
@@ -190,8 +191,8 @@ def main():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(here, "COMM_MODEL_r05.json")
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out, indent=1))
+        json.dump(out, f, indent=1, default=lambda o: int(o))
+    print(json.dumps(out, indent=1, default=lambda o: int(o)))
     print("wrote", path)
 
 
