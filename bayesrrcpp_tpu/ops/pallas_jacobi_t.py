@@ -2127,13 +2127,17 @@ def build_strided_operands(gram, xsq_pad, g_assign_pad, valid_pad, p_arr,
 def bayesr_jacobi_t_rounds(XT_pad, ops, rho_chunk, eps2d, sigmaE, *,
                            J, B, K, G, nr_total, packed, fold,
                            tile_n=512, row_valid=None,
-                           interpret=False, missing=False):
+                           interpret=False, missing=False,
+                           visit_out=True):
     """Sweep ONE CHUNK of strided rounds (the sharded (m, 1) driver's
     unit of work: one cross-slice eps psum per chunk).  ``ops`` holds the
     full-iteration operands (build_strided_operands); ``rho_chunk`` the
     GLOBAL round ids this call visits.  Outputs beta/kv slabs arrive in
     VISIT order (scatter back with ``.at[rho_chunk].set`` -- a
-    slab-granular update, not an element scatter).
+    slab-granular update, not an element scatter) unless
+    ``visit_out=False``: then the rho-indexed output maps land slabs in
+    CANONICAL round order directly (the Dm == 1 all-rounds-in-one-call
+    case, where the host-side permutation scatter was pure overhead).
 
     Returns (eps2d, beta_slabs (nrc, J, B), kv_slabs (nrc, J, B),
     v (1, G*K), bacc (1, G))."""
@@ -2197,10 +2201,11 @@ def bayesr_jacobi_t_rounds(XT_pad, ops, rho_chunk, eps2d, sigmaE, *,
             in_specs += [pl.BlockSpec((1, J, B), im_round)]
             args += [ops.mcrow]
         scratch += [pltpu.VMEM((1 + J, 1), f32)]
+    im_bkv = im_visit if visit_out else im_round
     out_specs = [
         pl.BlockSpec((1, Npad), im_full),
-        pl.BlockSpec((1, J, B), im_visit),                 # beta (visit)
-        pl.BlockSpec((1, J, B), im_visit),                 # kv (visit)
+        pl.BlockSpec((1, J, B), im_bkv),                   # beta
+        pl.BlockSpec((1, J, B), im_bkv),                   # kv
         pl.BlockSpec((1, G * K), im_full),
         pl.BlockSpec((1, G), im_full),
     ]

@@ -711,14 +711,20 @@ class ShardedSpikeSlabSampler:
                 data.XT, ops, rho_c, eps2d, state.sigmaE,
                 J=J, B=B, K=K, G=G, nr_total=nr, packed=self.x_packed,
                 fold=fold, missing=missing,
-                interpret=self._pallas_interpret)
+                interpret=self._pallas_interpret,
+                visit_out=(nrc != nr))
             delta = eps_new[0] - eps2d[0]
             eps_next = eps2d[0] + lax.psum(delta, AXIS_M)
             if self.x_packed and (fold or missing):
                 eps_next = eps_next * lane_mask[0]
-            return ((eps_next.reshape(1, -1),
-                     beta_sl.at[rho_c].set(beta_c),
-                     kv_sl.at[rho_c].set(kv_c),
+            if nrc == nr:
+                # rho-indexed output maps landed the slabs in canonical
+                # order -- no host-side permutation scatter
+                beta_sl, kv_sl = beta_c, kv_c
+            else:
+                beta_sl = beta_sl.at[rho_c].set(beta_c)
+                kv_sl = kv_sl.at[rho_c].set(kv_c)
+            return ((eps_next.reshape(1, -1), beta_sl, kv_sl,
                      v + v_c.reshape(G, K), bacc + bacc_c.reshape(G)),
                     None)
 
