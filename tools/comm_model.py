@@ -132,10 +132,10 @@ def projection_config5():
     """Projected scaling at BASELINE config 5 (N=400k, M=1M groups) from
     the measured round-5 single-chip rate and v5e interconnect numbers.
 
-    Compute: the SHARDED (m, 1) sampler itself measures 5.99M
+    Compute: the SHARDED (m, 1) sampler itself measures 6.18M
     SNP-updates/s/chip at the biobank shape on a (1, 1) mesh (the
     strided t-kernel local sweep, parallel/sharded.py::
-    _pallas_local_sweep_t -- 84.1 ms/iter incl. the chunked psum loop),
+    _pallas_local_sweep_t -- 81.5 ms/iter incl. the psum step),
     with the X stream (2 passes x 0.25 B/genotype) the dominant term; at
     fixed N the per-chip sweep time scales with M_loc = M/Dm.
     Comm: one eps psum (Npad * 4 B) per chunk round rides the ICI
@@ -145,8 +145,8 @@ def projection_config5():
     """
     N, M, B = 400_000, 1_000_000, 32
     Npad = -(-N // 2048) * 2048
-    rate_chip = 5.99e6     # SNP-updates/s/chip, measured SHARDED (r5,
-    #                        exact split-dot kernels, 84.1 ms/iter)
+    rate_chip = 6.18e6     # SNP-updates/s/chip, measured SHARDED (r5,
+    #                        exact split-dot kernels, 81.5 ms/iter)
     # per-chip iteration time at Dm chips (compute only)
     rows = []
     for Dm in (8, 16, 32):
